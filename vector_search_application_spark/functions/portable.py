@@ -1,0 +1,126 @@
+"""Portable deterministic primitives: paired Spark-Column and DuckDB-SQL
+builders.
+
+The driver's correctness gate runs every declared query in BOTH engines
+and hash-compares values, so each deterministic function here has two
+implementations generated from the same constants:
+
+  ``foo(col)``      -> pyspark Column expression (JVM-side, codegen'd)
+  ``foo_sql(expr)`` -> DuckDB SQL fragment computing the identical value
+
+Conventions that make the hashes match:
+  - every float that reaches an output is ``round(x, ROUND_DIGITS)``
+  - all accumulation happens in DOUBLE on both sides
+  - the shared hash is md5-based (both engines produce identical
+    lowercase hex), folded to a non-negative 60-bit BIGINT
+  - tokenization is lowercase + split on ``[^a-z0-9]+`` with empty
+    tokens dropped (reference analyzer declared in SURVEY.md §7 step 5)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans.constants import ROUND_DIGITS
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+def md5_long(col: Column, seed: str = "") -> Column:
+    """Deterministic non-negative 60-bit hash of a string column.
+
+    Replaces the reference's salted ``abs(hash(x)) % 2**63`` point-id
+    synthesis (reference app/main.py:137, scripts/indexing.py:557) with
+    a run-reproducible hash — documented fidelity improvement
+    (SURVEY.md §1.4).
+    """
+    payload = F.concat(F.lit(f"{seed}|"), col) if seed else col
+    return F.conv(F.substring(F.md5(payload), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str, seed: str = "") -> str:
+    payload = f"'{seed}|' || ({expr})" if seed else f"({expr})"
+    return f"('0x' || substr(md5({payload}), 1, 15))::BIGINT"
+
+
+def sha256_hex(col: Column) -> Column:
+    return F.sha2(col, 256)
+
+
+def sha256_hex_sql(expr: str) -> str:
+    return f"sha256({expr})"
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    """array<string> of non-empty lowercase tokens."""
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'),"
+        " t -> t <> '')"
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+# ---------------------------------------------------------------------------
+# vector math (arrays accumulated in DOUBLE on both sides)
+# ---------------------------------------------------------------------------
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; zero-norm inputs score 0.0 (the reference's
+    zero-vector embedding-failure fallback, app/services/search_service.py:136).
+    """
+    denom = norm(a) * norm(b)
+    return F.when(denom > F.lit(0.0), dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"coalesce({dot_sql(a, b)} / nullif({norm_sql(a)} * {norm_sql(b)}, 0.0), 0.0)"
+    )
+
+
+def rounded(col: Column, digits: int = ROUND_DIGITS) -> Column:
+    return F.round(col.cast("double"), digits)
+
+
+def rounded_sql(expr: str, digits: int = ROUND_DIGITS) -> str:
+    return f"round(({expr})::DOUBLE, {digits})"

@@ -1,0 +1,132 @@
+"""BM25 sparse scoring in pure Spark SQL aggregations (SURVEY.md §2.3
+E2/E4, §2.6 V2).
+
+The reference delegates sparse scoring to Qdrant's in-memory sparse
+index fed by the fastembed "Qdrant/bm25" model (reference
+scripts/indexing.py:350-356, 865-899). Here the whole thing is
+declarative and deterministic:
+
+  postings(id, term, tf, doc_len)   <- tokenize + groupBy (one shuffle,
+                                       partitioned by (id, term))
+  stats(n_docs, avgdl)              <- corpus aggregate (broadcast)
+  df(term, df)                      <- posting aggregate by term
+  score = sum over matched query terms of
+            idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  idf   = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+with k1=1.2, b=0.75 (Qdrant/bm25 defaults). Query terms are the
+distinct tokens of the query string (query-side weight = idf, document
+side = tf saturation — the same factorization the reference's sparse
+dot-product computes).
+
+Scale shape: the postings table is the scale unit — partition/bucket it
+by term so a query's term-probe touches only matching partitions; the
+query-term list is tiny and broadcast, so scoring is a map-side join +
+partial agg over ~len(query) posting slices, never a corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from ..plans.constants import BM25_B, BM25_K1, K
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf, doc_len) posting list from a text corpus."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(P.tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy("id").agg(F.sum("tf").alias("doc_len"))
+    return tf.join(doc_len, "id")
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """One-row (n_docs, avgdl) DataFrame, meant to be broadcast."""
+    return (
+        postings.select("id", "doc_len")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+        )
+    )
+
+
+def doc_frequency(postings: DataFrame) -> DataFrame:
+    """(term, df) — postings are unique per (id, term) so count(*) = df."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+
+def query_terms(spark, query_text: str) -> DataFrame:
+    """Distinct tokens of the query string as a one-column DataFrame.
+
+    Built from spark.range (no Python workers, no local collection) so
+    it composes into a single JVM plan and broadcasts.
+    """
+    return (
+        spark.range(1)
+        .select(
+            F.explode(F.array_distinct(P.tokens(F.lit(query_text)))).alias("term")
+        )
+        .drop("id")
+    )
+
+
+def bm25_score_terms(
+    postings: DataFrame,
+    qterms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Score every document containing at least one query term.
+
+    Returns (id, score) with score rounded for engine/oracle parity.
+    """
+    stats = corpus_stats(postings)
+    dfreq = doc_frequency(postings)
+    matched = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "term")), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doc_len").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    return (
+        matched.select("id", (idf * tf_part).alias("w"))
+        .groupBy("id")
+        .agg(P.rounded(F.sum("w")).alias("score"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """V2 end-to-end: corpus -> postings -> scored -> top-k."""
+    spark = docs.sparkSession
+    postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    scored = bm25_score_terms(postings, query_terms(spark, query_text))
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)

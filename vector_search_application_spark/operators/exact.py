@@ -1,0 +1,71 @@
+"""Exact payload-match cascade (SURVEY.md §2.5 Q1, §2.7 F5, §2.10 C2).
+
+Reference semantics (app/services/search_service.py:207-256): uppercase
+the query, filter on partNumber (score 1.0, limit 10); only if that
+yields nothing, filter on manufacturerPartNumber (score 0.9, limit 10).
+
+Spark-first expression: both branches are simple filters (partition /
+data-skipping prunable at scale — the reference's "payload keyword
+index" is physical layout here, SURVEY.md §2.4 I4). The early-exit
+cascade is one declarative plan: the secondary branch is gated by a
+broadcast 1-row count of the primary branch, so no driver-side if and
+no second job. Branch limits are made deterministic by ordering on the
+id column (the reference's scroll order is storage order —
+nondeterministic; documented deviation per SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.constants import EXACT_PRIMARY_SCORE, EXACT_SECONDARY_SCORE
+
+
+def clean_query(q: str) -> Column:
+    """C2: strip().upper() (reference search_service.py:214)."""
+    return F.upper(F.trim(F.lit(q)))
+
+
+def exact_match_branch(
+    df: DataFrame,
+    field: str,
+    query: str,
+    score: float,
+    limit: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    return (
+        df.filter(F.col(field) == clean_query(query))
+        .orderBy(F.asc(id_col))
+        .limit(limit)
+        .select(
+            F.col(id_col),
+            F.lit(score).alias("score"),
+            F.lit(field).alias("matched_field"),
+        )
+    )
+
+
+def exact_cascade(
+    df: DataFrame,
+    query: str,
+    primary_field: str,
+    secondary_field: str,
+    limit: int = 10,
+    id_col: str = "id",
+) -> DataFrame:
+    """Q1/F5: primary-field matches, else secondary-field matches."""
+    primary = exact_match_branch(
+        df, primary_field, query, EXACT_PRIMARY_SCORE, limit, id_col
+    )
+    secondary = exact_match_branch(
+        df, secondary_field, query, EXACT_SECONDARY_SCORE, limit, id_col
+    )
+    primary_count = primary.agg(F.count(F.lit(1)).alias("__n_primary"))
+    gated_secondary = (
+        secondary.crossJoin(F.broadcast(primary_count))
+        .filter(F.col("__n_primary") == 0)
+        .drop("__n_primary")
+    )
+    return primary.unionByName(gated_secondary)

@@ -1,0 +1,176 @@
+"""Rank-fusion operators (SURVEY.md §2.7 F1-F5).
+
+The reference does these with Python list manipulation over two ranked
+lists (reference scripts/indexing.py:707-836,
+app/services/search_service.py:301-342); here each is a single
+DataFrame plan: window-rank per branch, union + groupBy(id) aggregation
+(Catalyst turns the small grouped sets into map-side partial aggs), then
+TakeOrderedAndProject for the final truncate.
+
+Scale note: branch results are already top-(k*inflation) lists — tiny
+relative to the corpus — so fusion cost is independent of corpus size.
+The expensive part is branch production, which is where the broadcast /
+posting-list strategies in topk.py and bm25.py apply.
+
+Determinism: ranks and final ordering use (score DESC, id ASC); label
+concatenation for F3 is priority-ordered (exact before vector),
+matching the reference's stable-sort insertion order (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from ..plans.constants import K, LINEAR_ALPHA, RRF_RANK_K
+
+
+def _ranked(branch: DataFrame, id_col: str) -> DataFrame:
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return branch.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    branches: dict[str, DataFrame],
+    k: int = K,
+    rank_k: int = RRF_RANK_K,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """F1 Reciprocal Rank Fusion.
+
+    ranks start at 1 per input list; rrf = sum over lists of
+    1/(rank_k + rank); per-list rank+score kept as diagnostics
+    (reference scripts/indexing.py:707-774). Output score := rrf.
+    """
+    labeled = None
+    for name, df in branches.items():
+        b = _ranked(df.select(id_col, "score"), id_col).select(
+            F.col(id_col),
+            F.lit(name).alias("branch"),
+            F.col("score").alias("branch_score"),
+            F.col("rank"),
+        )
+        labeled = b if labeled is None else labeled.unionByName(b)
+    names = list(branches)
+    aggs = [
+        P.rounded(F.sum(F.lit(1.0) / (F.lit(float(rank_k)) + F.col("rank")))).alias(
+            "score"
+        )
+    ]
+    for name in names:
+        aggs.append(
+            F.max(F.when(F.col("branch") == name, F.col("branch_score"))).alias(
+                f"{name}_score"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("branch") == name, F.col("rank")))
+            .cast("bigint")  # row_number is int in Spark, bigint in DuckDB
+            .alias(f"{name}_rank")
+        )
+    return (
+        labeled.groupBy(id_col)
+        .agg(*aggs)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def linear_fuse(
+    dense: DataFrame,
+    sparse: DataFrame,
+    k: int = K,
+    alpha: float = LINEAR_ALPHA,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """F2 linear (alpha) fusion: alpha*dense + (1-alpha)*sparse, missing
+    side contributes 0 (reference scripts/indexing.py:776-816)."""
+    labeled = (
+        dense.select(id_col, F.lit("dense").alias("branch"), "score")
+        .unionByName(sparse.select(id_col, F.lit("sparse").alias("branch"), "score"))
+    )
+    grouped = labeled.groupBy(id_col).agg(
+        F.max(F.when(F.col("branch") == "dense", F.col("score"))).alias("dense_score"),
+        F.max(F.when(F.col("branch") == "sparse", F.col("score"))).alias(
+            "sparse_score"
+        ),
+    )
+    return (
+        grouped.select(
+            F.col(id_col),
+            P.rounded(
+                F.lit(alpha) * F.coalesce(F.col("dense_score"), F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.coalesce(F.col("sparse_score"), F.lit(0.0))
+            ).alias("score"),
+            "dense_score",
+            "sparse_score",
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def max_dedup_fuse(
+    exact: DataFrame,
+    vector: DataFrame,
+    k: int = K,
+    id_col: str = "id",
+) -> DataFrame:
+    """F3 max-score dedup fusion of exact + vector branches.
+
+    On duplicate id keep the higher score; concatenate search_type
+    labels with '+', exact label first (the reference's first-occurrence
+    insertion order, app/services/search_service.py:301-342).
+    Branch inputs carry (id, score, search_type).
+    """
+    unioned = exact.select(id_col, "score", "search_type").unionByName(
+        vector.select(id_col, "score", "search_type")
+    )
+    grouped = unioned.groupBy(id_col).agg(
+        F.max("score").alias("score"),
+        F.max(F.when(F.col("search_type") == "exact", F.lit(1)))
+        .isNotNull()
+        .alias("_has_exact"),
+        F.max(F.when(F.col("search_type") == "vector", F.lit(1)))
+        .isNotNull()
+        .alias("_has_vector"),
+    )
+    return (
+        grouped.select(
+            F.col(id_col),
+            F.col("score"),
+            F.concat_ws(
+                "+",
+                F.when(F.col("_has_exact"), F.lit("exact")),
+                F.when(F.col("_has_vector"), F.lit("vector")),
+            ).alias("search_type"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def normalize_scores(
+    df: DataFrame, method: str = "min_max", id_col: str = "vec_id"
+) -> DataFrame:
+    """F4 score normalization over a (small) result list.
+
+    min_max: (s-min)/(max-min), all-equal -> 1.0
+    z_score: (s-mean)/stddev + 0.5, stddev=0 -> 0.5
+    (reference scripts/indexing.py:818-836)
+
+    Window over the whole list — correct for fused top-k lists (tens of
+    rows); never applied corpus-wide.
+    """
+    w = Window.partitionBy()
+    s = F.col("score")
+    if method == "min_max":
+        lo, hi = F.min(s).over(w), F.max(s).over(w)
+        normed = F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
+    elif method == "z_score":
+        mu, sd = F.avg(s).over(w), F.stddev_pop(s).over(w)
+        normed = F.when(sd == F.lit(0.0), F.lit(0.5)).otherwise((s - mu) / sd + 0.5)
+    else:
+        raise ValueError(f"unknown normalization method: {method}")
+    return df.withColumn("norm_score", P.rounded(normed))

@@ -1,0 +1,63 @@
+"""Shared constants between the Spark engine and the DuckDB oracle.
+
+Every tunable that affects query results lives here, so the engine
+(DataFrame plans) and the oracle (ANSI SQL strings) can never drift.
+
+Reference semantics these encode (see SURVEY.md §2):
+  - BM25 k1/b: Qdrant/bm25 defaults (reference scripts/indexing.py:350-356)
+  - RRF k=60 (reference scripts/indexing.py:707-774)
+  - score threshold 0.4 on dense hits (reference
+    app/services/search_service.py:281-291)
+  - exact-match cascade scores 1.0 / 0.9 (reference
+    app/services/search_service.py:216-245)
+  - post-filter k-inflation 3x (reference
+    app/services/search_service.py:443-465)
+"""
+
+SEED = 42
+
+# top-k defaults
+K = 10
+PREVIEW_K = 3
+
+# dense search
+QUERY_VEC_ID = 0           # the corpus vector used as the dense query
+SCORE_THRESHOLD = 0.4
+EMB_DIM = 64               # driver testdata embeddings are 64-d
+
+# sparse search (BM25)
+BM25_K1 = 1.2
+BM25_B = 0.75
+QUERY_TEXT = "spark join table value window"  # golden text query (documents vocab)
+
+# fusion
+RRF_RANK_K = 60
+LINEAR_ALPHA = 0.7
+BRANCH_INFLATION = 2       # each fusion branch fetches limit*2
+POSTFILTER_INFLATION = 3   # Q2 fetches 3x before equality post-filter
+
+# exact-match cascade scores
+EXACT_PRIMARY_SCORE = 1.0
+EXACT_SECONDARY_SCORE = 0.9
+
+# deterministic text embedder (FIXTURES.md §2)
+EMBED_DIM_TEXT = 384
+
+# rounding applied to every float output so engine and oracle hash equal
+ROUND_DIGITS = 6
+
+# dedup / similarity
+MINHASH_PERMS = 16
+MINHASH_BANDS = 4          # 4 rows per band
+SHINGLE_N = 3              # token shingles
+SIMHASH_BITS = 16
+NEARDUP_COSINE_THRESHOLD = 0.95
+JACCARD_THRESHOLD = 0.5
+LSH_PLANES = 8             # hyperplane LSH for embedding near-dup blocking
+
+# IVF
+IVF_CENTROIDS = 8
+IVF_PROBES = 2
+
+# text analysis
+STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it", "for", "on")

@@ -1,0 +1,134 @@
+"""Corpus derivations shared by the Spark engine and the DuckDB oracle.
+
+Three corpora over the driver-generated testdata (TESTDATA.md):
+
+  vectors   <- embeddings.parquet        (vec_id, embedding FLOAT[64], label)
+  docs      <- documents.parquet         (doc_id, text, lang, source, n_chars)
+  products  <- part.parquet, transformed (FIXTURES.md §1 derivation:
+               p_partkey -> part number, p_name -> shortDescription,
+               p_retailprice -> onlinePrice_string, p_brand -> prefix)
+
+The products derivation IS the reference's ingest transform stack
+(SURVEY.md §2.2 T1-T3): text-column synthesis (T1), deterministic id
+(T2, md5-based — documented replacement for the reference's salted
+``abs(hash(x))``, scripts/indexing.py:557), and missing-field
+defaulting (T3, deterministic null injection standing in for the
+reference's None-fill, scripts/indexing.py:243-247).
+
+Each derivation exists twice — a DataFrame builder and a DuckDB CTE
+string — generated from the same constants so they cannot drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+# null-injection rules (deterministic; FIXTURES.md §1 percentages)
+MFR_NULL_MOD = 20    # ~5% manufacturerPartNumber null
+DESC_NULL_MOD = 50   # ~2% shortDescription null
+IMG_NULL_MOD = 5     # ~20% image null
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "embeddings")
+
+
+def docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents")
+
+
+def query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> DataFrame:
+    """One-row (qvec) DataFrame — the dense query, meant to be broadcast."""
+    return (
+        vectors(spark, sf_dir)
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("qvec"))
+    )
+
+
+def query_vector_cte(vec_id: int) -> str:
+    return f"(SELECT embedding AS qvec FROM embeddings WHERE vec_id = {vec_id})"
+
+
+def products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Products payload table derived from ``part`` (T1/T2/T3)."""
+    part = _read(spark, sf_dir, "part")
+    pn = F.concat(
+        F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+    )
+    mfr = F.when(
+        F.col("p_partkey") % MFR_NULL_MOD != 0,
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+    )
+    desc = F.when(F.col("p_partkey") % DESC_NULL_MOD != 7, F.col("p_name"))
+    staged = part.select(
+        pn.alias("partNumber_airgas_text"),
+        mfr.alias("manufacturerPartNumber_text"),
+        desc.alias("shortDescription_airgas_text"),
+        F.round(F.col("p_retailprice"), 2).cast("string").alias("onlinePrice_string"),
+        F.when(
+            F.col("p_partkey") % IMG_NULL_MOD != 3,
+            F.concat(F.lit("/images/"), pn, F.lit(".jpg")),
+        ).alias("img_270Wx270H_string"),
+    )
+    return staged.select(
+        F.col("partNumber_airgas_text").alias("_id"),
+        "partNumber_airgas_text",
+        "manufacturerPartNumber_text",
+        "shortDescription_airgas_text",
+        "onlinePrice_string",
+        "img_270Wx270H_string",
+        F.col("shortDescription_airgas_text").alias("dense_text"),
+        F.concat_ws(
+            " ",
+            F.col("shortDescription_airgas_text"),
+            F.col("partNumber_airgas_text"),
+            F.col("manufacturerPartNumber_text"),
+        ).alias("sparse_text"),
+        P.md5_long(F.col("partNumber_airgas_text"), "id").alias("id"),
+    )
+
+
+PRODUCTS_CTE = f"""
+products_stage AS (
+    SELECT
+        upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0')
+            AS partNumber_airgas_text,
+        CASE WHEN p_partkey % {MFR_NULL_MOD} <> 0
+             THEN lpad(p_partkey::VARCHAR, 7, '0') END
+            AS manufacturerPartNumber_text,
+        CASE WHEN p_partkey % {DESC_NULL_MOD} <> 7 THEN p_name END
+            AS shortDescription_airgas_text,
+        round(p_retailprice, 2)::VARCHAR AS onlinePrice_string,
+        CASE WHEN p_partkey % {IMG_NULL_MOD} <> 3
+             THEN '/images/' || upper(replace(p_brand, '#', ''))
+                  || lpad(p_partkey::VARCHAR, 7, '0') || '.jpg' END
+            AS img_270Wx270H_string
+    FROM part
+),
+products AS (
+    SELECT
+        partNumber_airgas_text AS _id,
+        partNumber_airgas_text,
+        manufacturerPartNumber_text,
+        shortDescription_airgas_text,
+        onlinePrice_string,
+        img_270Wx270H_string,
+        shortDescription_airgas_text AS dense_text,
+        concat_ws(' ', shortDescription_airgas_text,
+                  partNumber_airgas_text, manufacturerPartNumber_text)
+            AS sparse_text,
+        {P.md5_long_sql('partNumber_airgas_text', 'id')} AS id
+    FROM products_stage
+)
+""".strip()

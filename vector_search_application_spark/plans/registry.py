@@ -1,0 +1,502 @@
+"""The declared-query registry: every entry pairs a Spark DataFrame
+builder with the DuckDB oracle SQL computing the identical result.
+
+This is the driver contract surface (__spark_entry__.py): queries() and
+oracle_sql() are both views over REGISTRY. Parity rules are documented
+in functions/portable.py; SURVEY.md §2 operator ids are cited per entry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from ..operators import bm25, exact, fusion, topk
+from . import corpus, sqlfrag
+from .constants import (
+    BRANCH_INFLATION,
+    K,
+    LINEAR_ALPHA,
+    POSTFILTER_INFLATION,
+    QUERY_TEXT,
+    QUERY_VEC_ID,
+    RRF_RANK_K,
+    SCORE_THRESHOLD,
+)
+
+
+@dataclass
+class Declared:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # None -> driver records weaker rows-only check
+    survey_ids: str = ""
+
+
+REGISTRY: list[Declared] = []
+
+
+def declare(name: str, sql: Optional[str], survey_ids: str = ""):
+    def deco(fn):
+        REGISTRY.append(Declared(name, fn, sql, survey_ids))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# V1 — dense top-k (exact brute-force oracle semantics)
+# ---------------------------------------------------------------------------
+
+_DENSE_CTES = sqlfrag.dense_scored_cte(corpus.query_vector_cte(QUERY_VEC_ID))
+
+
+@declare(
+    "dense_topk",
+    f"""
+WITH {_DENSE_CTES}
+SELECT id AS vec_id, score
+FROM dense_scored
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="V1,K1,K3",
+)
+def q_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return topk.topk(topk.score_against_query(vecs, q), K)
+
+
+@declare(
+    "dense_topk_batch",
+    f"""
+WITH qs AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id < 5
+),
+scored AS (
+    SELECT qs.query_id, e.vec_id,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'qs.qvec'))} AS score
+    FROM embeddings e CROSS JOIN qs
+),
+ranked AS (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT query_id, vec_id, score FROM ranked WHERE rn <= {K}
+""",
+    survey_ids="V1,K2",
+)
+def q_dense_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-of-queries dense top-k: broadcast the query set, one window.
+
+    The 100 TB shape: corpus partitions never move; the small query side
+    is broadcast and per-query ranking is a partial top-k per partition
+    (window after AQE-coalesced exchange on query_id).
+    """
+    vecs = corpus.vectors(spark, sf_dir)
+    qs = (
+        vecs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    scored = vecs.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        P.rounded(P.cosine(F.col("embedding"), F.col("qvec"))).alias("score"),
+    )
+    return topk.topk_per_group(scored, "query_id", K)
+
+
+@declare(
+    "dense_threshold",
+    f"""
+WITH {_DENSE_CTES}
+SELECT id AS vec_id, score
+FROM dense_scored
+WHERE score >= {SCORE_THRESHOLD}
+ORDER BY score DESC, id ASC
+LIMIT {K * 10}
+""",
+    survey_ids="V1,Q3",
+)
+def q_dense_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    scored = topk.threshold(topk.score_against_query(vecs, q), SCORE_THRESHOLD)
+    return topk.topk(scored, K * 10)
+
+
+@declare(
+    "dense_postfilter",
+    f"""
+WITH q AS {corpus.query_vector_cte(QUERY_VEC_ID)},
+scored AS (
+    SELECT e.vec_id, e.label,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+    FROM embeddings e CROSS JOIN q
+),
+inflated AS (
+    SELECT * FROM scored ORDER BY score DESC, vec_id ASC
+    LIMIT {K * POSTFILTER_INFLATION}
+)
+SELECT vec_id, label, score FROM inflated
+WHERE label = 1
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+    survey_ids="Q2,K2",
+)
+def q_dense_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 post-hoc equality filter with 3x k-inflation — may legitimately
+    return fewer than k rows (reference row-count semantics)."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    scored = topk.score_against_query(vecs, q, extra_cols=["label"])
+    return topk.postfilter_topk(
+        scored.select("vec_id", "label", "score"), F.col("label") == 1, K
+    )
+
+
+# ---------------------------------------------------------------------------
+# V2 — BM25 sparse top-k
+# ---------------------------------------------------------------------------
+
+_BM25_CTES = (
+    sqlfrag.postings_ctes("documents", "doc_id", "text")
+    + ",\n"
+    + sqlfrag.qterms_cte_literal(QUERY_TEXT)
+    + ",\n"
+    + sqlfrag.bm25_scored_cte()
+)
+
+
+@declare(
+    "bm25_topk",
+    f"""
+WITH {_BM25_CTES}
+SELECT id, score FROM bm25_scored
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="E2,E4,V2",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.bm25_topk(corpus.docs(spark, sf_dir), QUERY_TEXT, K)
+
+
+# ---------------------------------------------------------------------------
+# V3/F1 — hybrid dense+sparse with RRF; F2 — linear fusion
+# ---------------------------------------------------------------------------
+
+_HYBRID_CTES = (
+    sqlfrag.postings_ctes("documents", "doc_id", "text")
+    + ",\n"
+    + sqlfrag.qterms_cte_literal(QUERY_TEXT)
+    + ",\n"
+    + sqlfrag.bm25_scored_cte()
+    + ",\n"
+    + sqlfrag.dense_scored_cte(
+        corpus.query_vector_cte(QUERY_VEC_ID), "embeddings", "vec_id", "embedding"
+    )
+    + ",\n"
+    + sqlfrag.ranked_branch_cte("dense", "dense_scored", K * BRANCH_INFLATION)
+    + ",\n"
+    + sqlfrag.ranked_branch_cte("sparse", "bm25_scored", K * BRANCH_INFLATION)
+)
+
+
+def _hybrid_branches(spark: SparkSession, sf_dir: str):
+    """Dense branch over embeddings + sparse branch over documents,
+    joined on doc_id = vec_id (the driver testdata's shared key)."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    dense = topk.topk(
+        topk.score_against_query(vecs, q), K * BRANCH_INFLATION
+    ).select(F.col("vec_id").alias("id"), "score")
+    sparse = bm25.bm25_topk(
+        corpus.docs(spark, sf_dir), QUERY_TEXT, K * BRANCH_INFLATION
+    )
+    return dense, sparse
+
+
+@declare(
+    "hybrid_rrf",
+    f"""
+WITH {_HYBRID_CTES},
+unioned AS (
+    SELECT id, 'dense' AS branch, score AS branch_score, rank FROM dense_top
+    UNION ALL
+    SELECT id, 'sparse' AS branch, score AS branch_score, rank FROM sparse_top
+)
+SELECT id,
+       {P.rounded_sql(f'sum(1.0 / ({RRF_RANK_K} + rank))')} AS score,
+       max(CASE WHEN branch = 'dense' THEN branch_score END) AS dense_score,
+       CAST(max(CASE WHEN branch = 'dense' THEN rank END) AS BIGINT) AS dense_rank,
+       max(CASE WHEN branch = 'sparse' THEN branch_score END) AS sparse_score,
+       CAST(max(CASE WHEN branch = 'sparse' THEN rank END) AS BIGINT) AS sparse_rank
+FROM unioned
+GROUP BY id
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="V3,F1",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense, sparse = _hybrid_branches(spark, sf_dir)
+    return fusion.rrf_fuse({"dense": dense, "sparse": sparse}, K, RRF_RANK_K, "id")
+
+
+@declare(
+    "linear_fusion",
+    f"""
+WITH {_HYBRID_CTES},
+unioned AS (
+    SELECT id, 'dense' AS branch, score AS branch_score FROM dense_top
+    UNION ALL
+    SELECT id, 'sparse' AS branch, score AS branch_score FROM sparse_top
+),
+grouped AS (
+    SELECT id,
+           max(CASE WHEN branch = 'dense' THEN branch_score END) AS dense_score,
+           max(CASE WHEN branch = 'sparse' THEN branch_score END) AS sparse_score
+    FROM unioned GROUP BY id
+)
+SELECT id,
+       {P.rounded_sql(
+           f"{LINEAR_ALPHA} * coalesce(dense_score, 0.0)"
+           f" + {1.0 - LINEAR_ALPHA} * coalesce(sparse_score, 0.0)"
+       )} AS score,
+       dense_score, sparse_score
+FROM grouped
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="F2",
+)
+def q_linear_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense, sparse = _hybrid_branches(spark, sf_dir)
+    return fusion.linear_fuse(dense, sparse, K, LINEAR_ALPHA, "id")
+
+
+# ---------------------------------------------------------------------------
+# F4 — score normalization over a result list
+# ---------------------------------------------------------------------------
+
+_NORM_TOP_CTE = f"""
+{_DENSE_CTES},
+top AS (
+    SELECT id AS vec_id, score FROM dense_scored
+    ORDER BY score DESC, id ASC LIMIT {K}
+),
+win AS (
+    SELECT vec_id, score,
+           min(score) OVER () AS mins, max(score) OVER () AS maxs,
+           avg(score) OVER () AS mu, stddev_pop(score) OVER () AS sd
+    FROM top
+)
+""".strip()
+
+
+@declare(
+    "normalize_min_max",
+    f"""
+WITH {_NORM_TOP_CTE}
+SELECT vec_id, score,
+       {P.rounded_sql(
+           "CASE WHEN maxs = mins THEN 1.0"
+           " ELSE (score - mins) / (maxs - mins) END"
+       )} AS norm_score
+FROM win
+""",
+    survey_ids="F4",
+)
+def q_normalize_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = q_dense_topk(spark, sf_dir)
+    return fusion.normalize_scores(t, "min_max", "vec_id")
+
+
+@declare(
+    "normalize_z_score",
+    f"""
+WITH {_NORM_TOP_CTE}
+SELECT vec_id, score,
+       {P.rounded_sql(
+           "CASE WHEN sd = 0.0 THEN 0.5 ELSE (score - mu) / sd + 0.5 END"
+       )} AS norm_score
+FROM win
+""",
+    survey_ids="F4",
+)
+def q_normalize_z_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = q_dense_topk(spark, sf_dir)
+    return fusion.normalize_scores(t, "z_score", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# T1-T3 — products ingest transform stack (the de-facto payload table)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "ingest_products",
+    f"""
+WITH {corpus.PRODUCTS_CTE}
+SELECT _id AS "_id",
+       partNumber_airgas_text AS "partNumber_airgas_text",
+       manufacturerPartNumber_text AS "manufacturerPartNumber_text",
+       shortDescription_airgas_text AS "shortDescription_airgas_text",
+       onlinePrice_string AS "onlinePrice_string",
+       img_270Wx270H_string AS "img_270Wx270H_string",
+       dense_text AS "dense_text",
+       sparse_text AS "sparse_text",
+       id
+FROM products
+""",
+    survey_ids="T1,T2,T3,S8",
+)
+def q_ingest_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.products(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Q1/F5 — exact-match cascade over products
+# ---------------------------------------------------------------------------
+
+_CASCADE_QS_CTE = """
+qs AS (
+    SELECT upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0') AS q
+    FROM part WHERE p_partkey = 123
+)
+""".strip()
+
+
+def _cascade_sql(query_cte: str) -> str:
+    return f"""
+WITH {corpus.PRODUCTS_CTE},
+{query_cte},
+prim AS (
+    SELECT id, 1.0::DOUBLE AS score,
+           'partNumber_airgas_text' AS matched_field
+    FROM products, qs
+    WHERE partNumber_airgas_text = upper(trim(qs.q))
+    ORDER BY id ASC LIMIT 10
+),
+sec AS (
+    SELECT id, 0.9::DOUBLE AS score,
+           'manufacturerPartNumber_text' AS matched_field
+    FROM products, qs
+    WHERE manufacturerPartNumber_text = upper(trim(qs.q))
+    ORDER BY id ASC LIMIT 10
+)
+SELECT * FROM prim
+UNION ALL
+SELECT * FROM sec WHERE (SELECT count(*) FROM prim) = 0
+"""
+
+
+def _part_number_literal(spark: SparkSession, sf_dir: str, partkey: int) -> str:
+    row = (
+        corpus._read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") == partkey)
+        .select("p_brand")
+        .first()
+    )
+    return row.p_brand.replace("#", "").upper() + str(partkey).zfill(7)
+
+
+@declare("exact_cascade_primary", _cascade_sql(_CASCADE_QS_CTE), survey_ids="Q1,F5,C2")
+def q_exact_cascade_primary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prods = corpus.products(spark, sf_dir)
+    query = _part_number_literal(spark, sf_dir, 123)
+    return exact.exact_cascade(
+        prods, query, "partNumber_airgas_text", "manufacturerPartNumber_text"
+    )
+
+
+@declare(
+    "exact_cascade_secondary",
+    _cascade_sql("qs AS (SELECT '0000456' AS q)"),
+    survey_ids="Q1,F5",
+)
+def q_exact_cascade_secondary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary field misses ('0000456' is a mfr number, not a part
+    number) -> cascade falls through to the secondary field at 0.9."""
+    prods = corpus.products(spark, sf_dir)
+    return exact.exact_cascade(
+        prods, "0000456", "partNumber_airgas_text", "manufacturerPartNumber_text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4/F3 — fusion search: exact cascade + ranked branch, max-score dedup
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "fusion_max_dedup",
+    f"""
+WITH {corpus.PRODUCTS_CTE},
+{sqlfrag.postings_ctes('products', 'id', 'sparse_text')},
+qt AS (
+    SELECT DISTINCT unnest({P.tokens_sql('p_name')}) AS term
+    FROM part WHERE p_partkey = 123
+),
+{sqlfrag.bm25_scored_cte()},
+{sqlfrag.ranked_branch_cte('vec', 'bm25_scored', K * BRANCH_INFLATION)},
+{_CASCADE_QS_CTE},
+exact_br AS (
+    SELECT id, 1.0::DOUBLE AS score, 'exact' AS search_type
+    FROM products, qs
+    WHERE partNumber_airgas_text = upper(trim(qs.q))
+    ORDER BY id ASC LIMIT 10
+),
+unioned AS (
+    SELECT id, score, search_type FROM exact_br
+    UNION ALL
+    SELECT id, score, 'vector' AS search_type FROM vec_top
+),
+grouped AS (
+    SELECT id, max(score) AS score,
+           max(CASE WHEN search_type = 'exact' THEN 1 END) IS NOT NULL AS has_e,
+           max(CASE WHEN search_type = 'vector' THEN 1 END) IS NOT NULL AS has_v
+    FROM unioned GROUP BY id
+)
+SELECT id, score,
+       concat_ws('+', CASE WHEN has_e THEN 'exact' END,
+                      CASE WHEN has_v THEN 'vector' END) AS search_type
+FROM grouped
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="V4,F3",
+)
+def q_fusion_max_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prods = corpus.products(spark, sf_dir)
+    query = _part_number_literal(spark, sf_dir, 123)
+    exact_br = (
+        prods.filter(F.col("partNumber_airgas_text") == exact.clean_query(query))
+        .orderBy(F.asc("id"))
+        .limit(10)
+        .select("id", F.lit(1.0).alias("score"), F.lit("exact").alias("search_type"))
+    )
+    qterms = (
+        corpus._read(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") == 123)
+        .select(F.explode(F.array_distinct(P.tokens(F.col("p_name")))).alias("term"))
+    )
+    postings = bm25.build_postings(prods, id_col="id", text_col="sparse_text")
+    vec_br = topk.topk(
+        bm25.bm25_score_terms(postings, qterms), K * BRANCH_INFLATION, id_col="id"
+    ).select("id", "score", F.lit("vector").alias("search_type"))
+    return fusion.max_dedup_fuse(exact_br, vec_br, K, "id")
+
+
+def names() -> list[str]:
+    return [d.name for d in REGISTRY]

@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N]; the same configs are the ones we would
+ship on a 1000-executor cluster: AQE on (runtime re-planning, skew-join
+splitting, partition coalescing), Arrow enabled for the pandas stages,
+and shuffle partitions sized explicitly rather than left at the 200
+default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vector-search-application-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    # Python workers hang resolving a non-loopback hostname in this
+    # environment; pin everything to 127.0.0.1.
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one of the driver-generated parquet tables."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
