@@ -1,0 +1,121 @@
+"""Mutation & versioning operators (SURVEY.md §2.9 M1-M9, §2.2 T4,
+§2.1 S5).
+
+The reference mutates a Qdrant collection point-by-point with scroll
+loops (reference app/core/database.py:140-226,
+app/services/version_service.py:49-239). Spark-first, every mutation is
+a set operation producing a new table snapshot:
+
+  upsert (M1)        new UNION (old ANTI-JOIN new on key)
+  delete (M2)        old ANTI-JOIN ids
+  cleanup_old (M3)   old ANTI-JOIN new  -> the rows to delete; the
+                     surviving table is old SEMI-JOIN new
+  delta detect (T4)  content-hash equality join: insert/update/delete
+                     classification in ONE full-outer join pass
+  versioning (M4-M7) version = row_number over (key ORDER BY event
+                     time); current = last per key; history = the rest
+
+Scale shape: all of these are key-partitioned joins — at 100 TB both
+sides hash-partition on the key once and stream; with Delta/Iceberg the
+same plans become MERGE INTO / WHEN NOT MATCHED BY SOURCE DELETE, but
+nothing here requires a table format. The content hash makes delta
+imports shuffle only the changed slice downstream (embedding, indexing
+— the expensive stages — see sources/delta_import).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_hash(cols: list[str]) -> Column:
+    """T4/C5: sha256 over a fixed field order (the reference hashes
+    key-sorted JSON, app/services/document_service.py:328-332; we hash
+    a '|'-joined canonical projection — same change-detection power,
+    engine/oracle portable)."""
+    return F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]), 256)
+
+
+def upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """M1: MERGE-equivalent — new rows win, unmatched old rows survive."""
+    surviving_old = old.join(new.select(key), key, "left_anti")
+    return new.unionByName(surviving_old)
+
+
+def delete_ids(df: DataFrame, ids: DataFrame, key: str) -> DataFrame:
+    """M2: delete-by-id-list as an anti join."""
+    return df.join(ids.select(key), key, "left_anti")
+
+
+def cleanup_old(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """M3: rows present in the store but absent from the new load —
+    the reference's scroll-all + set-difference loop collapsed to one
+    anti join (reference app/core/database.py:184-226)."""
+    return old.join(new.select(key), key, "left_anti")
+
+
+def delta_classify(
+    old: DataFrame, new: DataFrame, key: str, hash_cols: list[str]
+) -> DataFrame:
+    """T4/S5: classify every key as insert / update / delete.
+
+    Unchanged rows (hash-equal) are dropped — the reference's delta
+    import skips them (app/services/document_service.py:391-421).
+    One full-outer join on the key; hashes computed map-side.
+    """
+    o = old.select(F.col(key), content_hash(hash_cols).alias("old_hash"))
+    n = new.select(F.col(key), content_hash(hash_cols).alias("new_hash"))
+    joined = o.join(n, key, "full_outer")
+    return joined.select(
+        key,
+        F.when(F.col("old_hash").isNull(), F.lit("insert"))
+        .when(F.col("new_hash").isNull(), F.lit("delete"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("update"))
+        .alias("change_type"),
+    ).filter(F.col("change_type").isNotNull())
+
+
+def with_versions(
+    events: DataFrame, key: str, order_cols: list[str]
+) -> DataFrame:
+    """M4/M5 versioning backbone: version numbers per key in event
+    order (1 = oldest), plus is_current flag for the newest."""
+    asc = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order_cols])
+    versioned = events.withColumn("version", F.row_number().over(asc).cast("bigint"))
+    wmax = Window.partitionBy(key)
+    return versioned.withColumn(
+        "is_current", F.col("version") == F.max("version").over(wmax)
+    )
+
+
+def current_versions(events: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """'Current version' view — the reference's main-collection row
+    (history holds the rest, SURVEY.md §1.2)."""
+    return with_versions(events, key, order_cols).filter(F.col("is_current")).drop(
+        "is_current"
+    )
+
+
+def version_history(
+    events: DataFrame, key: str, order_cols: list[str], n: int
+) -> DataFrame:
+    """M6: per-key history, newest first, limit n."""
+    versioned = with_versions(events, key, order_cols)
+    wdesc = Window.partitionBy(key).orderBy(F.desc("version"))
+    return (
+        versioned.withColumn("__rn", F.row_number().over(wdesc))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn", "is_current")
+    )
+
+
+def get_version(
+    events: DataFrame, key: str, order_cols: list[str], key_value, version: int
+) -> DataFrame:
+    """M7: one specific version of one key (current-or-history lookup)."""
+    return (
+        with_versions(events, key, order_cols)
+        .filter((F.col(key) == F.lit(key_value)) & (F.col("version") == version))
+        .drop("is_current")
+    )

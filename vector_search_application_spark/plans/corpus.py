@@ -35,6 +35,10 @@ IMG_NULL_MOD = 5     # ~20% image null
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
+    # which Spark 4 rejects; read them as BIGINT nanoseconds instead
+    # (the DuckDB oracle side uses epoch_ns(ts) for the same value).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -500,3 +500,8 @@ def q_fusion_max_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def names() -> list[str]:
     return [d.name for d in REGISTRY]
+
+
+# sibling registry modules append to REGISTRY on import (placed at module
+# end so `declare` exists when they load)
+from . import registry_mutations  # noqa: E402,F401
