@@ -1,0 +1,98 @@
+"""Part-number query classifier (SURVEY.md §2.10 C1) as a single
+portable SQL expression.
+
+The reference classifies a search query as "probably a part number"
+with ~15 regex features scored by integers and a threshold of 4
+(reference scripts/partno_classifier.py:34-144). This is an original
+re-design with the same decision power on the golden cases
+(FIXTURES.md §6): additive integer features over regex/length/word
+shape, threshold >= 4. Deterministic -> golden-testable, and identical
+in Spark (Java regex) and DuckDB (RE2) because the patterns stick to
+the common syntax subset (anchors, classes, alternation, \\b, \\d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+KNOWN_PREFIXES = (
+    "RAD|PIP|MIL|LIN|NOR|MSA|ESA|HYP|KOI|WBU|CBR|HOU|BOS|VIC|AMS|E57|NI"
+)
+SEARCH_WORDS = (
+    "gas|torch|welding|safety|equipment|helmet|regulator|valve|gloves|"
+    "how|best|find|page|for|with|the"
+)
+
+THRESHOLD = 4
+
+# (points, patterns-ANDed applied to upper(trim(q)))
+# feature semantics mirror the reference's scoring groups; no lookaheads
+# (RE2 on the DuckDB side doesn't support them) — conjunctions instead
+_FEATURES: list[tuple[int, tuple[str, ...]]] = [
+    (3, (r"^[A-Z0-9/#. -]+$", "[A-Z]", "[0-9]")),       # letter+digit mix
+    (2, (r"^.{5,16}$",)),                               # plausible length
+    (2, (r"[-/#.]",)),                                  # separator chars
+    (3, (rf"^({KNOWN_PREFIXES})[0-9]",)),               # known mfr prefix
+    (1, (r"[0-9]{3,}$",)),                              # trailing digit run
+    (1, (r"^P/?N:? ?.+",)),                             # explicit p/n marker
+]
+_PENALTIES: list[tuple[int, tuple[str, ...]]] = [
+    (-4, (rf"\b({SEARCH_WORDS.upper()})\b",)),          # natural-language words
+    (-2, (r"^[^0-9]*$",)),                              # no digits at all
+    (-3, (r"^[A-Z]{4,} [0-9]{1,3}$",)),                 # word + small number
+]
+_MANY_WORDS_PENALTY = -4                              # >= 4 words
+_SHORT_PENALTY = -1                                   # < 5 chars
+
+
+def _cleaned(q: Column) -> Column:
+    return F.upper(F.trim(q))
+
+
+def partno_score(q: Column) -> Column:
+    """Integer classifier score of a raw query string."""
+    c = _cleaned(q)
+    score = F.lit(0)
+    for pts, pats in _FEATURES + _PENALTIES:
+        cond = c.rlike(pats[0])
+        for pat in pats[1:]:
+            cond = cond & c.rlike(pat)
+        score = score + F.when(cond, F.lit(pts)).otherwise(F.lit(0))
+    n_words = F.size(F.split(F.trim(q), r"\s+"))
+    score = score + F.when(n_words >= 4, F.lit(_MANY_WORDS_PENALTY)).otherwise(
+        F.lit(0)
+    )
+    score = score + F.when(F.length(c) < 5, F.lit(_SHORT_PENALTY)).otherwise(F.lit(0))
+    return score.cast("int")
+
+
+def is_part_number(q: Column) -> Column:
+    return (partno_score(q) >= THRESHOLD).alias("is_part_number")
+
+
+def _sql_cleaned(expr: str) -> str:
+    return f"upper(trim({expr}))"
+
+
+def partno_score_sql(expr: str) -> str:
+    c = _sql_cleaned(expr)
+    terms = []
+    for pts, pats in _FEATURES + _PENALTIES:
+        conds = " AND ".join(
+            f"regexp_matches({c}, '{pat.replace(chr(39), chr(39) * 2)}')"
+            for pat in pats
+        )
+        terms.append(f"CASE WHEN {conds} THEN {pts} ELSE 0 END")
+    terms.append(
+        f"CASE WHEN len(string_split_regex(trim({expr}), '\\s+')) >= 4"
+        f" THEN {_MANY_WORDS_PENALTY} ELSE 0 END"
+    )
+    terms.append(
+        f"CASE WHEN length({c}) < 5 THEN {_SHORT_PENALTY} ELSE 0 END"
+    )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+def is_part_number_sql(expr: str) -> str:
+    return f"({partno_score_sql(expr)} >= {THRESHOLD})"

@@ -439,10 +439,10 @@ def q_exact_cascade_secondary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@declare(
-    "fusion_max_dedup",
-    f"""
-WITH {corpus.PRODUCTS_CTE},
+# CTE block reused by fusion_max_dedup and the V5/V6 projections
+# (registry_scalars): everything up to `fused(id, score, search_type)`.
+FUSION_BLOCK = f"""
+{corpus.PRODUCTS_CTE},
 {sqlfrag.postings_ctes('products', 'id', 'sparse_text')},
 qt AS (
     SELECT DISTINCT unnest({P.tokens_sql('p_name')}) AS term
@@ -467,13 +467,23 @@ grouped AS (
            max(CASE WHEN search_type = 'exact' THEN 1 END) IS NOT NULL AS has_e,
            max(CASE WHEN search_type = 'vector' THEN 1 END) IS NOT NULL AS has_v
     FROM unioned GROUP BY id
+),
+fused AS (
+    SELECT id, score,
+           concat_ws('+', CASE WHEN has_e THEN 'exact' END,
+                          CASE WHEN has_v THEN 'vector' END) AS search_type
+    FROM grouped
+    ORDER BY score DESC, id ASC
+    LIMIT {K}
 )
-SELECT id, score,
-       concat_ws('+', CASE WHEN has_e THEN 'exact' END,
-                      CASE WHEN has_v THEN 'vector' END) AS search_type
-FROM grouped
-ORDER BY score DESC, id ASC
-LIMIT {K}
+""".strip()
+
+
+@declare(
+    "fusion_max_dedup",
+    f"""
+WITH {FUSION_BLOCK}
+SELECT id, score, search_type FROM fused
 """,
     survey_ids="V4,F3",
 )
@@ -505,3 +515,4 @@ def names() -> list[str]:
 # sibling registry modules append to REGISTRY on import (placed at module
 # end so `declare` exists when they load)
 from . import registry_mutations  # noqa: E402,F401
+from . import registry_scalars  # noqa: E402,F401

@@ -1,0 +1,190 @@
+"""Registry entries for scalar functions, projections, and pagination
+(SURVEY.md §2.10 C1-C4, §2.6 V5/V6, §2.5 Q4, §2.11 aggregations)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import classifier, portable as P, scalars
+from ..operators import topk
+from . import corpus
+from .registry import FUSION_BLOCK, declare, q_fusion_max_dedup
+
+# golden classifier cases (FIXTURES.md §6) + corpus-derived strings
+CLASSIFIER_LITERALS = [
+    "HYP220479",
+    "RAD64002019",
+    "MIL11-1101C",
+    "p/n: AB1234",
+    "gas torch",
+    "welding helmet",
+    "how to find best torch",
+    "page 12",
+    "iphone 15",
+    "abc",
+    "torch",
+]
+
+
+@declare(
+    "partno_classifier",
+    f"""
+WITH inputs AS (
+    SELECT unnest([{', '.join("'" + s.replace("'", "''") + "'" for s in CLASSIFIER_LITERALS)}])
+        AS query_text
+    UNION ALL
+    SELECT upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0')
+    FROM part WHERE p_partkey < 10
+    UNION ALL
+    SELECT p_name FROM part WHERE p_partkey < 10
+)
+SELECT query_text,
+       {classifier.partno_score_sql('query_text')} AS score,
+       {classifier.is_part_number_sql('query_text')} AS is_part_number
+FROM inputs
+""",
+    survey_ids="C1,C2",
+)
+def q_partno_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 classifier over golden literals + corpus-derived strings.
+
+    The literal rows are built JVM-side (explode of an array literal,
+    no Python workers — required for the driver's vanilla session)."""
+    lits = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in CLASSIFIER_LITERALS])).alias(
+            "query_text"
+        )
+    )
+    part = corpus._read(spark, sf_dir, "part").filter(F.col("p_partkey") < 10)
+    pn = part.select(
+        F.concat(
+            F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
+            F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+        ).alias("query_text")
+    )
+    names = part.select(F.col("p_name").alias("query_text"))
+    inputs = lits.unionByName(pn).unionByName(names)
+    return inputs.select(
+        "query_text",
+        classifier.partno_score(F.col("query_text")).alias("score"),
+        classifier.is_part_number(F.col("query_text")).alias("is_part_number"),
+    )
+
+
+# --- V5/V6 projections over the fused result list -----------------------
+
+_NORMED_FUSED = f"""
+{FUSION_BLOCK},
+normed AS (
+    SELECT id, score, search_type,
+           {P.rounded_sql(
+               "CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0"
+               " ELSE (score - min(score) OVER ())"
+               " / (max(score) OVER () - min(score) OVER ()) END"
+           )} AS norm_score
+    FROM fused
+)
+""".strip()
+
+
+@declare(
+    "search_details_projection",
+    f"""
+WITH {_NORMED_FUSED}
+SELECT {scalars.normalize_image_url_sql('p.img_270Wx270H_string')} AS image,
+       n.id,
+       p.shortDescription_airgas_text AS text,
+       p.manufacturerPartNumber_text AS "Mfr Code",
+       p.onlinePrice_string AS "Price",
+       round(n.norm_score, 3) AS score,
+       n.search_type,
+       {scalars.score_label_sql('n.norm_score')} AS match_quality
+FROM normed n JOIN products p USING (id)
+""",
+    survey_ids="V5,C3,C4,F4",
+)
+def q_search_details_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V5 search-with-details: fused list -> min-max normalize -> join
+    payload -> UI projection with C3 label + C4 image URL fix.
+
+    The fused list is K rows, so the payload join broadcasts the list
+    side — at 100 TB the products table is never shuffled for a lookup."""
+    fused = q_fusion_max_dedup(spark, sf_dir)
+    w = Window.partitionBy()
+    s = F.col("score")
+    lo, hi = F.min(s).over(w), F.max(s).over(w)
+    normed = fused.withColumn(
+        "norm_score",
+        P.rounded(
+            F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
+        ),
+    )
+    prods = corpus.products(spark, sf_dir)
+    return prods.join(F.broadcast(normed), "id").select(
+        scalars.normalize_image_url(F.col("img_270Wx270H_string")).alias("image"),
+        F.col("id"),
+        F.col("shortDescription_airgas_text").alias("text"),
+        F.col("manufacturerPartNumber_text").alias("Mfr Code"),
+        F.col("onlinePrice_string").alias("Price"),
+        F.round(F.col("norm_score"), 3).alias("score"),
+        F.col("search_type"),
+        scalars.score_label(F.col("norm_score")).alias("match_quality"),
+    )
+
+
+@declare(
+    "search_ids_projection",
+    f"""
+WITH {FUSION_BLOCK}
+SELECT id, score FROM fused
+""",
+    survey_ids="V6",
+)
+def q_search_ids_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 minimal projection: {{id, score}} only."""
+    return q_fusion_max_dedup(spark, sf_dir).select("id", "score")
+
+
+# --- Q4: pagination + counts (and §2.11's visible aggregations) ----------
+
+
+@declare(
+    "scroll_page",
+    """
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY doc_id ASC
+LIMIT 20 OFFSET 40
+""",
+    survey_ids="Q4,K2",
+)
+def q_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return topk.paginate(docs, "doc_id", limit=20, offset=40)
+
+
+@declare(
+    "corpus_counts",
+    """
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(n_chars)::DOUBLE, 6) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+""",
+    survey_ids="Q4,agg",
+)
+def q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        corpus.docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            P.rounded(F.avg("n_chars")).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
