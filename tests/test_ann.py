@@ -1,0 +1,47 @@
+"""ANN paths are approximations: measure recall against the exact
+brute-force operator (never golden-match an approximation, SURVEY.md §7)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_application_spark.operators import ann, topk
+from vector_search_application_spark.plans import corpus
+from vector_search_application_spark.plans.constants import K, QUERY_VEC_ID
+
+
+def _exact_ids(spark, sf_dir, k):
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    rows = topk.topk(topk.score_against_query(vecs, q), k).collect()
+    return {r.vec_id for r in rows}
+
+
+def test_ivf_recall(spark):
+    exact = _exact_ids(spark, SF_SMOKE, K)
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+    ivf = {r.id for r in ann.ivf_topk(vecs, q).collect()}
+    recall = len(ivf & exact) / K
+    assert recall >= 0.5, f"IVF recall@{K} too low: {recall}"
+    assert QUERY_VEC_ID in ivf  # the query vector itself must be found
+
+
+def test_mllib_lsh_recall(spark):
+    exact = _exact_ids(spark, SF_SMOKE, K)
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    model, vec = ann.mllib_lsh_index(vecs)
+    key = vec.filter(F.col("id") == QUERY_VEC_ID).first()["features"]
+    got = {r.id for r in model.approxNearestNeighbors(vec, key, K).collect()}
+    # Euclidean-LSH top-k vs cosine top-k on unnormalized vectors won't
+    # fully agree; require the self-match plus non-trivial overlap.
+    assert QUERY_VEC_ID in got
+    assert len(got & exact) / K >= 0.3, f"LSH overlap too low: {got & exact}"
+
+
+def test_hyperplane_bucket_stability(spark):
+    """Same vector -> same bucket (deterministic hyperplanes)."""
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    b1 = {r.id: r.bucket for r in ann.hyperplane_buckets(vecs).collect()}
+    b2 = {r.id: r.bucket for r in ann.hyperplane_buckets(vecs).collect()}
+    assert b1 == b2
+    assert len(set(b1.values())) > 1  # buckets actually spread

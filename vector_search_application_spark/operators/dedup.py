@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+These extend the reference's surface (it has none of them) with the
+operations a 100 TB corpus pipeline needs; they are first-class
+declared queries with DuckDB oracles (registry_dedup).
+
+Scale shapes:
+  exact      one shuffle on content_hash; map-side combine.
+  minhash    tokens -> shingles -> (doc, perm) min-agg -> band-key
+             join. The candidate join is on (band, band_key) — a
+             high-selectivity key — so the shuffle moves signature
+             rows (docs x bands), never documents. Verification
+             (true Jaccard) runs only on candidate pairs.
+  simhash    4 bands of 4 bits; hamming<=3 pairs are GUARANTEED to
+             share at least one unchanged band (pigeonhole), so the
+             band equi-join is exact, not approximate, for that radius.
+  jaccard    shingle-inverted-index join with rare-shingle blocking.
+
+Portability: the hash everywhere is md5 (identical hex in Spark and
+DuckDB); MinHash uses min-over-md5-strings as the permutation (the
+lexicographic min of a uniform hash is a valid minwise sketch).
+DuckDB's lambda index is 1-based, Spark's 0-based — all index math
+normalizes to 1-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from ..plans.constants import (
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    SHINGLE_N,
+    SIMHASH_BITS,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, canonical_id, is_duplicate): canonical = min id per
+    sha256(text) group. One shuffle, keyed by the hash."""
+    hashed = docs.select(
+        F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return hashed.select(
+        "id",
+        F.min("id").over(w).alias("canonical_id"),
+        (F.col("id") != F.min("id").over(w)).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct n-token shingles per doc: (id, sh). Docs shorter than n
+    tokens produce no shingles (dropped, same as the oracle)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    sh = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {n - 1}),"
+                f" i -> concat_ws('_', slice(toks, i, {n})))"
+            )
+        ).alias("sh"),
+    )
+    return sh.distinct()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    sh: DataFrame, n_perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """(id, perm, mh): per-permutation minimum of md5(perm || '_' || sh)."""
+    perms = sh.sparkSession.range(n_perms).select(F.col("id").alias("perm"))
+    joined = sh.crossJoin(F.broadcast(perms))
+    return joined.groupBy("id", "perm").agg(
+        F.min(F.md5(F.concat(F.col("perm").cast("string"), F.lit("_"), F.col("sh"))))
+        .alias("mh")
+    )
+
+
+def lsh_band_keys(
+    sigs: DataFrame, rows_per_band: int = MINHASH_PERMS // MINHASH_BANDS
+) -> DataFrame:
+    """(id, band, band_key): md5 over the band's ordered minhashes."""
+    banded = sigs.withColumn("band", F.expr(f"perm DIV {rows_per_band}"))
+    return banded.groupBy("id", "band").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.expr("transform(array_sort(collect_list(struct(perm, mh))), s -> s.mh)"),
+            )
+        ).alias("band_key")
+    )
+
+
+def lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing at least one band bucket."""
+    a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+    """True shingle-set Jaccard for each candidate pair (the
+    verification stage after LSH blocking)."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    inter = (
+        candidates.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(F.col("sh") == F.col("sh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            P.rounded(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with Jaccard >= threshold."""
+    sh = shingles(docs, id_col, text_col)
+    cands = lsh_candidates(lsh_band_keys(minhash_signatures(sh)))
+    verified = jaccard_verify(cands, sh)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over distinct n-gram shingles.
+
+    Shingles (not unigrams) are the features: on small-vocabulary
+    corpora unigram token sets are near-identical across unrelated
+    docs, collapsing the hash space; the n-gram space keeps unrelated
+    docs far apart. Feature weight vector = bits of md5's first 8 hex
+    digits; bit b is set when the summed +/-1 contributions are > 0.
+    """
+    feats = shingles(docs, id_col, text_col)
+    hashed = feats.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint").alias("h"),
+    )
+    bit_rows = docs.sparkSession.range(bits).select(F.col("id").cast("int").alias("b"))
+    contrib = hashed.crossJoin(F.broadcast(bit_rows)).select(
+        "id",
+        "b",
+        (F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("c"),
+    )
+    per_bit = contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS, n_bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs within the hamming radius.
+
+    Band join is exact for max_hamming < n_bands (pigeonhole: some
+    band is untouched), so no recall loss at radius 3 with 4 bands.
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sims.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    exploded = sims.crossJoin(F.broadcast(bands)).select(
+        "id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}").alias("band_val"),
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sim_b"), "band", "band_val"
+    )
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(bit_count(sim_a ^ sim_b) AS INTEGER)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

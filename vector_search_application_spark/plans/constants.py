@@ -50,7 +50,7 @@ ROUND_DIGITS = 6
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4          # 4 rows per band
 SHINGLE_N = 3              # token shingles
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 NEARDUP_COSINE_THRESHOLD = 0.95
 JACCARD_THRESHOLD = 0.5
 LSH_PLANES = 8             # hyperplane LSH for embedding near-dup blocking

@@ -516,3 +516,4 @@ def names() -> list[str]:
 # end so `declare` exists when they load)
 from . import registry_mutations  # noqa: E402,F401
 from . import registry_scalars  # noqa: E402,F401
+from . import registry_dedup  # noqa: E402,F401

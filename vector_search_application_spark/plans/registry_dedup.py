@@ -1,0 +1,315 @@
+"""Registry entries for the dedup / similarity-search family — the
+LLM-training-data-pipeline operators beyond the reference's own surface
+(exact dedup, MinHash-LSH, SimHash, embedding near-dup, IVF ANN).
+
+Duplicate-bearing corpora are synthesized deterministically in BOTH
+engines: near-dup copies (text + ' updated') of doc_id%10==0 under
++10M ids, exact copies of doc_id%10==5 under +20M ids; perturbed
+embedding copies (first component x1.1) of vec_id%10==0 under +10M.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from ..operators import ann, dedup
+from . import corpus
+from .constants import (
+    IVF_PROBES,
+    JACCARD_THRESHOLD,
+    K,
+    MINHASH_PERMS,
+    NEARDUP_COSINE_THRESHOLD,
+    QUERY_VEC_ID,
+    SHINGLE_N,
+    SIMHASH_BITS,
+)
+from .registry import declare
+
+NEAR_OFFSET = 10_000_000
+EXACT_OFFSET = 20_000_000
+
+DDOCS_CTE = f"""
+ddocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {NEAR_OFFSET}, text || ' updated'
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET}, text
+    FROM documents WHERE doc_id % 10 = 5
+)
+""".strip()
+
+
+def dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+@declare(
+    "dedup_exact",
+    f"""
+WITH {DDOCS_CTE},
+hashed AS (SELECT doc_id AS id, sha256(text) AS h FROM ddocs)
+SELECT id,
+       min(id) OVER (PARTITION BY h) AS canonical_id,
+       id <> min(id) OVER (PARTITION BY h) AS is_duplicate
+FROM hashed
+""",
+    survey_ids="dedup-exact",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(dedup_docs(spark, sf_dir), "doc_id", "text")
+
+
+_SHINGLE_SQL = f"""
+shing AS (
+    SELECT DISTINCT id, sh FROM (
+        SELECT doc_id AS id,
+               unnest(list_transform(
+                   range(1, len(toks) - {SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), '_')
+               )) AS sh
+        FROM (SELECT doc_id, {P.tokens_sql('text')} AS toks FROM ddocs)
+        WHERE len(toks) >= {SHINGLE_N}
+    )
+)
+""".strip()
+
+
+@declare(
+    "dedup_minhash_lsh",
+    f"""
+WITH {DDOCS_CTE},
+{_SHINGLE_SQL},
+mh AS (
+    SELECT id, perm, min(md5(perm::VARCHAR || '_' || sh)) AS mh
+    FROM shing CROSS JOIN (SELECT unnest(range(0, {MINHASH_PERMS})) AS perm)
+    GROUP BY id, perm
+),
+bands AS (
+    SELECT id, perm // 4 AS band,
+           md5(string_agg(mh, ',' ORDER BY perm)) AS band_key
+    FROM mh GROUP BY id, perm // 4
+),
+cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b USING (band, band_key)
+    WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM shing GROUP BY id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
+    FROM cands c
+    JOIN shing sa ON sa.id = c.id_a
+    JOIN shing sb ON sb.id = c.id_b AND sa.sh = sb.sh
+    GROUP BY c.id_a, c.id_b
+),
+verified AS (
+    SELECT i.id_a, i.id_b,
+           {P.rounded_sql('i.n_inter::DOUBLE / (na.n + nb.n - i.n_inter)::DOUBLE')}
+               AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.id = i.id_a
+    JOIN sizes nb ON nb.id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+    survey_ids="dedup-minhash,dedup-ngram-jaccard",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        dedup_docs(spark, sf_dir), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+_SIMS_SQL = f"""
+{_SHINGLE_SQL},
+dhashed AS (
+    SELECT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing
+),
+contrib AS (
+    SELECT id, b, ((h >> b) & 1) * 2 - 1 AS c
+    FROM dhashed CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b)
+),
+perbit AS (SELECT id, b, CAST(sum(c) AS BIGINT) AS s FROM contrib GROUP BY id, b),
+sims AS (
+    SELECT id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM perbit GROUP BY id
+)
+""".strip()
+
+
+@declare(
+    "dedup_simhash",
+    f"""
+WITH {DDOCS_CTE},
+{_SIMS_SQL},
+banded AS (
+    SELECT id, simhash, band,
+           (simhash >> (band * 8)) & 255 AS band_val
+    FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+),
+pairs AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           a.simhash AS sim_a, b.simhash AS sim_b
+    FROM banded a JOIN banded b USING (band, band_val)
+    WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(sim_a, sim_b)) <= 3
+""",
+    survey_ids="dedup-simhash",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = dedup.simhash(dedup_docs(spark, sf_dir), "doc_id", "text")
+    return dedup.simhash_pairs(sims, max_hamming=3)
+
+
+# --- embedding near-dup via deterministic hyperplane LSH -----------------
+
+DVECS_CTE = f"""
+dvecs AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + {NEAR_OFFSET},
+           list_transform(embedding,
+               (x, i) -> CASE WHEN i = 1 THEN CAST(x * 1.1 AS FLOAT) ELSE x END)
+    FROM embeddings WHERE vec_id % 10 = 0
+)
+""".strip()
+
+
+def dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = corpus.vectors(spark, sf_dir).select("vec_id", "embedding")
+    # Spark's transform() lambda index is 0-based (DuckDB's is 1-based)
+    near = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + NEAR_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " (x, i) -> CASE WHEN i = 0 THEN CAST(x * 1.1 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+    )
+    return vecs.unionByName(near)
+
+
+@declare(
+    "embedding_neardup",
+    f"""
+WITH {DVECS_CTE},
+pw AS (
+    SELECT plane, d,
+           ('0x' || substr(md5(plane::VARCHAR || '_' || d::VARCHAR), 1, 4))::INT::DOUBLE
+               - 32767.5 AS w
+    FROM (SELECT unnest(range(0, 8)) AS plane)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+),
+comps AS (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+           unnest(embedding)::DOUBLE AS x
+    FROM dvecs
+),
+dots AS (
+    SELECT id, plane, sum(x * w) AS dot
+    FROM comps JOIN pw USING (d) GROUP BY id, plane
+),
+buckets AS (
+    SELECT id,
+           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+               AS bucket
+    FROM dots GROUP BY id
+),
+wb AS (
+    SELECT v.vec_id AS id, v.embedding AS v, b.bucket
+    FROM dvecs v JOIN buckets b ON b.id = v.vec_id
+),
+pairs AS (
+    SELECT a.id AS id_a, a.v AS va, b2.id AS id_b, b2.v AS vb
+    FROM wb a JOIN wb b2 USING (bucket)
+    WHERE a.id < b2.id
+),
+scored AS (
+    SELECT id_a, id_b, {P.rounded_sql(P.cosine_sql('va', 'vb'))} AS cosine
+    FROM pairs
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
+""",
+    survey_ids="dedup-embedding,ann-lsh",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.lsh_neardup_pairs(
+        dedup_vectors(spark, sf_dir), NEARDUP_COSINE_THRESHOLD
+    )
+
+
+@declare(
+    "ivf_topk",
+    f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+    SELECT id, centroid_id AS cell FROM (
+        SELECT e.vec_id AS id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('e.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qcells AS (
+    SELECT centroid_id AS cell FROM (
+        SELECT c.centroid_id,
+               {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} AS cscore
+        FROM cents c CROSS JOIN q
+    )
+    ORDER BY cscore DESC, centroid_id ASC
+    LIMIT {IVF_PROBES}
+),
+probed AS (
+    SELECT e.vec_id AS id, e.embedding
+    FROM embeddings e
+    JOIN assigned a ON a.id = e.vec_id
+    JOIN qcells qc ON qc.cell = a.cell
+)
+SELECT id, {P.rounded_sql(P.cosine_sql('p.embedding', 'q.qvec'))} AS score
+FROM probed p CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="I1,ann-ivf",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.ivf_topk(vecs, q)
+
+
+@declare(
+    "mllib_lsh_topk",
+    None,  # MLlib internals not oracle-replicable: rows-only check;
+    # recall vs the exact operator is asserted in tests/test_ann.py
+    survey_ids="I1,ann-mllib",
+)
+def q_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = corpus.vectors(spark, sf_dir)
+    model, vec = ann.mllib_lsh_index(vecs)
+    key = vec.filter(F.col("id") == QUERY_VEC_ID).first()["features"]
+    res = model.approxNearestNeighbors(vec, key, K)
+    return res.select("id", P.rounded(F.col("distCol")).alias("distance"))
