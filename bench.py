@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Includes the BASELINE.md comparison point: a 1000-query dense top-10
+batch (amortized per-query time must beat 2x the reference's 40 ms
+per-query claim => >= 12.5 q/s aggregate). That number is reported as
+"dense_batch_1000" (seconds for the whole batch) plus derived
+"qps_dense_batch_1000" at the top level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from vector_search_application_spark.session import get_spark
+from vector_search_application_spark.operators import topk as topk_ops
+from vector_search_application_spark.plans import corpus
+from vector_search_application_spark.plans.registry import REGISTRY
+
+# Headline subset: one per operator family (full registry correctness is
+# the driver's CORRECTNESS gate; bench measures the hot paths).
+HEADLINE = [
+    "dense_topk",            # V1 exact brute-force cosine top-k
+    "dense_topk_batch",      # V1 batched (broadcast queries, one window)
+    "bm25_topk",             # V2 sparse posting-join scorer
+    "hybrid_rrf",            # V3+F1 dense+sparse RRF fusion
+    "fusion_max_dedup",      # V4+F3 exact+vector max-score dedup
+    "exact_cascade_primary", # Q1/F5 payload exact-match cascade
+    "linear_fusion",         # F2 alpha fusion
+    "ingest_products",       # S1/T1-T3 ingest transform stack
+    "upsert_merge",          # M1 merge semantics
+    "dedup_exact",           # exact dedup (hash groupBy)
+    "dedup_minhash_lsh",     # MinHash+LSH near-dup
+    "embedding_neardup",     # embedding-cosine near-dup self-join
+    "ivf_topk",              # IVF-pruned ANN (scale path)
+    "text_quality",          # text-analysis scoring
+    "doc_fingerprint",       # rolling-hash fingerprint
+]
+
+N_BATCH_QUERIES = 1000
+BATCH_K = 10
+
+
+def _force(df) -> int:
+    """Execute the plan fully; small results are collected, large ones
+    counted (count still scans + aggregates every partition)."""
+    rows = df.collect()
+    return len(rows)
+
+
+def bench_dense_batch(spark, sf_dir: str) -> float:
+    """1000-query dense top-10 batch: corpus stays partitioned, the
+    query set (small side) is broadcast, one window ranks per query.
+    This is the amortized-throughput comparison vs BASELINE.md."""
+    vecs = corpus.vectors(spark, sf_dir)
+    queries = (
+        vecs.orderBy("vec_id")
+        .limit(N_BATCH_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    scored = topk_ops.score_pairs(
+        vecs,
+        queries,
+        query_keep=["query_id"],
+        corpus_partitions=spark.sparkContext.defaultParallelism,
+    ).select("query_id", "vec_id", "score")
+    result = topk_ops.topk_per_group(scored, "query_id", k=BATCH_K)
+    t0 = time.perf_counter()
+    n = result.count()
+    dt = time.perf_counter() - t0
+    assert n == 0 or n >= BATCH_K  # sanity: got rows per query
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+
+    # Warm the session (JVM/codegen) without touching the timed plans.
+    spark.range(1000).agg(F.sum("id")).collect()
+
+    by_name = {d.name: d.spark for d in REGISTRY}
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = by_name.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    batch_sec = bench_dense_batch(spark, sf_dir)
+    timings["dense_batch_1000"] = round(batch_sec, 3)
+    qps = N_BATCH_QUERIES / batch_sec if batch_sec > 0 else float("inf")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "qps_dense_batch_1000": round(qps, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -92,16 +92,17 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cosine) for same-bucket pairs above the cosine
     threshold — embedding near-duplicate detection."""
+    # persist the bucketed table: it is the LSH index, and both join
+    # sides read it (without persistence the hyperplane-projection
+    # aggregation pipeline runs twice)
     buckets = hyperplane_buckets(vectors, id_col, vec_col)
-    with_b = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).join(buckets, "id")
-    a = with_b.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket"
+    with_b = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(buckets, "id")
+        .persist()
     )
-    b = with_b.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket"
-    )
+    a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a", "id_b", P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine")
@@ -149,7 +150,9 @@ def ivf_topk(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
         )
     )
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    # the assignment IS the IVF index build — persist it (at scale this
+    # is the stored table's partitioning column, written once)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).persist()
     qcells = (
         centroids.crossJoin(F.broadcast(query))
         .select(

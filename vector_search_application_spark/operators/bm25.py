@@ -35,15 +35,27 @@ from ..plans.constants import BM25_B, BM25_K1, K
 
 
 def build_postings(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    persist: bool = True,
 ) -> DataFrame:
-    """(id, term, tf, doc_len) posting list from a text corpus."""
+    """(id, term, tf, doc_len) posting list from a text corpus.
+
+    Persisted by default: this IS the index build (reference I3 sparse
+    index, scripts/indexing.py:349-356). One scoring plan references the
+    postings three times (corpus stats, doc frequency, term probe);
+    without persistence the tokenize+aggregate pipeline runs 3x.
+    Spark's CacheManager dedupes by canonicalized plan, so repeated
+    build calls over the same corpus share one materialization.
+    """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(P.tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     doc_len = tf.groupBy("id").agg(F.sum("tf").alias("doc_len"))
-    return tf.join(doc_len, "id")
+    out = tf.join(doc_len, "id")
+    return out.persist() if persist else out
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:

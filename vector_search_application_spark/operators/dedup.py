@@ -150,8 +150,16 @@ def minhash_dedup_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with Jaccard >= threshold."""
-    sh = shingles(docs, id_col, text_col)
-    cands = lsh_candidates(lsh_band_keys(minhash_signatures(sh)))
+    # shingles feed four consumers (signatures, intersection x2, sizes);
+    # persist = compute the shingle index once
+    sh = shingles(docs, id_col, text_col).persist()
+    # the banded signature table IS the LSH index: both sides of the
+    # candidate self-join read it, and the minhash aggregation above it
+    # (|shingles| x n_perms md5s) is the pipeline's dominant cost —
+    # persist so it is computed exactly once (at scale this table is
+    # what you'd write out, partitioned by (band, band_key))
+    bands = lsh_band_keys(minhash_signatures(sh)).persist()
+    cands = lsh_candidates(bands)
     verified = jaccard_verify(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -23,7 +23,85 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..plans.constants import K, POSTFILTER_INFLATION, ROUND_DIGITS
+from ..plans.constants import EMB_DIM, K, POSTFILTER_INFLATION, ROUND_DIGITS
+
+
+def flat_with_norm(
+    df: DataFrame,
+    vec_col: str,
+    prefix: str,
+    keep: list[str],
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Project a vector column into ``dim`` scalar double columns plus a
+    precomputed L2 norm.
+
+    Why: cosine scoring after a BroadcastNestedLoopJoin runs outside
+    whole-stage codegen, where per-pair element_at-on-array costs ~5x a
+    plain field read, and computing norms per PAIR costs 2 extra dots.
+    Flattening once per INPUT row makes the per-pair work a single
+    multiply-add chain over scalar fields — measured ~8x faster on the
+    batch path. Arithmetic is bit-identical (same element_at casts,
+    same left-associated double accumulation), so oracle hashes don't
+    move.
+    """
+    v = F.col(vec_col)
+    return df.select(
+        *[F.col(c) for c in keep],
+        P.norm_unrolled(v, dim).alias(f"{prefix}norm"),
+        *[
+            F.element_at(v, i).cast("double").alias(f"{prefix}{i}")
+            for i in range(1, dim + 1)
+        ],
+    )
+
+
+def _flat_cosine(pa: str, pb: str, dim: int) -> "F.Column":
+    s = F.col(f"{pa}1") * F.col(f"{pb}1")
+    for i in range(2, dim + 1):
+        s = s + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
+    denom = F.col(f"{pa}norm") * F.col(f"{pb}norm")
+    return F.when(denom > F.lit(0.0), s / denom).otherwise(F.lit(0.0))
+
+
+def score_pairs(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qvec",
+    query_keep: list[str] | None = None,
+    extra_cols: list[str] | None = None,
+    dim: int = EMB_DIM,
+    corpus_partitions: int | None = None,
+) -> DataFrame:
+    """Cosine-score every (corpus row, query row) pair.
+
+    The query side (small) is broadcast; the corpus never shuffles, so
+    the plan is scan -> flatten-project -> BroadcastNestedLoopJoin ->
+    score-project regardless of corpus size — the 100 TB shape. Output:
+    id_col, *extra_cols, *query_keep, score.
+
+    corpus_partitions: at 100 TB the scan is already thousands of
+    splits — leave None (no shuffle). On a SMALL corpus in one parquet
+    file the scan is a single partition and pair scoring serializes on
+    one core; set this to the cluster parallelism to fan out first
+    (tiny round-robin shuffle, then embarrassingly parallel compute).
+    """
+    if corpus_partitions:
+        vectors = vectors.repartition(corpus_partitions)
+    lhs = flat_with_norm(
+        vectors, vec_col, "__a", [id_col] + list(extra_cols or []), dim
+    )
+    rhs = flat_with_norm(queries, query_vec_col, "__b", list(query_keep or []), dim)
+    keep = (
+        [F.col(id_col)]
+        + [F.col(c) for c in (extra_cols or [])]
+        + [F.col(c) for c in (query_keep or [])]
+    )
+    return lhs.crossJoin(F.broadcast(rhs)).select(
+        *keep, P.rounded(_flat_cosine("__a", "__b", dim)).alias("score")
+    )
 
 
 def score_against_query(
@@ -39,6 +117,11 @@ def score_against_query(
     The one-row query side is broadcast (BroadcastNestedLoopJoin over a
     single row — effectively a map-side constant), so the corpus never
     shuffles: the plan is scan -> project -> TakeOrderedAndProject.
+
+    Uses the compact higher-order-function cosine: for a single query
+    the pair count equals the corpus row count, and the flattened
+    codegen plan's fixed cost (wide projects, Janino compile) exceeds
+    its per-pair savings. score_pairs is the many-query scale path.
     """
     cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
     return vectors.crossJoin(F.broadcast(query)).select(

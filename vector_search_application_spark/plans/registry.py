@@ -106,10 +106,8 @@ def q_dense_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     )
-    scored = vecs.crossJoin(F.broadcast(qs)).select(
-        "query_id",
-        "vec_id",
-        P.rounded(P.cosine(F.col("embedding"), F.col("qvec"))).alias("score"),
+    scored = topk.score_pairs(vecs, qs, query_keep=["query_id"]).select(
+        "query_id", "vec_id", "score"
     )
     return topk.topk_per_group(scored, "query_id", K)
 
