@@ -42,6 +42,9 @@ EXACT_SECONDARY_SCORE = 0.9
 
 # deterministic text embedder (FIXTURES.md §2)
 EMBED_DIM_TEXT = 384
+# signed-hash projection width for the oracle-checkable embedder
+# (functions/embedder.py; 64 matches the testdata's dense vector width)
+HASH_EMBED_DIM = 64
 
 # rounding applied to every float output so engine and oracle hash equal
 ROUND_DIGITS = 6
