@@ -1,0 +1,156 @@
+"""Structured Streaming extensions (SURVEY.md §2.14, §7 step 9).
+
+The reference has no streaming; its closest surface is the delta-import
+micro-batch path (S5/T4) and the pickle checkpoint (S7,
+app/services/document_service.py:310-326). Here both become first-class
+Structured Streaming:
+
+  stream_upsert          readStream -> foreachBatch keyed merge ->
+                         parquet table, exactly the reference's
+                         import_delta loop as an incremental pipeline;
+                         Spark's checkpoint dir supersedes the pickle
+                         state file (S7).
+  windowed_event_counts  event-time window + watermark aggregation —
+                         the late-data-tolerant rollup a 100 TB event
+                         pipeline needs.
+
+Both run under Trigger.AvailableNow for deterministic batch-replay
+semantics (process everything present, then stop), which is what makes
+them oracle-checkable: AvailableNow admits no late data, so the
+watermark never drops rows and the result equals the batch aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed aggregation (streaming or batch DataFrame).
+
+    ts_col is BIGINT epoch-nanoseconds (the testdata's TIMESTAMP(NANOS)
+    read via nanosAsLong). Output keys are epoch-millis window starts —
+    integer-typed on purpose so engine/oracle comparison is
+    timezone-proof.
+    """
+    with_ts = events.withColumn(
+        "__event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("bigint"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("__event_time", watermark_delay)
+    win = F.window("__event_time", window_duration)
+    return (
+        with_ts.groupBy(win.alias("__w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("__w.start")) * 1000).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_window(
+    spark: SparkSession,
+    events_path: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Run the windowed aggregation as a REAL streaming query
+    (file source -> watermark -> window agg -> memory sink) with
+    Trigger.AvailableNow, and return the settled result."""
+    schema = spark.read.parquet(events_path).schema
+    # file stream sources monitor a DIRECTORY; select the one table's
+    # files out of it with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    agg = windowed_event_counts(stream, window_duration, watermark_delay)
+    name = "stream_events_window_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_upsert(
+    spark: SparkSession,
+    source_path: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Incremental keyed ingest: readStream -> foreachBatch merge.
+
+    Each micro-batch is deduped on the key (last row per key within the
+    batch by file order is arbitrary; the testdata keys are unique) and
+    merged into the parquet table via anti-join + union — the plain-
+    parquet MERGE fallback (SURVEY.md §2.9 M1). With Delta/Iceberg the
+    body becomes a single MERGE INTO and the rewrite disappears.
+    Checkpointing makes the pipeline resumable (supersedes S7's pickle).
+    """
+    schema = spark.read.parquet(source_path).schema
+    src_dir, src_glob = os.path.dirname(source_path), os.path.basename(source_path)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.dropDuplicates([key])
+        if os.path.isdir(table_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(table_dir)
+        ):
+            cur = batch.sparkSession.read.parquet(table_dir)
+            merged = cur.join(b, key, "left_anti").unionByName(b)
+        else:
+            merged = b
+        tmp = table_dir.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        batch.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(
+            table_dir
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", src_glob)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(table_dir)
+
+
+def stream_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract wrapper: stream the documents corpus through the
+    checkpointed foreachBatch merge into a fresh temp table; the final
+    table must equal the keyed source (the oracle)."""
+    work = tempfile.mkdtemp(prefix="stream_ingest_")
+    return stream_upsert(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(work, "table"),
+        os.path.join(work, "checkpoint"),
+        key="doc_id",
+    )
