@@ -518,3 +518,4 @@ from . import registry_dedup  # noqa: E402,F401
 from . import registry_text  # noqa: E402,F401
 from . import registry_embed  # noqa: E402,F401
 from . import registry_streaming  # noqa: E402,F401
+from . import registry_media  # noqa: E402,F401
