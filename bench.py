@@ -46,6 +46,9 @@ HEADLINE = [
     "ivf_topk",              # IVF-pruned ANN (scale path)
     "text_quality",          # text-analysis scoring
     "doc_fingerprint",       # rolling-hash fingerprint
+    "embed_search_topk",     # E1+E3+V1 text->embed->topk pipeline
+    "stream_events_window",  # streaming windowed rollup (AvailableNow)
+    "multimodal_byte_features",  # binary payload feature projection
 ]
 
 N_BATCH_QUERIES = 1000

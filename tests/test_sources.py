@@ -1,0 +1,90 @@
+"""Ingest sources: tar.gz extraction (S2), directory imports (S4/S5),
+validation/quarantine (T5)."""
+
+import json
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_search_application_spark.sources import json_source
+
+
+@pytest.fixture()
+def product_docs():
+    return [
+        {"_id": "RAD0000001", "partNumber_airgas_text": "RAD0000001",
+         "manufacturerPartNumber_text": "0000001",
+         "shortDescription_airgas_text": "gas torch kit",
+         "onlinePrice_string": "19.5", "img_270Wx270H_string": None},
+        {"_id": "MIL0000002", "partNumber_airgas_text": "MIL0000002",
+         "manufacturerPartNumber_text": None,
+         "shortDescription_airgas_text": "welding helmet",
+         "onlinePrice_string": "99.0",
+         "img_270Wx270H_string": "/images/MIL0000002.jpg"},
+    ]
+
+
+def test_targz_scan(spark, tmp_path, product_docs):
+    inner = tmp_path / "products.json"
+    inner.write_text(json.dumps(product_docs))
+    noise = tmp_path / "README.txt"
+    noise.write_text("not json")
+    archive = tmp_path / "products.tar.gz"
+    with tarfile.open(archive, "w:gz") as tar:
+        tar.add(inner, arcname="data/products.json")
+        tar.add(noise, arcname="README.txt")
+
+    rows = json_source.read_targz_json(spark, str(archive)).collect()
+    assert len(rows) == 1  # only the .json member
+    assert rows[0]["member"] == "data/products.json"
+    parsed = json.loads(rows[0]["json_text"])
+    assert parsed == product_docs
+
+
+def test_import_full_then_delta(spark, tmp_path, product_docs):
+    imp = tmp_path / "import"
+    os.makedirs(imp)
+    (imp / "batch.json").write_text(json.dumps(product_docs))
+    table = str(tmp_path / "table")
+
+    assert json_source.import_full(spark, str(imp), table) == 2
+
+    # delta: one changed, one unchanged, one new
+    changed = dict(product_docs[0], onlinePrice_string="25.0")
+    new = dict(product_docs[1], _id="HYP0000003",
+               partNumber_airgas_text="HYP0000003")
+    (imp / "batch.json").write_text(json.dumps([changed, product_docs[1], new]))
+    counts = json_source.import_delta(spark, str(imp), table)
+    assert counts.get("update") == 1
+    assert counts.get("insert") == 1
+    assert "delete" not in counts  # absent rows are kept (no cleanup here)
+    assert sum(counts.values()) == 2  # unchanged rows never flow downstream
+
+    final = spark.read.parquet(table)
+    assert final.count() == 3
+    assert (
+        final.filter(F.col("_id") == "RAD0000001").first()["onlinePrice_string"]
+        == "25.0"
+    )
+
+
+def test_validate_documents_quarantine(spark, product_docs):
+    docs = product_docs + [
+        {"_id": None, "partNumber_airgas_text": None,
+         "manufacturerPartNumber_text": None,
+         "shortDescription_airgas_text": "orphan doc",
+         "onlinePrice_string": None, "img_270Wx270H_string": None},
+        {"_id": "NOTEXT01", "partNumber_airgas_text": "NOTEXT01",
+         "manufacturerPartNumber_text": None,
+         "shortDescription_airgas_text": "  ",
+         "onlinePrice_string": None, "img_270Wx270H_string": None},
+    ]
+    df = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps(d) for d in docs])
+    )
+    valid, quarantine = json_source.validate_documents(df)
+    assert valid.count() == 2
+    assert quarantine.count() == 2
+    assert set(r["_id"] for r in quarantine.collect()) == {None, "NOTEXT01"}
