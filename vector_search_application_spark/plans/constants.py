@@ -52,6 +52,24 @@ ROUND_DIGITS = 6
 # dedup / similarity
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4          # 4 rows per band
+
+# MinHash permutation family: v_i = (a_i * h + b_i) mod p over the
+# 32-bit shingle hash h (one md5 per shingle, folded to 32 bits).
+# a_i < 2^31 (odd) and h < 2^32 keep a*h + b < 2^63: no overflow in
+# either engine's signed-64 arithmetic. p = 2^61 - 1 (Mersenne prime).
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def _lcg(seed: int, n: int) -> list[int]:
+    out, x = [], seed
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append(x)
+    return out
+
+
+MINHASH_A = [a | 1 for a in _lcg(SEED, MINHASH_PERMS)]
+MINHASH_B = _lcg(SEED + 1, MINHASH_PERMS)
 SHINGLE_N = 3              # token shingles
 SIMHASH_BITS = 32
 NEARDUP_COSINE_THRESHOLD = 0.95

@@ -20,7 +20,11 @@ from .constants import (
     IVF_PROBES,
     JACCARD_THRESHOLD,
     K,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
     MINHASH_PERMS,
+    MINHASH_PRIME,
     NEARDUP_COSINE_THRESHOLD,
     QUERY_VEC_ID,
     SHINGLE_N,
@@ -87,20 +91,37 @@ shing AS (
 """.strip()
 
 
+# the permutation family and band layout mirror operators/dedup.py:
+# one md5 per shingle folded to 32 bits, then min((a_i*h+b_i) mod p)
+_MH_MINS = ",\n           ".join(
+    f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_PRIME}) AS m{i}"
+    for i in range(MINHASH_PERMS)
+)
+_ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
+_BANDS_SQL = "\n    UNION ALL\n    ".join(
+    "SELECT id, {b} AS band, md5({key}) AS band_key FROM mh".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"m{b * _ROWS_PER_BAND + j}::VARCHAR" for j in range(_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+
+
 @declare(
     "dedup_minhash_lsh",
     f"""
 WITH {DDOCS_CTE},
 {_SHINGLE_SQL},
 mh AS (
-    SELECT id, perm, min(md5(perm::VARCHAR || '_' || sh)) AS mh
-    FROM shing CROSS JOIN (SELECT unnest(range(0, {MINHASH_PERMS})) AS perm)
-    GROUP BY id, perm
+    SELECT id,
+           {_MH_MINS}
+    FROM (SELECT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing)
+    GROUP BY id
 ),
 bands AS (
-    SELECT id, perm // 4 AS band,
-           md5(string_agg(mh, ',' ORDER BY perm)) AS band_key
-    FROM mh GROUP BY id, perm // 4
+    {_BANDS_SQL}
 ),
 cands AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
