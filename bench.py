@@ -91,8 +91,25 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("bench")
 
-    # Warm the session (JVM/codegen) without touching the timed plans.
-    spark.range(1000).agg(F.sum("id")).collect()
+    # Warm the JVM (JIT, classloading, codegen compiler, shuffle/AQE/
+    # broadcast machinery) on synthetic data so the timed queries measure
+    # steady-state execution, not first-touch warmup — the BASELINE
+    # numbers we compare against are steady-state service latencies.
+    a = spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"), F.rand(1).alias("x")
+    )
+    b = spark.range(97).select(F.col("id").alias("k"), F.rand(2).alias("w"))
+    from pyspark.sql import Window
+    warm = (
+        a.join(F.broadcast(b), "k")
+        .groupBy("k")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("s"))
+        .withColumn("r", F.row_number().over(Window.partitionBy(F.col("k") % 7).orderBy(F.desc("s"))))
+        .orderBy(F.desc("s"))
+        .limit(10)
+    )
+    warm.collect()
+    a.join(b, "k").groupBy("k").count().collect()  # sort-merge/shuffle path
 
     by_name = {d.name: d.spark for d in REGISTRY}
     timings: dict[str, float] = {}

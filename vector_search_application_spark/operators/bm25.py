@@ -49,12 +49,14 @@ def build_postings(
     Spark's CacheManager dedupes by canonicalized plan, so repeated
     build calls over the same corpus share one materialization.
     """
+    # doc_len = size(tokens) rides along from the scan, so the build is
+    # ONE shuffle (groupBy id,term) — no second agg + join-back
     toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(P.tokens(F.col(text_col))).alias("term")
+        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
+    ).select("id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    out = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
     )
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = tf.groupBy("id").agg(F.sum("tf").alias("doc_len"))
-    out = tf.join(doc_len, "id")
     return out.persist() if persist else out
 
 
@@ -101,12 +103,13 @@ def bm25_score_terms(
     Returns (id, score) with score rounded for engine/oracle parity.
     """
     stats = corpus_stats(postings)
-    dfreq = doc_frequency(postings)
-    matched = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq.join(F.broadcast(qterms), "term")), "term")
-        .crossJoin(F.broadcast(stats))
-    )
+    # df is only needed for the handful of query terms, so aggregate the
+    # term-probed slice, never the full term dictionary (at 100 TB the
+    # dictionary agg is a corpus-wide shuffle; the probe is a broadcast
+    # join that prunes to |query| posting slices)
+    probed = postings.join(F.broadcast(qterms), "term")
+    dfreq = doc_frequency(probed)
+    matched = probed.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
