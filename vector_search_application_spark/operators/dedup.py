@@ -63,22 +63,32 @@ def exact_dedup(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # shingling
 # ---------------------------------------------------------------------------
 
-def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
-    """Distinct n-token shingles per doc: (id, sh). Docs shorter than n
-    tokens produce no shingles (dropped, same as the oracle)."""
+def shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, shs): the distinct n-token shingle SET of each doc as an
+    array column. Dedup happens per-row (array_distinct in the scan) —
+    no corpus-wide distinct shuffle. Docs shorter than n tokens are
+    dropped (same as the oracle)."""
     toks = docs.select(
         F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
-    sh = toks.select(
+    return toks.select(
         "id",
-        F.explode(
+        F.array_distinct(
             F.expr(
                 f"transform(sequence(1, size(toks) - {n - 1}),"
                 f" i -> concat_ws('_', slice(toks, i, {n})))"
             )
-        ).alias("sh"),
+        ).alias("shs"),
     )
-    return sh.distinct()
+
+
+def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
+    """Distinct n-token shingles per doc: (id, sh), exploded tall."""
+    return shingle_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("shs").alias("sh")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -86,28 +96,32 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) ->
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    sh: DataFrame, n_perms: int = MINHASH_PERMS
+    sharr: DataFrame, n_perms: int = MINHASH_PERMS
 ) -> DataFrame:
-    """(id, m0..m{n-1}): one column per permutation, pivoted wide.
+    """(id, m0..m{n-1}) from the wide (id, shs) shingle-set table: one
+    column per permutation, computed entirely WITHIN the row.
 
-    The shingle is hashed ONCE (md5 folded to 32 bits); each permutation
-    is (a_i*h + b_i) mod p — pure codegen'd integer arithmetic. The
-    per-id minimum of a uniform hash family is a valid minwise sketch.
-    Shape: a single groupBy(id) with n min-aggregates, so the map-side
-    combine collapses to one narrow row per id per partition before the
-    only shuffle — vs the naive (id, perm) explode that shuffles
-    |shingles| x n_perms md5 strings (~25x slower measured at sf0.1).
+    Each shingle is hashed ONCE (md5 folded to 32 bits); permutation i
+    is min over the row's hash array of (a_i*h + b_i) mod p — the
+    per-set minimum of a uniform hash family is a valid minwise sketch.
+    No shuffle at all: the signature table materializes in the scan
+    stage, so the LSH pipeline's first exchange is the candidate join
+    itself (vs the naive (id, perm) explode + two-level groupBy that
+    shuffles |shingles| x n_perms md5 strings — ~25x slower at sf0.1).
     """
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint")
-    hashed = sh.select("id", h.alias("h"))
-    aggs = [
-        F.min(
-            (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
-            % F.lit(MINHASH_PRIME)
+    harr = F.expr(
+        "transform(shs, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+    )
+    mins = [
+        F.array_min(
+            F.expr(
+                f"transform(harr, h -> ({MINHASH_A[i]}L * h + {MINHASH_B[i]}L)"
+                f" % {MINHASH_PRIME}L)"
+            )
         ).alias(f"m{i}")
         for i in range(n_perms)
     ]
-    return hashed.groupBy("id").agg(*aggs)
+    return sharr.select("id", harr.alias("harr")).select("id", *mins)
 
 
 def lsh_band_keys(
@@ -177,16 +191,17 @@ def minhash_dedup_pairs(
     docs: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with Jaccard >= threshold."""
-    # shingles feed four consumers (signatures, intersection x2, sizes);
-    # persist = compute the shingle index once
-    sh = shingles(docs, id_col, text_col).persist()
+    # the shingle-set table feeds signatures AND verification (x3);
+    # persist = tokenize/shingle the corpus once
+    sharr = shingle_arrays(docs, id_col, text_col).persist()
     # the banded signature table IS the LSH index: both sides of the
-    # candidate self-join read it, and the minhash aggregation above it
-    # (|shingles| x n_perms md5s) is the pipeline's dominant cost —
-    # persist so it is computed exactly once (at scale this table is
-    # what you'd write out, partitioned by (band, band_key))
-    bands = lsh_band_keys(minhash_signatures(sh)).persist()
+    # candidate self-join read it; signatures are computed per-row in
+    # the scan (no shuffle), so persisting bands just skips recompute
+    # (at scale this table is what you'd write out, partitioned by
+    # (band, band_key))
+    bands = lsh_band_keys(minhash_signatures(sharr)).persist()
     cands = lsh_candidates(bands)
+    sh = sharr.select("id", F.explode("shs").alias("sh"))
     verified = jaccard_verify(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold)
 
