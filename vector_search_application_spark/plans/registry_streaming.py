@@ -31,8 +31,10 @@ def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup via readStream + watermark +
     memory sink; equals the batch GROUP BY under AvailableNow."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ~3.6k (window, event_type) groups at sf0.1: a handful of state
+    # stores suffices; at production key cardinality this scales up
     return ingest.stream_events_window(
-        spark, os.path.join(sf_dir, "events.parquet")
+        spark, os.path.join(sf_dir, "events.parquet"), state_partitions=8
     )
 
 

@@ -68,10 +68,18 @@ def stream_events_window(
     events_path: str,
     window_duration: str = "1 hour",
     watermark_delay: str = "10 minutes",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the windowed aggregation as a REAL streaming query
     (file source -> watermark -> window agg -> memory sink) with
-    Trigger.AvailableNow, and return the settled result."""
+    Trigger.AvailableNow, and return the settled result.
+
+    state_partitions sizes the stateful-aggregation shuffle (the number
+    of state store instances — AQE does not re-plan streaming stages, so
+    this is pinned at query start from spark.sql.shuffle.partitions).
+    Size it to the GROUP-BY KEY cardinality, not the corpus: each
+    partition carries commit/snapshot overhead every micro-batch.
+    """
     schema = spark.read.parquet(events_path).schema
     # file stream sources monitor a DIRECTORY; select the one table's
     # files out of it with a glob filter
@@ -82,14 +90,20 @@ def stream_events_window(
     )
     agg = windowed_event_counts(stream, window_duration, watermark_delay)
     name = "stream_events_window_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
