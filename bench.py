@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash_lsh",     # MinHash+LSH near-dup
     "embedding_neardup",     # embedding-cosine near-dup self-join
     "ivf_topk",              # IVF-pruned ANN (scale path)
+    "quantized_topk",        # I2 scalar-quantized rescoring
     "text_quality",          # text-analysis scoring
     "doc_fingerprint",       # rolling-hash fingerprint
     "embed_search_topk",     # E1+E3+V1 text->embed->topk pipeline

@@ -518,4 +518,5 @@ from . import registry_dedup  # noqa: E402,F401
 from . import registry_text  # noqa: E402,F401
 from . import registry_embed  # noqa: E402,F401
 from . import registry_streaming  # noqa: E402,F401
+from . import registry_extras  # noqa: E402,F401
 from . import registry_media  # noqa: E402,F401

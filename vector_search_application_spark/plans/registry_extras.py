@@ -1,0 +1,158 @@
+"""Registry entries rounding out SURVEY.md §2 coverage:
+
+  json_export_roundtrip  S1/S3/S6 — JSON export sink + JSON array scan.
+                         The Spark result travels parquet -> JSON files
+                         -> JSON scan; the ORACLE reads the source
+                         parquet directly, so any corruption in the
+                         export/scan path hash-mismatches (a true
+                         roundtrip oracle, not a self-comparison).
+  quantized_topk         I2 — scalar INT8 quantization (reference
+                         scripts/indexing.py:283-300): store-side
+                         vectors quantized per-vector min-max to 8-bit
+                         codes, dequantized for scoring; the query
+                         vector stays full-precision, like Qdrant's
+                         scalar quantization with on-the-fly rescoring.
+  compare_preview        V7/K4 — the compare-all harness (reference
+                         app/api/endpoints/search.py:288-348): the same
+                         query through dense / sparse / hybrid, first-3
+                         rows each, labeled by method.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from . import corpus
+from .constants import K, PREVIEW_K, QUERY_VEC_ID
+from .registry import (
+    REGISTRY,
+    declare,
+    q_bm25_topk,
+    q_dense_topk,
+    q_hybrid_rrf,
+)
+
+_SQL = {d.name: d.sql for d in REGISTRY}
+
+
+# ---------------------------------------------------------------------------
+# S1/S3/S6 — JSON export sink + scan roundtrip
+# ---------------------------------------------------------------------------
+
+@declare(
+    "json_export_roundtrip",
+    "SELECT doc_id, lang, source, text FROM documents",
+    survey_ids="S1,S3,S6",
+)
+def q_json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export the documents table to JSON (S6: ordered projection,
+    distributed write) and scan it back (S1); the oracle reads the
+    source parquet, so the JSON roundtrip must be lossless."""
+    out = os.path.join(tempfile.mkdtemp(prefix="json_roundtrip_"), "docs")
+    docs = corpus.docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.json(out).select("doc_id", "lang", "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# I2 — scalar INT8 quantization + dequantized rescoring
+# ---------------------------------------------------------------------------
+
+_DEQ_SPARK = (
+    "transform(embedding, x -> CASE WHEN scale = 0.0D THEN vmin"
+    " ELSE vmin + round((cast(x as double) - vmin) / scale) * scale END)"
+)
+
+
+@declare(
+    "quantized_topk",
+    f"""
+WITH ranges AS (
+    SELECT vec_id, embedding,
+           list_min(embedding)::DOUBLE AS vmin,
+           (list_max(embedding)::DOUBLE - list_min(embedding)::DOUBLE) / 255.0
+               AS scale
+    FROM embeddings
+),
+dq AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CASE WHEN scale = 0 THEN vmin
+               ELSE vmin + round((x::DOUBLE - vmin) / scale) * scale END) AS dqv
+    FROM ranges
+),
+q AS {corpus.query_vector_cte(QUERY_VEC_ID)}
+SELECT vec_id, {P.rounded_sql(P.cosine_sql('d.dqv', 'q.qvec'))} AS score
+FROM dq d CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+    survey_ids="I2,V1",
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8-quantized dense top-k: codes = round((x - min)/scale) per
+    vector (8-bit range), scoring on dequantized values — everything
+    in-row, so quantization adds no shuffle; at scale the codes column
+    is what you'd store (4x smaller scans), dequantizing in the scan."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    ranges = vecs.select(
+        "vec_id",
+        "embedding",
+        F.expr("cast(array_min(embedding) as double)").alias("vmin"),
+        F.expr(
+            "(cast(array_max(embedding) as double)"
+            " - cast(array_min(embedding) as double)) / 255.0D"
+        ).alias("scale"),
+    )
+    dq = ranges.select("vec_id", F.expr(_DEQ_SPARK).alias("dqv"))
+    scored = dq.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        P.rounded(P.cosine(F.col("dqv"), F.col("qvec"))).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(K)
+
+
+# ---------------------------------------------------------------------------
+# V7/K4 — compare-all harness preview
+# ---------------------------------------------------------------------------
+
+@declare(
+    "compare_preview",
+    f"""
+(SELECT 'dense' AS method, vec_id AS id, score
+ FROM ({_SQL['dense_topk']}) ORDER BY score DESC, id ASC LIMIT {PREVIEW_K})
+UNION ALL
+(SELECT 'sparse' AS method, id, score
+ FROM ({_SQL['bm25_topk']}) ORDER BY score DESC, id ASC LIMIT {PREVIEW_K})
+UNION ALL
+(SELECT 'hybrid' AS method, id, score
+ FROM ({_SQL['hybrid_rrf']}) ORDER BY score DESC, id ASC LIMIT {PREVIEW_K})
+""",
+    survey_ids="V7,K4",
+)
+def q_compare_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query through all three engines, first-PREVIEW_K rows
+    each with a method label — the reference's /api/search/compare."""
+    dense = (
+        q_dense_topk(spark, sf_dir)
+        .limit(PREVIEW_K)
+        .select(
+            F.lit("dense").alias("method"), F.col("vec_id").alias("id"), "score"
+        )
+    )
+    sparse = (
+        q_bm25_topk(spark, sf_dir)
+        .limit(PREVIEW_K)
+        .select(F.lit("sparse").alias("method"), "id", "score")
+    )
+    hybrid = (
+        q_hybrid_rrf(spark, sf_dir)
+        .limit(PREVIEW_K)
+        .select(F.lit("hybrid").alias("method"), "id", "score")
+    )
+    return dense.unionByName(sparse).unionByName(hybrid)
