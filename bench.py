@@ -112,6 +112,21 @@ def main() -> None:
     warm.collect()
     a.join(b, "k").groupBy("k").count().collect()  # sort-merge/shuffle path
 
+    # Second warmup tier: run each headline plan once at the smallest SF.
+    # Expression trees are identical across SFs, so this JIT-compiles the
+    # exact generated code the timed plans use (codegen cache hits) for a
+    # fraction of the timed data volume.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            fn = {d.name: d.spark for d in REGISTRY}.get(name)
+            if fn is None:
+                continue
+            try:
+                _force(fn(spark, warm_dir))
+            except Exception:
+                pass  # warmup must never fail the bench
+
     by_name = {d.name: d.spark for d in REGISTRY}
     timings: dict[str, float] = {}
     for name in HEADLINE:
