@@ -183,7 +183,7 @@ SELECT id, score FROM bm25_scored
 ORDER BY score DESC, id ASC
 LIMIT {K}
 """,
-    survey_ids="E2,E4,V2",
+    survey_ids="E2,E4,V2,I3",
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25.bm25_topk(corpus.docs(spark, sf_dir), QUERY_TEXT, K)
@@ -357,7 +357,7 @@ SELECT _id AS "_id",
        id
 FROM products
 """,
-    survey_ids="T1,T2,T3,S8",
+    survey_ids="T1,T2,T3,S8,I6",
 )
 def q_ingest_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.products(spark, sf_dir)
