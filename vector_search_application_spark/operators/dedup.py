@@ -36,6 +36,7 @@ from ..plans.constants import (
     MINHASH_BANDS,
     MINHASH_PERMS,
     MINHASH_PRIME,
+    RARE_SHINGLE_DF_CAP,
     SHINGLE_N,
     SIMHASH_BITS,
 )
@@ -204,6 +205,45 @@ def minhash_dedup_pairs(
     sh = sharr.select("id", F.explode("shs").alias("sh"))
     verified = jaccard_verify(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with rare-shingle blocking
+# ---------------------------------------------------------------------------
+
+def jaccard_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    df_cap: int = RARE_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Near-dup pairs by true n-gram-shingle Jaccard, blocked on RARE
+    shingles: only shingles appearing in 2..df_cap documents generate
+    candidates (the inverted-index probe). Deterministic — unlike LSH
+    blocking there is no hash family; a pair is found iff it shares at
+    least one rare shingle. At scale the posting list is partitioned by
+    shingle and the df cap bounds each posting slice's pair fan-out at
+    df_cap^2, so the candidate join cannot explode on boilerplate text.
+    """
+    sharr = shingle_arrays(docs, id_col, text_col).persist()
+    sh = sharr.select("id", F.explode("shs").alias("sh"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("sh")
+    )
+    blocked = sh.join(rare, "sh")
+    a = blocked.select(F.col("id").alias("id_a"), "sh")
+    b = blocked.select(F.col("id").alias("id_b"), "sh")
+    cands = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

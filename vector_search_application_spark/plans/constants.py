@@ -74,6 +74,9 @@ SHINGLE_N = 3              # token shingles
 SIMHASH_BITS = 32
 NEARDUP_COSINE_THRESHOLD = 0.95
 JACCARD_THRESHOLD = 0.5
+# n-gram Jaccard blocking: only shingles appearing in 2..cap docs
+# generate candidate pairs (the rare-shingle inverted-index probe)
+RARE_SHINGLE_DF_CAP = 5
 LSH_PLANES = 8             # hyperplane LSH for embedding near-dup blocking
 
 # IVF

@@ -27,6 +27,7 @@ from .constants import (
     MINHASH_PRIME,
     NEARDUP_COSINE_THRESHOLD,
     QUERY_VEC_ID,
+    RARE_SHINGLE_DF_CAP,
     SHINGLE_N,
     SIMHASH_BITS,
 )
@@ -146,10 +147,51 @@ verified AS (
 )
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """,
-    survey_ids="dedup-minhash,dedup-ngram-jaccard",
+    survey_ids="dedup-minhash",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
+        dedup_docs(spark, sf_dir), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+@declare(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {DDOCS_CTE},
+{_SHINGLE_SQL},
+rare AS (
+    SELECT sh FROM (SELECT sh, count(*) AS df FROM shing GROUP BY sh)
+    WHERE df BETWEEN 2 AND {RARE_SHINGLE_DF_CAP}
+),
+blocked AS (SELECT s.id, s.sh FROM shing s JOIN rare USING (sh)),
+cands AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM blocked a JOIN blocked b USING (sh)
+    WHERE a.id < b.id
+),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM shing GROUP BY id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
+    FROM cands c
+    JOIN shing sa ON sa.id = c.id_a
+    JOIN shing sb ON sb.id = c.id_b AND sa.sh = sb.sh
+    GROUP BY c.id_a, c.id_b
+),
+verified AS (
+    SELECT i.id_a, i.id_b,
+           {P.rounded_sql('i.n_inter::DOUBLE / (na.n + nb.n - i.n_inter)::DOUBLE')}
+               AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.id = i.id_a
+    JOIN sizes nb ON nb.id = i.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+    survey_ids="dedup-ngram-jaccard",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_dedup_pairs(
         dedup_docs(spark, sf_dir), "doc_id", "text", JACCARD_THRESHOLD
     )
 
