@@ -60,6 +60,43 @@ def q_json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S4 — directory import (full): JSON-ARRAY files + glob + reset-load
+# ---------------------------------------------------------------------------
+
+@declare(
+    "directory_import_full",
+    "SELECT doc_id, lang, source, text FROM documents",
+    survey_ids="S1,S4",
+)
+def q_directory_import_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's import path (glob *.json, reset collection, load):
+    documents are exported as JSON ARRAY files (the reference's on-disk
+    format — one array per file, built JVM-side with
+    to_json(collect_list(struct))), then import_full globs the
+    directory, parses with the multiLine array reader, and overwrites
+    the table. Oracle reads the source parquet: the whole
+    export -> array-parse -> table roundtrip must be lossless."""
+    from ..sources import json_source
+
+    work = tempfile.mkdtemp(prefix="dir_import_")
+    imp, table = os.path.join(work, "import"), os.path.join(work, "table")
+    docs = corpus.docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    arrays = docs.groupBy(F.spark_partition_id().alias("p")).agg(
+        F.to_json(
+            F.collect_list(F.struct("doc_id", "lang", "source", "text"))
+        ).alias("j")
+    )
+    arrays.select("j").write.mode("overwrite").text(imp)
+    for f in os.listdir(imp):  # the text sink writes .txt; S4 globs *.json
+        if f.endswith(".txt"):
+            os.rename(
+                os.path.join(imp, f), os.path.join(imp, f[:-4] + ".json")
+            )
+    json_source.import_full(spark, imp, table)
+    return spark.read.parquet(table).select("doc_id", "lang", "source", "text")
+
+
+# ---------------------------------------------------------------------------
 # I2 — scalar INT8 quantization + dequantized rescoring
 # ---------------------------------------------------------------------------
 
