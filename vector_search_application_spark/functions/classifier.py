@@ -96,3 +96,72 @@ def partno_score_sql(expr: str) -> str:
 
 def is_part_number_sql(expr: str) -> str:
     return f"({partno_score_sql(expr)} >= {THRESHOLD})"
+
+
+# --- explain variant (reference scripts/partno_classifier.py:146-282) ----
+# one named integer contribution per feature group; their sum IS the score
+
+FEATURE_NAMES = [
+    "f_alnum_mix",
+    "f_length",
+    "f_separators",
+    "f_known_prefix",
+    "f_digit_tail",
+    "f_pn_marker",
+    "p_search_words",
+    "p_no_digits",
+    "p_word_number",
+    "p_many_words",
+    "p_short",
+]
+
+
+def partno_explain_cols(q: Column) -> list[Column]:
+    """One aliased integer column per feature, same order/semantics as
+    partno_score (which is their sum)."""
+    c = _cleaned(q)
+    cols = []
+    for name, (pts, pats) in zip(FEATURE_NAMES, _FEATURES + _PENALTIES):
+        cond = c.rlike(pats[0])
+        for pat in pats[1:]:
+            cond = cond & c.rlike(pat)
+        cols.append(
+            F.when(cond, F.lit(pts)).otherwise(F.lit(0)).cast("int").alias(name)
+        )
+    n_words = F.size(F.split(F.trim(q), r"\s+"))
+    cols.append(
+        F.when(n_words >= 4, F.lit(_MANY_WORDS_PENALTY))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("p_many_words")
+    )
+    cols.append(
+        F.when(F.length(c) < 5, F.lit(_SHORT_PENALTY))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("p_short")
+    )
+    return cols
+
+
+def partno_explain_sql(expr: str) -> list[str]:
+    """Aliased SQL fragments mirroring partno_explain_cols."""
+    c = _sql_cleaned(expr)
+    frags = []
+    for name, (pts, pats) in zip(FEATURE_NAMES, _FEATURES + _PENALTIES):
+        conds = " AND ".join(
+            f"regexp_matches({c}, '{pat.replace(chr(39), chr(39) * 2)}')"
+            for pat in pats
+        )
+        frags.append(
+            f"CAST(CASE WHEN {conds} THEN {pts} ELSE 0 END AS INTEGER) AS {name}"
+        )
+    frags.append(
+        f"CAST(CASE WHEN len(string_split_regex(trim({expr}), '\\s+')) >= 4"
+        f" THEN {_MANY_WORDS_PENALTY} ELSE 0 END AS INTEGER) AS p_many_words"
+    )
+    frags.append(
+        f"CAST(CASE WHEN length({c}) < 5 THEN {_SHORT_PENALTY} ELSE 0 END"
+        " AS INTEGER) AS p_short"
+    )
+    return frags

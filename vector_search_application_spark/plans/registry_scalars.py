@@ -72,6 +72,37 @@ def q_partno_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "partno_explain",
+    f"""
+WITH inputs AS (
+    SELECT unnest([{', '.join("'" + s.replace("'", "''") + "'" for s in CLASSIFIER_LITERALS)}])
+        AS query_text
+)
+SELECT query_text,
+       {', '.join(classifier.partno_explain_sql('query_text'))},
+       {classifier.partno_score_sql('query_text')} AS score,
+       {classifier.is_part_number_sql('query_text')} AS is_part_number
+FROM inputs
+""",
+    survey_ids="C1",
+)
+def q_partno_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 explain variant (reference scripts/partno_classifier.py:146-282):
+    per-feature integer contributions whose sum is the score."""
+    lits = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in CLASSIFIER_LITERALS])).alias(
+            "query_text"
+        )
+    )
+    return lits.select(
+        "query_text",
+        *classifier.partno_explain_cols(F.col("query_text")),
+        classifier.partno_score(F.col("query_text")).alias("score"),
+        classifier.is_part_number(F.col("query_text")).alias("is_part_number"),
+    )
+
+
 # --- V5/V6 projections over the fused result list -----------------------
 
 _NORMED_FUSED = f"""
