@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_exact",           # exact dedup (hash groupBy)
     "dedup_minhash_lsh",     # MinHash+LSH near-dup
     "dedup_ngram_jaccard",   # rare-shingle-blocked true Jaccard
+    "dedup_simhash",         # per-row SimHash + pigeonhole band join
     "embedding_neardup",     # embedding-cosine near-dup self-join
     "ivf_topk",              # IVF-pruned ANN (scale path)
     "quantized_topk",        # I2 scalar-quantized rescoring

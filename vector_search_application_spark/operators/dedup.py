@@ -257,26 +257,35 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
     corpora unigram token sets are near-identical across unrelated
     docs, collapsing the hash space; the n-gram space keeps unrelated
     docs far apart. Feature weight vector = bits of md5's first 8 hex
-    digits; bit b is set when the summed +/-1 contributions are > 0.
+    digits; bit b is set when the summed +/-1 contributions are > 0
+    — equivalently, when more than half the shingle hashes have bit b
+    set (ones*2 > n).
+
+    Computed entirely WITHIN the row from the shingle-set array: one
+    pass over the hashes accumulates all 32 per-bit popcounts via
+    zip_with, so the signature materializes in the scan stage with NO
+    shuffle (vs the exploded shingle x bit cross-join + two groupBys,
+    which shuffles |shingles| x 32 rows).
+
+    Counts AND the bit-fold live in a single aggregate() whose finish
+    lambda binds the count accumulator once. Splitting them into two
+    Projects lets CollapseProject inline the count aggregate into each
+    of the 32 bit terms — a silent O(bits^2 x shingles) blowup (13s vs
+    0.4s at sf0.1).
     """
-    feats = shingles(docs, id_col, text_col)
-    hashed = feats.select(
-        "id",
-        F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("bigint").alias("h"),
+    sharr = shingle_arrays(docs, id_col, text_col)
+    harr = F.expr(
+        "transform(shs, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
     )
-    bit_rows = docs.sparkSession.range(bits).select(F.col("id").cast("int").alias("b"))
-    contrib = hashed.crossJoin(F.broadcast(bit_rows)).select(
-        "id",
-        "b",
-        (F.expr("(shiftright(h, b) & 1) * 2 - 1")).alias("c"),
+    sim = F.expr(
+        f"aggregate(harr, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"b -> shiftright(h, b) & 1), (a, c) -> a + c), "
+        f"acc -> aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(s, b) -> s + IF(acc[b] * 2 > size(harr), shiftleft(1L, b), 0L)))"
     )
-    per_bit = contrib.groupBy("id", "b").agg(F.sum("c").alias("s"))
-    return per_bit.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0))
-        )
-        .cast("bigint")
-        .alias("simhash")
+    return sharr.select("id", harr.alias("harr")).select(
+        "id", sim.cast("bigint").alias("simhash")
     )
 
 
