@@ -363,6 +363,33 @@ def q_ingest_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.products(spark, sf_dir)
 
 
+@declare(
+    "validate_quarantine",
+    f"""
+WITH {corpus.PRODUCTS_CTE}
+SELECT id,
+       (_id IS NOT NULL
+        AND shortDescription_airgas_text IS NOT NULL
+        AND trim(shortDescription_airgas_text) <> '') AS is_valid
+FROM products
+""",
+    survey_ids="T5",
+)
+def q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 validation/quarantine (reference
+    app/services/document_service.py:166-190): require an id and at
+    least one non-empty text field; invalid rows are preserved in a
+    quarantine branch, not dropped. Declared as the union of both
+    branches with the verdict flag so the oracle checks the split is
+    a partition (no row lost or duplicated)."""
+    from ..sources import json_source
+
+    valid, quar = json_source.validate_documents(corpus.products(spark, sf_dir))
+    return valid.select("id", F.lit(True).alias("is_valid")).unionByName(
+        quar.select("id", F.lit(False).alias("is_valid"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Q1/F5 — exact-match cascade over products
 # ---------------------------------------------------------------------------
