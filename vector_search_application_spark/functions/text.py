@@ -102,6 +102,42 @@ def quality_score_sql(expr: str) -> str:
     )
 
 
+def quality_features(text: Column) -> Column:
+    """1-element ``array<struct<punct_ratio, uniq_ratio, quality>>``
+    with the token array bound ONCE as a lambda variable — callers
+    ``explode()`` it so the tokenizer (the expensive regex) runs once
+    per row instead of 5x. A plain shared-Project split gets re-inlined
+    by CollapseProject (see operators/dedup.py simhash); a Generate
+    node is a real barrier. Math is identical to punct_ratio /
+    uniq_token_ratio / quality_score."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    pr = punct_ratio(text)
+
+    def build(toks: Column) -> Column:
+        n = F.size(toks)
+        n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        swr = F.when(n > 0, n_sw.cast("double") / n).otherwise(F.lit(0.0))
+        ur = F.when(
+            n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+        ).otherwise(F.lit(0.0))
+        len_ok = F.when((n >= 5) & (n <= 1000), F.lit(1.0)).otherwise(F.lit(0.0))
+        low_punct = F.greatest(F.lit(0.0), F.lit(1.0) - pr * F.lit(5.0))
+        sw_ok = F.least(F.lit(1.0), swr * F.lit(10.0))
+        quality = P.rounded(
+            F.lit(0.25) * len_ok
+            + F.lit(0.25) * low_punct
+            + F.lit(0.25) * sw_ok
+            + F.lit(0.25) * ur
+        )
+        return F.struct(
+            P.rounded(pr).alias("punct_ratio"),
+            P.rounded(ur).alias("uniq_ratio"),
+            quality.alias("quality"),
+        )
+
+    return F.transform(F.array(P.tokens(text)), build)
+
+
 def ws_token_count(text: Column) -> Column:
     return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")))
 

@@ -53,11 +53,8 @@ FROM documents
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.docs(spark, sf_dir)
     return docs.select(
-        "doc_id",
-        P.rounded(T.punct_ratio(F.col("text"))).alias("punct_ratio"),
-        P.rounded(T.uniq_token_ratio(F.col("text"))).alias("uniq_ratio"),
-        T.quality_score(F.col("text")).alias("quality"),
-    )
+        "doc_id", F.explode(T.quality_features(F.col("text"))).alias("qf")
+    ).select("doc_id", "qf.punct_ratio", "qf.uniq_ratio", "qf.quality")
 
 
 @declare(
