@@ -44,24 +44,32 @@ def flat_with_norm(
     batch path. Arithmetic is bit-identical (same element_at casts,
     same left-associated double accumulation), so oracle hashes don't
     move.
+
+    Built with selectExpr strings, not Column objects: the wide
+    projection is ~200 expression nodes, and constructing them one
+    py4j call at a time put ~2s of driver round-trips on every
+    plan build (execution itself is ~0.1s); one parsed SQL string is
+    a single round-trip.
     """
-    v = F.col(vec_col)
-    return df.select(
-        *[F.col(c) for c in keep],
-        P.norm_unrolled(v, dim).alias(f"{prefix}norm"),
-        *[
-            F.element_at(v, i).cast("double").alias(f"{prefix}{i}")
-            for i in range(1, dim + 1)
-        ],
+    elem = f"cast(element_at({vec_col}, {{i}}) as double)"
+    norm = (
+        "sqrt("
+        + " + ".join(
+            f"{elem.format(i=i)} * {elem.format(i=i)}" for i in range(1, dim + 1)
+        )
+        + f") AS {prefix}norm"
+    )
+    return df.selectExpr(
+        *keep,
+        norm,
+        *[f"{elem.format(i=i)} AS {prefix}{i}" for i in range(1, dim + 1)],
     )
 
 
-def _flat_cosine(pa: str, pb: str, dim: int) -> "F.Column":
-    s = F.col(f"{pa}1") * F.col(f"{pb}1")
-    for i in range(2, dim + 1):
-        s = s + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
-    denom = F.col(f"{pa}norm") * F.col(f"{pb}norm")
-    return F.when(denom > F.lit(0.0), s / denom).otherwise(F.lit(0.0))
+def _flat_cosine_sql(pa: str, pb: str, dim: int) -> str:
+    chain = " + ".join(f"{pa}{i} * {pb}{i}" for i in range(1, dim + 1))
+    denom = f"{pa}norm * {pb}norm"
+    return f"CASE WHEN {denom} > 0.0D THEN ({chain}) / ({denom}) ELSE 0.0D END"
 
 
 def score_pairs(
@@ -94,14 +102,12 @@ def score_pairs(
         vectors, vec_col, "__a", [id_col] + list(extra_cols or []), dim
     )
     rhs = flat_with_norm(queries, query_vec_col, "__b", list(query_keep or []), dim)
-    keep = (
-        [F.col(id_col)]
-        + [F.col(c) for c in (extra_cols or [])]
-        + [F.col(c) for c in (query_keep or [])]
+    keep = [id_col] + list(extra_cols or []) + list(query_keep or [])
+    score = (
+        f"round(cast(({_flat_cosine_sql('__a', '__b', dim)}) as double), "
+        f"{ROUND_DIGITS}) AS score"
     )
-    return lhs.crossJoin(F.broadcast(rhs)).select(
-        *keep, P.rounded(_flat_cosine("__a", "__b", dim)).alias("score")
-    )
+    return lhs.crossJoin(F.broadcast(rhs)).selectExpr(*keep, score)
 
 
 def score_against_query(
