@@ -8,6 +8,7 @@ import tarfile
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
 from vector_search_application_spark.sources import json_source
 
 
@@ -88,3 +89,28 @@ def test_validate_documents_quarantine(spark, product_docs):
     assert valid.count() == 2
     assert quarantine.count() == 2
     assert set(r["_id"] for r in quarantine.collect()) == {None, "NOTEXT01"}
+
+
+def test_bucketed_layout_prunes_partitions(spark, tmp_path):
+    """I4/I5: the bucketed layout must (a) answer lookups identically to
+    a plain filter and (b) carry a constant partition predicate so every
+    other bucket directory is pruned before file I/O."""
+    import re
+
+    from vector_search_application_spark.plans import corpus
+    from vector_search_application_spark.sources import layout
+
+    prods = corpus.products(spark, SF_SMOKE)
+    path = str(tmp_path / "bucketed")
+    layout.write_bucketed(prods, path, "partNumber_airgas_text")
+
+    q = prods.orderBy("id").first()["partNumber_airgas_text"]
+    hit = layout.indexed_lookup(spark, path, "partNumber_airgas_text", q)
+    expect = prods.filter(F.col("partNumber_airgas_text") == q)
+    assert sorted(map(tuple, hit.select(*expect.columns).collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[\(__bucket#\d+ = \d+\)\]", plan)
+    assert m, f"no constant partition filter in plan: {plan[:500]}"

@@ -193,3 +193,50 @@ def q_compare_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("hybrid").alias("method"), "id", "score")
     )
     return dense.unionByName(sparse).unionByName(hybrid)
+
+
+# ---------------------------------------------------------------------------
+# I4/I5 — payload keyword index as bucketed physical layout
+# ---------------------------------------------------------------------------
+
+@declare(
+    "payload_index_lookup",
+    f"""
+WITH {corpus.PRODUCTS_CTE},
+qs AS (
+    SELECT upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0') AS q
+    FROM part WHERE p_partkey = 123
+)
+SELECT id, partNumber_airgas_text, 1.0::DOUBLE AS score
+FROM products, qs
+WHERE partNumber_airgas_text = upper(trim(qs.q))
+""",
+    survey_ids="I4,I5",
+)
+def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/I5 (reference scripts/indexing.py:383-443, 358-378): the
+    payload keyword index realized as hash-bucket partitioned layout —
+    build the index (write bucketed by partNumber), then look the query
+    up touching only its bucket directory (PartitionFilters prune the
+    other 15/16 before any file I/O). The oracle is a plain filter over
+    the unindexed table: the index must be semantically invisible."""
+    from ..sources import layout
+
+    work = os.path.join(tempfile.mkdtemp(prefix="payload_idx_"), "products")
+    prods = corpus.products(spark, sf_dir)
+    layout.write_bucketed(prods, work, "partNumber_airgas_text")
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    q = (
+        part.filter(F.col("p_partkey") == 123)
+        .select(
+            F.concat(
+                F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
+                F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+            ).alias("q")
+        )
+        .first()["q"]
+    )
+    hit = layout.indexed_lookup(spark, work, "partNumber_airgas_text", q)
+    return hit.select(
+        "id", "partNumber_airgas_text", F.lit(1.0).cast("double").alias("score")
+    )

@@ -1,0 +1,60 @@
+"""Physical layout for point lookups (SURVEY.md §2.4 I4/I5).
+
+The reference's payload keyword index (scripts/indexing.py:383-443)
+gives 1-5 ms exact part-number search; its optimizer/shard config
+(scripts/indexing.py:358-378) fixes 6 segments x 2 shards. Neither has
+query *semantics* — in Spark they map to table layout:
+
+  I4  keyword index   -> hash-bucket directory partitioning on the
+                         lookup key: the key's bucket is computable
+                         from the query literal, so a lookup carries a
+                         partition predicate and Catalyst prunes every
+                         other bucket directory BEFORE any file I/O
+                         (PartitionFilters in explain; at 100 TB the
+                         scan touches 1/N of the files).
+  I5  segments/shards -> the bucket count itself plus in-bucket file
+                         parallelism (maxPartitionBytes); AQE handles
+                         the rest at read time.
+
+Semantically both are no-ops: the lookup result equals a plain filter
+over the unindexed table, which is exactly what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 16
+BUCKET_COL = "__bucket"
+
+
+def _bucket_of(key: Column, n_buckets: int) -> Column:
+    return F.pmod(F.xxhash64(key), F.lit(n_buckets))
+
+
+def write_bucketed(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS
+) -> None:
+    """I4 index build: persist hash-bucketed by the lookup key."""
+    df.withColumn(BUCKET_COL, _bucket_of(F.col(key_col), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(path)
+
+
+def indexed_lookup(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    query: str,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Exact lookup over the bucketed layout: the bucket predicate is
+    derived from the query literal (constant-folded), so only one
+    bucket directory is listed and read."""
+    q = F.upper(F.trim(F.lit(query)))
+    return (
+        spark.read.parquet(path)
+        .filter((F.col(BUCKET_COL) == _bucket_of(q, n_buckets)) & (F.col(key_col) == q))
+        .drop(BUCKET_COL)
+    )
