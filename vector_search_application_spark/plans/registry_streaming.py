@@ -38,7 +38,7 @@ def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("stream_ingest_upsert", "SELECT * FROM documents", survey_ids="S5,S7,M1")
+@declare("stream_ingest_upsert", "SELECT * FROM documents", survey_ids="S5,S7,M1,streaming-ingest")
 def q_stream_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed readStream -> foreachBatch keyed merge into a fresh
     parquet table; the settled table equals the keyed source."""
