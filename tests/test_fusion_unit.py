@@ -1,0 +1,91 @@
+"""Operator-level semantics pinned against independent Python models on
+adversarial hand-built inputs (ties, disjoint ids, missing sides, bit
+flips spread across LSH bands). The registry oracle gate checks these
+same operators over the testdata corpora; these tests isolate the exact
+math on inputs the corpora may never produce.
+"""
+
+from pyspark.sql import functions as F
+
+from vector_search_application_spark.operators import dedup, fusion
+from vector_search_application_spark.plans.constants import RRF_RANK_K
+
+
+def _ranks(rows):
+    """Python model of _ranked: rank by score desc, id asc, from 1."""
+    return {
+        id_: r + 1
+        for r, (id_, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+
+
+def test_rrf_matches_python_model(spark):
+    # ties within a list, ids missing from one side, equal scores across
+    dense = [(1, 0.9), (2, 0.8), (3, 0.8), (4, 0.2)]
+    sparse = [(3, 5.0), (5, 4.0), (1, 4.0)]
+    ddf = spark.createDataFrame(dense, ["vec_id", "score"])
+    sdf = spark.createDataFrame(sparse, ["vec_id", "score"])
+
+    dr, sr = _ranks(dense), _ranks(sparse)
+    ids = sorted(set(dr) | set(sr))
+    expected = {}
+    for i in ids:
+        rrf = sum(
+            1.0 / (RRF_RANK_K + r[i]) for r in (dr, sr) if i in r
+        )
+        expected[i] = round(rrf, 6)
+
+    got = {
+        r["vec_id"]: (r["score"], r["dense_rank"], r["sparse_rank"])
+        for r in fusion.rrf_fuse({"dense": ddf, "sparse": sdf}, k=10).collect()
+    }
+    assert set(got) == set(expected)
+    for i, (score, drank, srank) in got.items():
+        assert score == expected[i]
+        assert drank == dr.get(i) and srank == sr.get(i)
+
+
+def test_linear_fuse_missing_side_is_zero(spark):
+    ddf = spark.createDataFrame([(1, 0.8), (2, 0.4)], ["vec_id", "score"])
+    sdf = spark.createDataFrame([(2, 1.0), (3, 0.5)], ["vec_id", "score"])
+    got = {
+        r["vec_id"]: r["score"]
+        for r in fusion.linear_fuse(ddf, sdf, k=10, alpha=0.7).collect()
+    }
+    assert got == {
+        1: round(0.7 * 0.8, 6),
+        2: round(0.7 * 0.4 + 0.3 * 1.0, 6),
+        3: round(0.3 * 0.5, 6),
+    }
+
+
+def test_simhash_pairs_pigeonhole_exact_within_radius(spark):
+    """hamming <= 3 pairs MUST all be found (with 4 bands some band is
+    untouched — pigeonhole), even when the flipped bits land in three
+    DIFFERENT bands; pairs beyond the radius must be excluded."""
+    base = 0b10110100_01011010_11001100_00110101
+    sigs = [
+        (0, base),
+        (1, base ^ (1 << 0)),                              # ham 1 vs base
+        (2, base ^ (1 << 0) ^ (1 << 8)),                   # ham 2, two bands
+        (3, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16)),       # ham 3, three bands
+        (4, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16) ^ (1 << 24)),  # ham 4
+        (5, base ^ 0xFFFF),                                # far away
+    ]
+    expected = {
+        (a, b, bin(sa ^ sb).count("1"))
+        for i, (a, sa) in enumerate(sigs)
+        for b, sb in sigs[i + 1:]
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    sims = spark.createDataFrame(sigs, ["id", "simhash"]).withColumn(
+        "simhash", F.col("simhash").cast("bigint")
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_pairs(sims, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert (0, 3, 3) in got  # three flipped bits in three distinct bands
