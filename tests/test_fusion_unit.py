@@ -89,3 +89,25 @@ def test_simhash_pairs_pigeonhole_exact_within_radius(spark):
     }
     assert got == expected
     assert (0, 3, 3) in got  # three flipped bits in three distinct bands
+
+
+def test_salted_topk_equals_naive_with_ties(spark):
+    """topk_per_group_salted must return EXACTLY topk_per_group's rows —
+    including on heavy score ties, where the id tie-break decides which
+    rows make the cut in both phases."""
+    import random
+
+    from vector_search_application_spark.operators import topk
+
+    rng = random.Random(7)
+    rows = [
+        (g, i, rng.choice([0.1, 0.5, 0.5, 0.9]))  # many exact ties
+        for g in range(3)
+        for i in range(200)
+    ]
+    scored = spark.createDataFrame(rows, ["query_id", "vec_id", "score"])
+    naive = topk.topk_per_group(scored, "query_id", 10)
+    salted = topk.topk_per_group_salted(scored, "query_id", 10, n_salts=8)
+    assert sorted(map(tuple, naive.collect())) == sorted(
+        map(tuple, salted.collect())
+    )

@@ -161,6 +161,38 @@ def topk_per_group(
     )
 
 
+def topk_per_group_salted(
+    scored: DataFrame,
+    group_col: str,
+    k: int = K,
+    id_col: str = "vec_id",
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group top-k in two phases: local top-k within (group, salt),
+    then global top-k per group.
+
+    The single-window plan shuffles EVERY scored row to one reducer per
+    group — per-group parallelism is 1 and that reducer's input is the
+    whole corpus, which is exactly the partition that falls over at
+    100 TB (or on one hot group). Salting on a hash of the id splits
+    phase one across n_salts reducers per group; phase two then ranks
+    only n_salts*k survivors per group. Results are identical to
+    topk_per_group, ties included: the ordering (score desc, id asc) is
+    total, and every true top-k row survives its salt bucket's local
+    top-k (asserted by tests/test_fusion_unit.py).
+    """
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    local = (
+        scored.withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)))
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    return topk_per_group(local, group_col, k, id_col)
+
+
 def threshold(scored: DataFrame, min_score: float) -> DataFrame:
     """Q3: drop hits below the dense score threshold."""
     return scored.filter(F.col("score") >= F.lit(min_score))

@@ -112,6 +112,33 @@ def q_dense_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.topk_per_group(scored, "query_id", K)
 
 
+_BATCH_SQL = [d for d in REGISTRY if d.name == "dense_topk_batch"][0].sql
+
+
+@declare(
+    "dense_topk_batch_salted",
+    _BATCH_SQL,
+    survey_ids="V1,K2",
+)
+def q_dense_topk_batch_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe variant of dense_topk_batch: two-phase salted
+    per-group top-k (local top-k per (query, salt), then global). Same
+    oracle — results must be identical, ties included; what changes is
+    the shuffle: the naive window sends each query's ENTIRE scored
+    corpus to one reducer, the salted plan's final shuffle moves only
+    n_salts*k rows per query. This is the plan to use on a hot query or
+    at full corpus scale."""
+    vecs = corpus.vectors(spark, sf_dir)
+    qs = (
+        vecs.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    scored = topk.score_pairs(vecs, qs, query_keep=["query_id"]).select(
+        "query_id", "vec_id", "score"
+    )
+    return topk.topk_per_group_salted(scored, "query_id", K)
+
+
 @declare(
     "dense_threshold",
     f"""
