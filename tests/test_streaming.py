@@ -52,3 +52,31 @@ def test_stream_upsert_incremental_and_resume(spark, tmp_path):
         (F.col("doc_id") < 50) & F.col("text").startswith("UPDATED")
     ).count()
     assert untouched == 0
+
+
+def test_stateful_ema_matches_python_model(spark):
+    """applyInPandasWithState EMA must equal the reference's EMA math
+    (avg = 0.9*avg + 0.1*x) replayed over ts-ordered events per type."""
+    import os as _os
+
+    path = _os.path.join(SF_SMOKE, "events.parquet")
+    got = {
+        r["event_type"]: (r["ema"], r["n"])
+        for r in ingest.stateful_ema(spark, path).collect()
+    }
+
+    rows = (
+        spark.read.parquet(path)
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    expected = {}
+    for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+        ema, n = expected.get(r["event_type"], (None, 0))
+        ema = r["value"] if ema is None else 0.9 * ema + 0.1 * r["value"]
+        expected[r["event_type"]] = (ema, n + 1)
+
+    assert set(got) == set(expected)
+    for k, (ema, n) in expected.items():
+        assert got[k][1] == n
+        assert abs(got[k][0] - ema) < 1e-9

@@ -156,6 +156,81 @@ def stream_upsert(
     return spark.read.parquet(table_dir)
 
 
+def stateful_ema(
+    spark: SparkSession,
+    events_path: str,
+    alpha: float = 0.9,
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    the reference's EMA perf counter (avg = 0.9*avg + 0.1*x, reference
+    app/services/search_service.py:253-254) lifted to a per-event-type
+    streaming aggregate.
+
+    EMA is order-dependent, so it is NOT expressible as a SQL agg —
+    exactly the case for a custom stateful operator. Rows are ordered by
+    (ts, event_id) within each micro-batch and the running (ema, n)
+    carries across batches in the state store, so a restart resumes from
+    state instead of recomputing history. Needs Python workers (session
+    must have loopback configs); test-only, not a registry plan.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            ema, n = state.get
+        else:
+            ema, n = None, 0
+        for x in rows["value"]:
+            ema = float(x) if ema is None else alpha * ema + (1.0 - alpha) * float(x)
+            n += 1
+        state.update((float(ema), int(n)))
+        yield pd.DataFrame({"event_type": [key[0]], "ema": [ema], "n": [n]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    name = "stateful_ema_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream.select("event_type", "ts", "event_id", "value")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                update,
+                outputStructType="event_type string, ema double, n bigint",
+                stateStructType="ema double, n bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # update-mode sink may hold one row per key per micro-batch; the
+    # last row per key is the settled state
+    sink = spark.table(name)
+    w_last = (
+        sink.groupBy("event_type")
+        .agg(F.max(F.struct("n", "ema")).alias("s"))
+        .select("event_type", F.col("s.ema").alias("ema"), F.col("s.n").alias("n"))
+    )
+    return w_last
+
+
 def stream_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: stream the documents corpus through the
     checkpointed foreachBatch merge into a fresh temp table; the final
