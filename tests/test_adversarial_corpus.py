@@ -1,0 +1,75 @@
+"""Registry queries replayed over a synthetic ADVERSARIAL documents
+corpus — unicode, empty/whitespace-only text, exact duplicate texts,
+single-token docs — with the DuckDB oracle reading the same parquet.
+
+The driver's gate runs the registry over the well-behaved testdata
+corpora; this pins cross-engine parity on the inputs a real 100 TB
+crawl actually contains. Queries that only touch `documents` can be
+pointed at any sf_dir, which is what makes this reuse the declared
+plans verbatim.
+"""
+
+import os
+
+import duckdb
+import pytest
+
+from tests.conftest import compare_spark_duckdb
+from vector_search_application_spark.plans.registry import REGISTRY
+
+ADVERSARIAL_DOCS = [
+    # (doc_id, text, lang, source, n_chars)
+    (0, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+    (1, "", "en", "web", 0),
+    (2, "   \t  ", "en", "web", 6),
+    (3, "naïve café résumé — émigré über straße", "fr", "web", 38),
+    (4, "日本語のテキスト 中文文本 한국어", "ja", "web", 17),
+    (5, "emoji 😀😀 and symbols @#$%^&*() mixed 123", "en", "web", 40),
+    (6, "single", "en", "web", 6),
+    (7, "the quick brown fox jumps over the lazy dog", "en", "crawl", 44),  # dup of 0
+    (8, "UPPER lower MiXeD case TOKENS tokens", "en", "web", 36),
+    (9, "a b a b a b a b a b a b a b", "en", "web", 27),
+    (10, "x" * 500, "en", "web", 500),
+    (15, "tab\tseparated\nnewline\rcarriage", "en", "web", 30),
+    (20, "numbers 12345 67890 0 00 000", "en", "web", 28),
+    (25, "the the the the the the the the", "en", "web", 31),
+]
+
+DOC_QUERIES = [
+    "text_quality",
+    "token_stats",
+    "text_langid",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "corpus_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(tmp_path_factory):
+    from vector_search_application_spark.session import get_spark
+
+    spark = get_spark("tests")
+    d = str(tmp_path_factory.mktemp("adversarial_sf"))
+    spark.createDataFrame(
+        ADVERSARIAL_DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_adversarial_documents_parity(spark, adversarial_dir, name):
+    decl = next((d for d in REGISTRY if d.name == name), None)
+    if decl is None:
+        pytest.skip(f"{name} not in registry")
+    con = duckdb.connect()
+    # Spark writes <name>.parquet as a directory of part files
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{adversarial_dir}/documents.parquet/*.parquet')"
+    )
+    sdf = decl.spark(spark, adversarial_dir)
+    compare_spark_duckdb(sdf, con, decl.sql)
