@@ -73,3 +73,54 @@ def test_adversarial_documents_parity(spark, adversarial_dir, name):
     )
     sdf = decl.spark(spark, adversarial_dir)
     compare_spark_duckdb(sdf, con, decl.sql)
+
+
+# --- embeddings: zero / identical / constant / antiparallel vectors ------
+
+DIM = 64
+VEC_QUERIES = ["dense_topk", "dense_topk_batch", "dense_topk_batch_salted",
+               "quantized_topk", "embedding_neardup", "dense_threshold"]
+
+
+def _vec(seed: float) -> list[float]:
+    return [float(((i * 31 + 7) % 13) - 6) * seed for i in range(DIM)]
+
+
+ADVERSARIAL_VECS = [
+    # vec_id 0 is the fixed query vector (QUERY_VEC_ID = 0)
+    (0, _vec(1.0), "q"),
+    (1, [0.0] * DIM, "zero"),          # zero norm -> score must be 0.0
+    (2, _vec(1.0), "dup"),             # identical to the query (cos 1)
+    (3, _vec(-1.0), "anti"),           # antiparallel (cos -1)
+    (4, _vec(0.001), "tiny"),          # same direction, tiny magnitude
+    (5, [1.0] * DIM, "const"),         # constant vector
+    (6, [0.0] * (DIM - 1) + [1.0], "axis"),
+    (10, _vec(2.5), "scaled"),         # vec_id%10==0 -> neardup synth doubles it
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_vec_dir(tmp_path_factory):
+    from vector_search_application_spark.session import get_spark
+
+    spark = get_spark("tests")
+    d = str(tmp_path_factory.mktemp("adversarial_vec_sf"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in ADVERSARIAL_VECS],
+        "vec_id long, embedding array<float>, label string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", VEC_QUERIES)
+def test_adversarial_embeddings_parity(spark, adversarial_vec_dir, name):
+    decl = next((d for d in REGISTRY if d.name == name), None)
+    if decl is None:
+        pytest.skip(f"{name} not in registry")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{adversarial_vec_dir}/embeddings.parquet/*.parquet')"
+    )
+    sdf = decl.spark(spark, adversarial_vec_dir)
+    compare_spark_duckdb(sdf, con, decl.sql)
