@@ -110,25 +110,112 @@ def lsh_neardup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def _lit_vec(arr) -> str:
+    """Array-of-doubles literal; string->double cast is exact for the
+    Python float repr, so the constant folds to the identical IEEE bits."""
+    return "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in arr) + ")"
+
+
+def _cos_lit_sql(vec_col: str, arr, digits: int = 6) -> str:
+    """round(cosine(vec_col, <literal vector>), digits) replicating
+    P.cosine/P.rounded exactly: zip_with double products, left-assoc
+    aggregate sum, zero-denominator -> 0.0. The literal side's norm is
+    precomputed in Python — same IEEE left-assoc accumulation."""
+    import math
+
+    lit = _lit_vec(arr)
+    norm_c = 0.0
+    for x in arr:
+        norm_c = norm_c + float(x) * float(x)
+    norm_c = math.sqrt(norm_c)
+    dot_vc = (
+        f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> cast(x as double) * y),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    dot_vv = (
+        f"aggregate(zip_with({vec_col}, {vec_col},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    denom = f"(sqrt({dot_vv}) * CAST('{norm_c!r}' AS DOUBLE))"
+    return (
+        f"round(CAST(CASE WHEN {denom} > 0.0D THEN ({dot_vc}) / {denom}"
+        f" ELSE 0.0D END AS DOUBLE), {digits})"
+    )
+
+
+def _cell_expr(vec_col: str, cents: list[tuple[int, list]], digits: int = 6) -> str:
+    """Per-row nearest-centroid argmax over literal centroids as ONE
+    aggregate() fold: iterate in ascending centroid-id order with a
+    strict > so ties keep the lowest id (the order the ranking-window
+    formulation produced). A pure map expression — the corpus never
+    shuffles for assignment. Centroid norms are precomputed in Python
+    (same IEEE left-assoc accumulation) and ride in the literal."""
+    import math
+
+    entries = []
+    for cid, arr in sorted(cents):
+        n = 0.0
+        for x in arr:
+            n = n + float(x) * float(x)
+        entries.append(
+            f"named_struct('cid', CAST({cid} AS BIGINT), 'cvec', {_lit_vec(arr)},"
+            f" 'cnorm', CAST('{math.sqrt(n)!r}' AS DOUBLE))"
+        )
+    cents_lit = "array(" + ", ".join(entries) + ")"
+    dot_vc = (
+        f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> cast(x as double) * y),"
+        " 0.0D, (acc2, x) -> acc2 + x)"
+    )
+    dot_vv = (
+        f"aggregate(zip_with({vec_col}, {vec_col},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc2, x) -> acc2 + x)"
+    )
+    cos = (
+        f"round(CAST(CASE WHEN sqrt({dot_vv}) * c.cnorm > 0.0D"
+        f" THEN ({dot_vc}) / (sqrt({dot_vv}) * c.cnorm)"
+        f" ELSE 0.0D END AS DOUBLE), {digits})"
+    )
+    return (
+        f"aggregate({cents_lit},"
+        " named_struct('cell', CAST(-1 AS BIGINT), 'best', CAST(-2.0 AS DOUBLE)),"
+        f" (acc, c) -> CASE WHEN {cos} > acc.best"
+        f" THEN named_struct('cell', c.cid, 'best', {cos})"
+        " ELSE acc END,"
+        " acc -> acc.cell)"
+    )
+
+
+def _round_half_up(x: float, digits: int = 6) -> float:
+    """Spark/DuckDB ROUND (half away from zero) — NOT Python's
+    banker's rounding; driver-side cell ranking must match the engines."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cell): nearest-centroid assignment (max cosine, centroid id
-    breaking ties). Centroids are broadcast; at scale this is the
-    partitioning column of the stored table."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col).alias("id"),
-        F.col("centroid_id"),
-        P.rounded(P.cosine(F.col(vec_col), F.col("cvec"))).alias("cscore"),
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("cscore"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("centroid_id").alias("cell"))
+    """(id, cell): nearest-centroid assignment (max rounded cosine,
+    centroid id breaking ties), computed per-row against the collected
+    centroid set — a map-only plan, no shuffle. At scale this column is
+    what the stored table is partitioned by (the IVF index build); the
+    centroid set is small by construction (that is what makes it an
+    index) so collecting it to the driver is the broadcast."""
+    cents = [
+        (r["centroid_id"], list(r["cvec"])) for r in centroids.collect()
+    ]
+    return vectors.selectExpr(
+        f"{id_col} AS id", f"{_cell_expr(vec_col, cents)} AS cell"
     )
 
 
@@ -143,35 +230,46 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: probe the n_probe cells nearest the query, exact
     cosine top-k within them. Deterministic (centroids = the first
-    n_centroids corpus vectors), hence oracle-checkable."""
-    centroids = (
-        vectors.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-        )
+    n_centroids corpus vectors), hence oracle-checkable.
+
+    Single-stage plan: scan -> per-row cell argmax -> cell IN
+    (probe list) filter -> literal-query cosine -> TakeOrderedAndProject.
+    No shuffle, no joins, no persist; cell ranking happens driver-side
+    on the collected centroid set (8 rows). The previous formulation
+    windowed the corpus x centroids cross join on id — a full-corpus
+    shuffle that exists only to pick a per-row max."""
+    cents = [
+        (r[id_col], list(r[vec_col]))
+        for r in vectors.filter(F.col(id_col) < n_centroids).collect()
+    ]
+    qvec = [float(x) for x in query.first()["qvec"]]
+
+    def py_cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + float(x) * float(y)
+            na = na + float(x) * float(x)
+            nb = nb + float(y) * float(y)
+        import math
+
+        denom = math.sqrt(na) * math.sqrt(nb)
+        return _round_half_up(dot / denom if denom > 0.0 else 0.0)
+
+    ranked = sorted(
+        ((py_cos(cv, qvec), cid) for cid, cv in cents),
+        key=lambda t: (-t[0], t[1]),
     )
-    # the assignment IS the IVF index build — persist it (at scale this
-    # is the stored table's partitioning column, written once)
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col).persist()
-    qcells = (
-        centroids.crossJoin(F.broadcast(query))
-        .select(
-            "centroid_id",
-            P.rounded(P.cosine(F.col("cvec"), F.col("qvec"))).alias("cscore"),
-        )
-        .orderBy(F.desc("cscore"), F.asc("centroid_id"))
-        .limit(n_probe)
-        .select(F.col("centroid_id").alias("cell"))
+    probe_cells = [cid for _, cid in ranked[:n_probe]]
+
+    cell = _cell_expr(vec_col, cents)
+    score = _cos_lit_sql(vec_col, qvec)
+    return (
+        vectors.selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
+        .filter(F.col("cell").isin(probe_cells))
+        .select("id", "score")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
     )
-    probed = vectors.join(
-        assigned.join(F.broadcast(qcells), "cell"),
-        vectors[id_col] == F.col("id"),
-    )
-    scored = probed.crossJoin(F.broadcast(query)).select(
-        F.col("id"),
-        P.rounded(P.cosine(F.col(vec_col), F.col("qvec"))).alias("score"),
-    )
-    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
 def mllib_lsh_index(
