@@ -51,36 +51,49 @@ def plane_weights(spark, n_planes: int = LSH_PLANES, dim: int = 64) -> DataFrame
     )
 
 
+def _py_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """The same md5-derived weights plane_weights() computes engine-side
+    (hexval16(md5(plane||'_'||d)) - 32767.5) — byte-identical, so they
+    can ride as plan literals."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:4], 16) - 32767.5
+            for d in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _bucket_sql(vec_col: str, n_planes: int = LSH_PLANES, dim: int = 64) -> str:
+    """Sign-bit bucket of a vector as one per-row expression over
+    literal plane weights."""
+    terms = []
+    for p, w in enumerate(_py_plane_weights(n_planes, dim)):
+        dot = (
+            f"aggregate(zip_with({vec_col}, {_lit_vec(w)},"
+            " (x, y) -> cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0.0D THEN {1 << p}L ELSE 0L END")
+    return f"CAST({' + '.join(terms)} AS BIGINT)"
+
+
 def hyperplane_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = LSH_PLANES,
+    dim: int = 64,
 ) -> DataFrame:
     """(id, bucket): sign-bit bucket of each vector.
 
-    The unnest join with the weights table is broadcast (planes x dims
-    is tiny); per-vector work is a map-side partial aggregation.
-    """
-    spark = vectors.sparkSession
-    comps = vectors.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("pos", "x"),
-    ).select("id", (F.col("pos") + 1).alias("d"), F.col("x").cast("double"))
-    w = plane_weights(spark, n_planes)
-    dots = (
-        comps.join(F.broadcast(w), "d")
-        .groupBy("id", "plane")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("dot"))
-    )
-    return dots.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(plane AS INT))")).otherwise(
-                F.lit(0)
-            )
-        )
-        .cast("bigint")
-        .alias("bucket")
+    Computed per-row against literal plane weights — a pure map: the
+    previous posexplode + weights join + two groupBys shuffled
+    |corpus| x dim rows to build what each row can compute alone (same
+    lesson as the SimHash rewrite, operators/dedup.py)."""
+    return vectors.selectExpr(
+        f"{id_col} AS id", f"{_bucket_sql(vec_col, n_planes, dim)} AS bucket"
     )
 
 
@@ -92,15 +105,15 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, cosine) for same-bucket pairs above the cosine
     threshold — embedding near-duplicate detection."""
-    # persist the bucketed table: it is the LSH index, and both join
-    # sides read it (without persistence the hyperplane-projection
-    # aggregation pipeline runs twice)
-    buckets = hyperplane_buckets(vectors, id_col, vec_col)
-    with_b = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .join(buckets, "id")
-        .persist()
-    )
+    # the bucket is a per-row projection (no join with a bucket table);
+    # persist = compute the hyperplane dots once for both sides of the
+    # self-join (at scale this table is what you'd write out,
+    # partitioned by bucket)
+    with_b = vectors.selectExpr(
+        f"{id_col} AS id",
+        f"{vec_col} AS v",
+        f"{_bucket_sql(vec_col)} AS bucket",
+    ).persist()
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
