@@ -105,20 +105,18 @@ GROUP BY doc_id
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-sensitive rolling document fingerprint: md5 of
     (position, token) folded mod a prime — order changes change the
-    print, unlike a bag hash. One explode + one keyed agg."""
+    print, unlike a bag hash. Computed per-row from the token array
+    (no explode, no shuffle): sum commutes, so the in-order fold equals
+    the oracle's unordered SUM exactly in int64 (every term < FP_MOD,
+    |tokens| * FP_MOD << 2^63 — no overflow, no FP)."""
     docs = corpus.docs(spark, sf_dir)
-    positioned = docs.select(
-        "doc_id", F.posexplode(P.tokens(F.col("text"))).alias("pos0", "term")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
-    hashed = positioned.select(
-        "doc_id",
-        (
-            P.md5_long(
-                F.concat(F.col("pos").cast("string"), F.lit("_"), F.col("term"))
-            )
-            % T.FP_MOD
-        ).alias("h"),
+    fold = (
+        "aggregate(sequence(1, size(toks)), 0L, (acc, i) -> acc + "
+        "cast(conv(substring(md5(concat(cast(i as string), '_', toks[i - 1])),"
+        f" 1, 15), 16, 10) as bigint) % {T.FP_MOD}L)"
     )
-    return hashed.groupBy("doc_id").agg(
-        (F.sum("h") % T.FP_MOD).cast("bigint").alias("fingerprint")
+    return (
+        docs.select("doc_id", P.tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .selectExpr("doc_id", f"CAST({fold} % {T.FP_MOD}L AS BIGINT) AS fingerprint")
     )
