@@ -486,6 +486,22 @@ def q_exact_cascade_secondary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "exact_cascade_miss",
+    _cascade_sql("qs AS (SELECT 'NONEXISTENT123' AS q)"),
+    survey_ids="Q1,F5",
+)
+def q_exact_cascade_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both fields miss — the reference's negative golden query
+    'NONEXISTENT123' (scripts/indexing.py:652): the cascade must return
+    an EMPTY result with the declared schema, not an error and not a
+    fallback row."""
+    prods = corpus.products(spark, sf_dir)
+    return exact.exact_cascade(
+        prods, "NONEXISTENT123", "partNumber_airgas_text", "manufacturerPartNumber_text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # V4/F3 — fusion search: exact cascade + ranked branch, max-score dedup
 # ---------------------------------------------------------------------------
