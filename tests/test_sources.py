@@ -114,3 +114,62 @@ def test_bucketed_layout_prunes_partitions(spark, tmp_path):
     plan = hit._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[\(__bucket#\d+ = \d+\)\]", plan)
     assert m, f"no constant partition filter in plan: {plan[:500]}"
+
+
+def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """M1 against the bucketed layout: the merge must (a) equal a full
+    anti-join+union upsert and (b) leave untouched bucket directories'
+    files byte-for-byte alone (dynamic partition overwrite)."""
+    from vector_search_application_spark.plans import corpus
+    from vector_search_application_spark.sources import layout
+
+    prods = corpus.products(spark, SF_SMOKE)
+    path = str(tmp_path / "bucketed")
+    layout.write_bucketed(prods, path, "_id")
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_files()
+
+    # update two existing rows + insert one new key
+    two = prods.orderBy("id").limit(2).withColumn(
+        "onlinePrice_string", F.lit("999.99")
+    )
+    new = prods.orderBy("id").limit(1).withColumn(
+        "_id", F.lit("BRANDNEW0000001")
+    ).withColumn("partNumber_airgas_text", F.lit("BRANDNEW0000001"))
+    updates = two.unionByName(new)
+
+    final = layout.bucketed_upsert(spark, path, updates, "_id")
+
+    # (a) semantics: equal to the full-table upsert
+    from vector_search_application_spark.operators import mutations
+
+    expect = mutations.upsert(prods, updates.drop("__bucket"), "_id")
+    a = sorted(map(tuple, final.drop("__bucket").select(*expect.columns).collect()))
+    b = sorted(map(tuple, expect.collect()))
+    assert a == b
+
+    # (b) physics: only the updates' buckets were rewritten
+    touched = {
+        f"__bucket={r['__bucket']}"
+        for r in updates.withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col("_id")), F.lit(layout.N_BUCKETS))
+        ).select("__bucket").distinct().collect()
+    }
+    after = bucket_files()
+    assert set(after) == set(before) | touched
+    for d in set(before) - touched:
+        assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+    for d in touched & set(before):
+        assert after[d] != before[d]
