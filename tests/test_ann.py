@@ -45,3 +45,16 @@ def test_hyperplane_bucket_stability(spark):
     b2 = {r.id: r.bucket for r in ann.hyperplane_buckets(vecs).collect()}
     assert b1 == b2
     assert len(set(b1.values())) > 1  # buckets actually spread
+
+
+def test_python_plane_weights_match_engine_derivation(spark):
+    """The per-row bucket expression embeds _py_plane_weights as plan
+    literals; they must equal the engine-side md5 derivation
+    (plane_weights) bit-for-bit or buckets silently drift."""
+    got = {
+        (r["plane"], r["d"]): r["w"]
+        for r in ann.plane_weights(spark, n_planes=4, dim=8).collect()
+    }
+    py = ann._py_plane_weights(4, 8)
+    for (p, d), w in got.items():
+        assert py[p][d - 1] == w
