@@ -9,12 +9,13 @@ Correctness is always defined by the exact brute-force operator
                    generation is a key join (no all-pairs), verification
                    is exact cosine on candidates only. Fully portable to
                    the DuckDB oracle (declared queries use this).
-  IVF              centroid assignment + probe-nearest-centroids ->
-                   partition-pruned exact search inside probed cells.
-                   At scale the corpus is PARTITIONED BY cell_id, so a
-                   query touches nprobe partitions instead of the full
-                   table — the same two-stage plan stays a pair of
-                   broadcast joins + one pruned scan.
+  IVF              single-stage map plan: the centroid set (small by
+                   construction) rides as plan literals, each row
+                   computes its nearest cell in-row, the probe filter
+                   is an IN-literal, top-k is TakeOrderedAndProject —
+                   zero exchanges, zero joins. At scale the corpus is
+                   PARTITIONED BY cell, so the probe filter becomes
+                   partition pruning.
   MLlib LSH        BucketedRandomProjectionLSH as the "index build"
                    (fit = index construction, transform = bucketed
                    table); seeded -> reproducible, recall measured in
@@ -23,7 +24,7 @@ Correctness is always defined by the exact brute-force operator
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
