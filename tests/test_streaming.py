@@ -56,7 +56,10 @@ def test_stream_upsert_incremental_and_resume(spark, tmp_path):
 
 def test_stateful_ema_matches_python_model(spark):
     """applyInPandasWithState EMA must equal the reference's EMA math
-    (avg = 0.9*avg + 0.1*x) replayed over ts-ordered events per type."""
+    (avg = 0.9*avg + 0.1*x) replayed over ts-ordered events per type.
+    The corpus is a single parquet file -> one micro-batch, so the
+    globally-sorted Python replay IS the operator's ordering contract
+    (within-batch (ts, event_id) order; across batches, arrival order)."""
     import os as _os
 
     path = _os.path.join(SF_SMOKE, "events.parquet")

@@ -124,6 +124,18 @@ def dot_sql(a: str, b: str) -> str:
     return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
 
 
+def dot_spark_sql(a: str, b: str) -> str:
+    """Spark-SQL string form of ``dot`` — same zip_with double products
+    and left-assoc accumulation, for builders that assemble plans as
+    parsed SQL (operators/ann.py literal-vector paths). Keep in lockstep
+    with ``dot``; parity breaks silently otherwise."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

@@ -69,15 +69,21 @@ def _py_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
 
 def _bucket_sql(vec_col: str, n_planes: int = LSH_PLANES, dim: int = 64) -> str:
     """Sign-bit bucket of a vector as one per-row expression over
-    literal plane weights."""
+    literal plane weights.
+
+    Guarded on the vector length: zip_with null-pads a length mismatch,
+    which would turn every dot NULL and silently collapse ALL vectors
+    into bucket 0 — raise instead."""
     terms = []
     for p, w in enumerate(_py_plane_weights(n_planes, dim)):
-        dot = (
-            f"aggregate(zip_with({vec_col}, {_lit_vec(w)},"
-            " (x, y) -> cast(x as double) * y), 0.0D, (acc, x) -> acc + x)"
-        )
+        dot = P.dot_spark_sql(vec_col, _lit_vec(w))
         terms.append(f"CASE WHEN {dot} > 0.0D THEN {1 << p}L ELSE 0L END")
-    return f"CAST({' + '.join(terms)} AS BIGINT)"
+    bucket = f"CAST({' + '.join(terms)} AS BIGINT)"
+    return (
+        f"CASE WHEN size({vec_col}) = {dim} THEN {bucket}"
+        f" ELSE CAST(raise_error(concat('hyperplane bucket expects dim {dim}, got ',"
+        f" cast(size({vec_col}) as string))) AS BIGINT) END"
+    )
 
 
 def hyperplane_buckets(
@@ -103,6 +109,7 @@ def lsh_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """(id_a, id_b, cosine) for same-bucket pairs above the cosine
     threshold — embedding near-duplicate detection."""
@@ -113,7 +120,7 @@ def lsh_neardup_pairs(
     with_b = vectors.selectExpr(
         f"{id_col} AS id",
         f"{vec_col} AS v",
-        f"{_bucket_sql(vec_col)} AS bucket",
+        f"{_bucket_sql(vec_col, dim=dim)} AS bucket",
     ).persist()
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
@@ -130,28 +137,25 @@ def _lit_vec(arr) -> str:
     return "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in arr) + ")"
 
 
+def _py_norm(arr) -> float:
+    """L2 norm with the same IEEE left-assoc accumulation the engines
+    use — safe to ride in plan literals."""
+    import math
+
+    n = 0.0
+    for x in arr:
+        n = n + float(x) * float(x)
+    return math.sqrt(n)
+
+
 def _cos_lit_sql(vec_col: str, arr, digits: int = 6) -> str:
     """round(cosine(vec_col, <literal vector>), digits) replicating
     P.cosine/P.rounded exactly: zip_with double products, left-assoc
     aggregate sum, zero-denominator -> 0.0. The literal side's norm is
     precomputed in Python — same IEEE left-assoc accumulation."""
-    import math
-
-    lit = _lit_vec(arr)
-    norm_c = 0.0
-    for x in arr:
-        norm_c = norm_c + float(x) * float(x)
-    norm_c = math.sqrt(norm_c)
-    dot_vc = (
-        f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> cast(x as double) * y),"
-        " 0.0D, (acc, x) -> acc + x)"
-    )
-    dot_vv = (
-        f"aggregate(zip_with({vec_col}, {vec_col},"
-        " (x, y) -> cast(x as double) * cast(y as double)),"
-        " 0.0D, (acc, x) -> acc + x)"
-    )
-    denom = f"(sqrt({dot_vv}) * CAST('{norm_c!r}' AS DOUBLE))"
+    dot_vc = P.dot_spark_sql(vec_col, _lit_vec(arr))
+    dot_vv = P.dot_spark_sql(vec_col, vec_col)
+    denom = f"(sqrt({dot_vv}) * CAST('{_py_norm(arr)!r}' AS DOUBLE))"
     return (
         f"round(CAST(CASE WHEN {denom} > 0.0D THEN ({dot_vc}) / {denom}"
         f" ELSE 0.0D END AS DOUBLE), {digits})"
@@ -159,55 +163,52 @@ def _cos_lit_sql(vec_col: str, arr, digits: int = 6) -> str:
 
 
 def _cell_expr(vec_col: str, cents: list[tuple[int, list]], digits: int = 6) -> str:
-    """Per-row nearest-centroid argmax over literal centroids as ONE
-    aggregate() fold: iterate in ascending centroid-id order with a
-    strict > so ties keep the lowest id (the order the ranking-window
-    formulation produced). A pure map expression — the corpus never
-    shuffles for assignment. Centroid norms are precomputed in Python
-    (same IEEE left-assoc accumulation) and ride in the literal."""
-    import math
+    """Per-row nearest-centroid argmax over literal centroids — a pure
+    map expression; the corpus never shuffles for assignment.
 
+    Three nested bindings keep every quantity single-evaluation (HOF
+    lambdas get no codegen CSE): the row's own norm binds once in an
+    outer transform; a transform over the centroid literals scores each
+    centroid ONCE (centroid norms precomputed in Python); the final
+    aggregate() folds an argmax over the scored array, iterating in
+    ascending centroid-id order with strict > so ties keep the lowest
+    id (the order the ranking-window formulation produced)."""
     entries = []
     for cid, arr in sorted(cents):
-        n = 0.0
-        for x in arr:
-            n = n + float(x) * float(x)
         entries.append(
             f"named_struct('cid', CAST({cid} AS BIGINT), 'cvec', {_lit_vec(arr)},"
-            f" 'cnorm', CAST('{math.sqrt(n)!r}' AS DOUBLE))"
+            f" 'cnorm', CAST('{_py_norm(arr)!r}' AS DOUBLE))"
         )
     cents_lit = "array(" + ", ".join(entries) + ")"
-    dot_vc = (
-        f"aggregate(zip_with({vec_col}, c.cvec, (x, y) -> cast(x as double) * y),"
-        " 0.0D, (acc2, x) -> acc2 + x)"
-    )
-    dot_vv = (
-        f"aggregate(zip_with({vec_col}, {vec_col},"
-        " (x, y) -> cast(x as double) * cast(y as double)),"
-        " 0.0D, (acc2, x) -> acc2 + x)"
-    )
+    dot_vc = P.dot_spark_sql(vec_col, "c.cvec")
+    dot_vv = P.dot_spark_sql(vec_col, vec_col)
     cos = (
-        f"round(CAST(CASE WHEN sqrt({dot_vv}) * c.cnorm > 0.0D"
-        f" THEN ({dot_vc}) / (sqrt({dot_vv}) * c.cnorm)"
+        f"round(CAST(CASE WHEN nv * c.cnorm > 0.0D"
+        f" THEN ({dot_vc}) / (nv * c.cnorm)"
         f" ELSE 0.0D END AS DOUBLE), {digits})"
     )
-    return (
-        f"aggregate({cents_lit},"
+    scored = f"transform({cents_lit}, c -> named_struct('cid', c.cid, 's', {cos}))"
+    argmax = (
+        f"aggregate({scored},"
         " named_struct('cell', CAST(-1 AS BIGINT), 'best', CAST(-2.0 AS DOUBLE)),"
-        f" (acc, c) -> CASE WHEN {cos} > acc.best"
-        f" THEN named_struct('cell', c.cid, 'best', {cos})"
+        " (acc, e) -> CASE WHEN e.s > acc.best"
+        " THEN named_struct('cell', e.cid, 'best', e.s)"
         " ELSE acc END,"
         " acc -> acc.cell)"
     )
+    return f"transform(array(sqrt({dot_vv})), nv -> {argmax})[0]"
 
 
 def _round_half_up(x: float, digits: int = 6) -> float:
-    """Spark/DuckDB ROUND (half away from zero) — NOT Python's
-    banker's rounding; driver-side cell ranking must match the engines."""
+    """Spark ROUND on DOUBLE: HALF_UP over the SHORTEST decimal repr
+    of the double (BigDecimal.valueOf = Double.toString), which Python's
+    repr() also produces — NOT over the exact binary expansion
+    (Decimal(x)), and NOT Python round()'s banker's rounding.
+    Driver-side probe-cell ranking must match the engines."""
     import decimal
 
     return float(
-        decimal.Decimal(x).quantize(
+        decimal.Decimal(repr(x)).quantize(
             decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
         )
     )

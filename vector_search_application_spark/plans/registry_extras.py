@@ -219,7 +219,13 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build the index (write bucketed by partNumber), then look the query
     up touching only its bucket directory (PartitionFilters prune the
     other 15/16 before any file I/O). The oracle is a plain filter over
-    the unindexed table: the index must be semantically invisible."""
+    the unindexed table: the index must be semantically invisible.
+
+    Each execution rebuilds the bucketed table in a fresh temp dir —
+    this declared query is a correctness gate for build+lookup
+    together, not a latency probe (same pattern as
+    directory_import_full); the pruned-read physics is asserted in
+    tests/test_sources.py."""
     from ..sources import layout
 
     work = os.path.join(tempfile.mkdtemp(prefix="payload_idx_"), "products")
@@ -236,7 +242,11 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()["q"]
     )
-    hit = layout.indexed_lookup(spark, work, "partNumber_airgas_text", q)
+    # C2 query cleanup happens BEFORE the bucket is derived (the lookup
+    # itself matches the stored key exactly, layout.indexed_lookup)
+    hit = layout.indexed_lookup(
+        spark, work, "partNumber_airgas_text", q.strip().upper()
+    )
     return hit.select(
         "id", "partNumber_airgas_text", F.lit(1.0).cast("double").alias("score")
     )

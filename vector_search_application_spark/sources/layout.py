@@ -51,8 +51,13 @@ def indexed_lookup(
 ) -> DataFrame:
     """Exact lookup over the bucketed layout: the bucket predicate is
     derived from the query literal (constant-folded), so only one
-    bucket directory is listed and read."""
-    q = F.upper(F.trim(F.lit(query)))
+    bucket directory is listed and read.
+
+    The key is matched EXACTLY as stored — the index must equal a plain
+    ``key_col == query`` filter. Query normalization (the reference's
+    strip().upper(), C2) is the caller's concern, applied BEFORE the
+    bucket is derived."""
+    q = F.lit(query)
     return (
         spark.read.parquet(path)
         .filter((F.col(BUCKET_COL) == _bucket_of(q, n_buckets)) & (F.col(key_col) == q))

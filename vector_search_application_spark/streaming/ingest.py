@@ -161,6 +161,7 @@ def stateful_ema(
     events_path: str,
     alpha: float = 0.9,
     state_partitions: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     the reference's EMA perf counter (avg = 0.9*avg + 0.1*x, reference
@@ -168,14 +169,19 @@ def stateful_ema(
     streaming aggregate.
 
     EMA is order-dependent, so it is NOT expressible as a SQL agg —
-    exactly the case for a custom stateful operator. Rows are ordered by
-    (ts, event_id) within each micro-batch and the running (ema, n)
-    carries across batches in the state store, so a restart resumes from
-    state instead of recomputing history. Needs Python workers (session
-    must have loopback configs); test-only, not a registry plan.
+    exactly the case for a custom stateful operator. Ordering contract:
+    rows fold in (ts, event_id) order WITHIN each micro-batch; across
+    batches the fold order is arrival order, as in any stream — events
+    late across a batch boundary fold late. The running (ema, n)
+    carries in the state store; with a checkpoint_dir a re-run resumes
+    from stored state/offsets and processes only new files instead of
+    recomputing history. Needs Python workers (session must have
+    loopback configs); test-only, not a registry plan.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="stateful_ema_ckpt_")
     schema = spark.read.parquet(events_path).schema
 
     def update(key, pdfs, state: GroupState):
@@ -214,6 +220,7 @@ def stateful_ema(
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()
         )
