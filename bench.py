@@ -12,6 +12,12 @@ batch (amortized per-query time must beat 2x the reference's 40 ms
 per-query claim => >= 12.5 q/s aggregate). That number is reported as
 "dense_batch_1000" (seconds for the whole batch) plus derived
 "qps_dense_batch_1000" at the top level.
+
+Index-shaped persisted tables (BM25 postings, LSH bands, shingle sets)
+deliberately stay cached across reps and queries — Spark's CacheManager
+dedupes them by canonicalized plan, and a warm in-memory index is the
+reference's serving shape (its collections are RAM-resident); clearing
+the cache between reps would benchmark index REBUILD, not search.
 """
 
 from __future__ import annotations
