@@ -83,3 +83,61 @@ def test_stateful_ema_matches_python_model(spark):
     for k, (ema, n) in expected.items():
         assert got[k][1] == n
         assert abs(got[k][0] - ema) < 1e-9
+
+
+def test_stateful_ema_resumes_from_checkpoint(spark, tmp_path):
+    """Second run over the same checkpoint must fold ONLY the new file's
+    events on top of stored state (no recompute of history)."""
+    import os as _os
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+
+    # testdata stores TIMESTAMP(NANOS); read as bigint like corpus._read
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(_os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_type", "ts", "event_id", "value", "user_id", "props"
+    )
+    first = events.filter(F.col("event_id") < 500)
+    second = events.filter(F.col("event_id") >= 500)
+    first.coalesce(1).write.parquet(str(src / "b1"))
+    for f in (src / "b1").iterdir():
+        if f.name.endswith(".parquet"):
+            f.rename(src / "batch1.parquet")
+
+    out1 = {
+        r["event_type"]: (r["ema"], r["n"])
+        for r in ingest.stateful_ema(
+            spark, str(src / "*.parquet"), checkpoint_dir=ckpt
+        ).collect()
+    }
+
+    second.coalesce(1).write.parquet(str(src / "b2"))
+    for f in (src / "b2").iterdir():
+        if f.name.endswith(".parquet"):
+            f.rename(src / "batch2.parquet")
+
+    out2 = {
+        r["event_type"]: (r["ema"], r["n"])
+        for r in ingest.stateful_ema(
+            spark, str(src / "*.parquet"), checkpoint_dir=ckpt
+        ).collect()
+    }
+
+    # python model: batch1's events in (ts, event_id) order, THEN batch2's
+    expected = {}
+    for batch in (first, second):
+        rows = sorted(batch.collect(), key=lambda r: (r["ts"], r["event_id"]))
+        for r in rows:
+            ema, n = expected.get(r["event_type"], (None, 0))
+            ema = r["value"] if ema is None else 0.9 * ema + 0.1 * r["value"]
+            expected[r["event_type"]] = (ema, n + 1)
+
+    assert {k: v[1] for k, v in out2.items()} == {
+        k: v[1] for k, v in expected.items()
+    }
+    for k, (ema, _) in expected.items():
+        assert abs(out2[k][0] - ema) < 1e-9
+    # and the counts strictly grew from run 1 (state carried, not reset)
+    assert all(out2[k][1] > out1[k][1] for k in out1)

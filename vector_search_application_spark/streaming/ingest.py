@@ -203,7 +203,14 @@ def stateful_ema(
         .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
-    name = "stateful_ema_sink"
+    # the memory sink cannot recover from a checkpoint; append each
+    # update batch to a parquet log tied to the checkpoint so a resumed
+    # run extends the same output
+    out_dir = checkpoint_dir.rstrip("/") + "_out"
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_dir)
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -217,8 +224,7 @@ def stateful_ema(
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             )
-            .writeStream.format("memory")
-            .queryName(name)
+            .writeStream.foreachBatch(append_batch)
             .outputMode("update")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
@@ -227,9 +233,10 @@ def stateful_ema(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    # update-mode sink may hold one row per key per micro-batch; the
-    # last row per key is the settled state
-    sink = spark.table(name)
+    # the log holds one row per touched key per micro-batch across ALL
+    # runs on this checkpoint; the row with the highest n per key is the
+    # settled state
+    sink = spark.read.parquet(out_dir)
     w_last = (
         sink.groupBy("event_type")
         .agg(F.max(F.struct("n", "ema")).alias("s"))
