@@ -58,3 +58,15 @@ def test_python_plane_weights_match_engine_derivation(spark):
     py = ann._py_plane_weights(4, 8)
     for (p, d), w in got.items():
         assert py[p][d - 1] == w
+
+
+def test_hyperplane_bucket_rejects_wrong_dim(spark):
+    """A dim mismatch must raise, not silently collapse every vector
+    into bucket 0 (zip_with null-pads short arrays)."""
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="hyperplane bucket expects dim 64"):
+        ann.hyperplane_buckets(bad).collect()
