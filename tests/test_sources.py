@@ -173,3 +173,20 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         assert after[d] == before[d], f"untouched bucket {d} was rewritten"
     for d in touched & set(before):
         assert after[d] != before[d]
+
+
+def test_targz_scan_multiple_archives(spark, tmp_path, product_docs):
+    """S2 over a directory glob: one task per archive, all inner .json
+    members surfaced with their archive of origin."""
+    for i in range(3):
+        inner = tmp_path / f"products_{i}.json"
+        inner.write_text(json.dumps([dict(product_docs[0], _id=f"DOC{i}")]))
+        with tarfile.open(tmp_path / f"batch_{i}.tar.gz", "w:gz") as tar:
+            tar.add(inner, arcname=f"data/products_{i}.json")
+
+    rows = json_source.read_targz_json(spark, str(tmp_path / "*.tar.gz")).collect()
+    assert len(rows) == 3
+    assert {json.loads(r["json_text"])[0]["_id"] for r in rows} == {
+        "DOC0", "DOC1", "DOC2"
+    }
+    assert len({r["archive"] for r in rows}) == 3
