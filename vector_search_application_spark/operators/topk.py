@@ -231,5 +231,21 @@ def paginate(df: DataFrame, order_col: str, limit: int, offset: int = 0) -> Data
     )
 
 
+def keyset_page(
+    df: DataFrame, order_col: str, after, limit: int
+) -> DataFrame:
+    """Q4 pagination, the scale path: WHERE order_col > after ORDER BY
+    order_col LIMIT n. Unlike OFFSET (which ranks and discards every
+    earlier row — a window over the full table), the cursor predicate
+    pushes into the scan and the limit compiles to
+    TakeOrderedAndProject, so page N costs the same as page 1 at any
+    table size."""
+    return (
+        df.filter(F.col(order_col) > F.lit(after))
+        .orderBy(F.asc(order_col))
+        .limit(limit)
+    )
+
+
 def rounded_score(col: Column, digits: int = ROUND_DIGITS) -> Column:
     return P.rounded(col, digits)

@@ -196,6 +196,25 @@ def q_scroll_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "keyset_page",
+    """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id > 39
+ORDER BY doc_id ASC
+LIMIT 20
+""",
+    survey_ids="Q4,K2,K3",
+)
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's scale path: cursor pagination — same page as scroll_page
+    (rows after doc_id 39) but via a pushed-down cursor predicate +
+    TakeOrderedAndProject instead of a full-table ranking window."""
+    docs = corpus.docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return topk.keyset_page(docs, "doc_id", after=39, limit=20)
+
+
+@declare(
     "corpus_counts",
     """
 SELECT source,
