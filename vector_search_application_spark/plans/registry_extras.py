@@ -54,14 +54,32 @@ def q_json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed write) and scan it back (S1); the oracle reads the
     source parquet, so the JSON roundtrip must be lossless."""
     out = os.path.join(tempfile.mkdtemp(prefix="json_roundtrip_"), "docs")
-    docs = corpus.docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    docs = corpus.docs(spark, sf_dir).select(*_DOC_COLS)
     docs.write.mode("overwrite").json(out)
-    return spark.read.json(out).select("doc_id", "lang", "source", "text")
+    # explicit schema: skips the inference double-read, pins types
+    return spark.read.schema(_DOC_SCHEMA).json(out).select(*_DOC_COLS)
 
 
 # ---------------------------------------------------------------------------
 # S4 — directory import (full): JSON-ARRAY files + glob + reset-load
 # ---------------------------------------------------------------------------
+
+_DOC_COLS = ["doc_id", "lang", "source", "text"]
+_DOC_SCHEMA = "doc_id bigint, lang string, source string, text string"
+
+
+def _write_doc_json_arrays(docs: DataFrame, imp: str) -> None:
+    """Export documents as JSON ARRAY files (the reference's on-disk
+    format — one array per file, built JVM-side with
+    to_json(collect_list(struct)))."""
+    arrays = docs.groupBy(F.spark_partition_id().alias("p")).agg(
+        F.to_json(F.collect_list(F.struct(*_DOC_COLS))).alias("j")
+    )
+    arrays.select("j").write.mode("overwrite").text(imp)
+    for f in os.listdir(imp):  # the text sink writes .txt; S4 globs *.json
+        if f.endswith(".txt"):
+            os.rename(os.path.join(imp, f), os.path.join(imp, f[:-4] + ".json"))
+
 
 @declare(
     "directory_import_full",
@@ -70,30 +88,56 @@ def q_json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_directory_import_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's import path (glob *.json, reset collection, load):
-    documents are exported as JSON ARRAY files (the reference's on-disk
-    format — one array per file, built JVM-side with
-    to_json(collect_list(struct))), then import_full globs the
-    directory, parses with the multiLine array reader, and overwrites
-    the table. Oracle reads the source parquet: the whole
+    documents are exported as JSON ARRAY files, then import_full globs
+    the directory, parses with the multiLine array reader, and
+    overwrites the table. Oracle reads the source parquet: the whole
     export -> array-parse -> table roundtrip must be lossless."""
     from ..sources import json_source
 
     work = tempfile.mkdtemp(prefix="dir_import_")
     imp, table = os.path.join(work, "import"), os.path.join(work, "table")
-    docs = corpus.docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
-    arrays = docs.groupBy(F.spark_partition_id().alias("p")).agg(
-        F.to_json(
-            F.collect_list(F.struct("doc_id", "lang", "source", "text"))
-        ).alias("j")
-    )
-    arrays.select("j").write.mode("overwrite").text(imp)
-    for f in os.listdir(imp):  # the text sink writes .txt; S4 globs *.json
-        if f.endswith(".txt"):
-            os.rename(
-                os.path.join(imp, f), os.path.join(imp, f[:-4] + ".json")
-            )
+    docs = corpus.docs(spark, sf_dir).select(*_DOC_COLS)
+    _write_doc_json_arrays(docs, imp)
     json_source.import_full(spark, imp, table)
-    return spark.read.parquet(table).select("doc_id", "lang", "source", "text")
+    return spark.read.parquet(table).select(*_DOC_COLS)
+
+
+# ---------------------------------------------------------------------------
+# S2 — tar.gz import (the reference's primary bulk-load path)
+# ---------------------------------------------------------------------------
+
+@declare(
+    "targz_import",
+    "SELECT doc_id, lang, source, text FROM documents",
+    survey_ids="S2",
+)
+def q_targz_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 (reference scripts/indexing.py:145-281: open products.tar.gz,
+    find the inner .json members, parse): documents exported as JSON
+    array files, tarred into ONE .tar.gz, then imported via the
+    driver-side pre-extract + schema-pinned multiLine scan
+    (sources/json_source.import_targz). Oracle reads the source
+    parquet: archive -> extract -> scan must be lossless.
+
+    The mapInPandas extractor (json_source.read_targz_json) is the
+    cluster-scale path for a *directory* of archives (tested in
+    tests/test_sources.py); pre-extract keeps this declared plan
+    Python-worker-free."""
+    import tarfile
+
+    from ..sources import json_source
+
+    work = tempfile.mkdtemp(prefix="targz_import_")
+    imp = os.path.join(work, "inner")
+    docs = corpus.docs(spark, sf_dir).select(*_DOC_COLS)
+    _write_doc_json_arrays(docs, imp)
+    archive = os.path.join(work, "products.tar.gz")
+    with tarfile.open(archive, "w:gz") as tar:
+        for f in sorted(os.listdir(imp)):
+            if f.endswith(".json"):
+                tar.add(os.path.join(imp, f), arcname=f"products/{f}")
+    out = json_source.import_targz(spark, archive, work, schema=_DOC_SCHEMA)
+    return out.select(*_DOC_COLS)
 
 
 # ---------------------------------------------------------------------------

@@ -37,9 +37,18 @@ PRODUCT_FIELDS = [
 ]
 
 
-def read_json_array(spark: SparkSession, path: str) -> DataFrame:
-    """S1/S3: list-of-dicts JSON file(s); one task per file."""
-    return spark.read.option("multiLine", "true").json(path)
+def read_json_array(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """S1/S3: list-of-dicts JSON file(s); one task per file.
+
+    Pass ``schema`` (DDL string) whenever it is known: an explicit
+    schema skips the inference pass (which reads every file twice) and
+    pins types against drift on empty/partial partitions."""
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
 
 
 def read_targz_json(spark: SparkSession, path: str) -> DataFrame:
@@ -75,6 +84,43 @@ def read_targz_json(spark: SparkSession, path: str) -> DataFrame:
 
     return bins.select("path", "content").mapInPandas(
         extract, "member string, json_text string, archive string"
+    )
+
+
+def extract_targz(archive_path: str, out_dir: str) -> list[str]:
+    """S2 driver-side pre-extract: unpack the inner ``.json`` members of
+    one ``.tar.gz`` into ``out_dir`` (reference scripts/indexing.py:145-281
+    opens products.tar.gz and parses the inner .json the same way).
+
+    This is the JVM-only import path — after extraction the scan is a
+    plain distributed ``spark.read.json``; no Python workers in the
+    query plan. For a *directory* of archives on a real cluster, use
+    ``read_targz_json`` (binaryFile + mapInPandas) instead."""
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    extracted: list[str] = []
+    with tarfile.open(archive_path, "r:gz") as tar:
+        for member in tar.getmembers():
+            if member.isfile() and member.name.endswith(".json"):
+                target = os.path.join(out_dir, os.path.basename(member.name))
+                with tar.extractfile(member) as src, open(target, "wb") as dst:
+                    dst.write(src.read())
+                extracted.append(target)
+    return extracted
+
+
+def import_targz(
+    spark: SparkSession,
+    archive_path: str,
+    work_dir: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """S2: import a ``.tar.gz`` of JSON array files — driver-side
+    pre-extract + multiLine scan (one task per inner file)."""
+    extract_targz(archive_path, os.path.join(work_dir, "extracted"))
+    return read_json_array(
+        spark, os.path.join(work_dir, "extracted", "*.json"), schema=schema
     )
 
 
