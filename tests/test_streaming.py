@@ -30,6 +30,21 @@ def test_stream_upsert_incremental_and_resume(spark, tmp_path):
     )
     assert out1.count() == batch1.count()
 
+    def bucket_files():
+        out = {}
+        for d in os.listdir(table):
+            if d.startswith("__bucket="):
+                full = os.path.join(table, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = bucket_files()
+    assert before, "stream sink should be a bucketed layout"
+
     # second run: an overlapping batch with mutated text arrives; only
     # the new file is processed (checkpoint), updates win on their keys
     batch2 = (
@@ -52,6 +67,47 @@ def test_stream_upsert_incremental_and_resume(spark, tmp_path):
         (F.col("doc_id") < 50) & F.col("text").startswith("UPDATED")
     ).count()
     assert untouched == 0
+
+    # the micro-batch merge must rewrite ONLY the buckets holding
+    # batch2's keys — untouched bucket directories stay byte-identical
+    from vector_search_application_spark.sources import layout
+
+    touched = {
+        f"__bucket={r['b']}"
+        for r in batch2.select(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(layout.N_BUCKETS)).alias("b")
+        ).distinct().collect()
+    }
+    after = bucket_files()
+    for d in set(before) - touched:
+        assert after[d] == before[d], f"untouched bucket {d} was rewritten"
+
+
+def test_layout_fs_helpers(spark, tmp_path):
+    """table_has_data / is_bucketed go through the Hadoop FS API (they
+    must answer on paths, not os.listdir) — empty dir, flat parquet,
+    bucketed layout."""
+    from vector_search_application_spark.plans import corpus
+    from vector_search_application_spark.sources import layout
+
+    missing = str(tmp_path / "missing")
+    assert not layout.table_has_data(spark, missing)
+    assert not layout.is_bucketed(spark, missing)
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert not layout.table_has_data(spark, str(empty))
+
+    docs = corpus.docs(spark, SF_SMOKE).select("doc_id", "text").limit(10)
+    flat = str(tmp_path / "flat")
+    docs.write.parquet(flat)
+    assert layout.table_has_data(spark, flat)
+    assert not layout.is_bucketed(spark, flat)
+
+    bucketed = str(tmp_path / "bucketed")
+    layout.write_bucketed(docs, bucketed, "doc_id")
+    assert layout.table_has_data(spark, bucketed)
+    assert layout.is_bucketed(spark, bucketed)
 
 
 def test_stateful_ema_matches_python_model(spark):

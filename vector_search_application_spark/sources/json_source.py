@@ -209,10 +209,17 @@ def import_delta(
     """S5: hash-join delta import — unchanged rows never rewrite.
 
     Returns counts per change type. At scale only the changed slice
-    flows into the expensive downstream stages (embedding, indexing).
+    flows into the expensive downstream stages (embedding, indexing) —
+    and against a bucketed table (sources/layout) only the changed
+    keys' bucket directories are rewritten.
     """
+    from . import layout
+
     new = read_json_array(spark, os.path.join(import_dir, "*.json"))
+    bucketed = layout.is_bucketed(spark, table_dir)
     old = spark.read.parquet(table_dir)
+    if bucketed:
+        old = old.drop(layout.BUCKET_COL)
     hash_cols = [c for c in new.columns if c != key]
     changes = mutations.delta_classify(old, new, key, hash_cols)
     counts = {
@@ -221,8 +228,18 @@ def import_delta(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if bucketed:
+        # merge only the inserted/updated slice: unchanged keys' buckets
+        # are never read, never written (dynamic partition overwrite)
+        upserts = new.join(
+            changes.filter(F.col("change_type") != "delete").select(key),
+            key,
+            "left_semi",
+        )
+        layout.bucketed_upsert(spark, table_dir, upserts, key)
+        return counts
     merged = mutations.upsert(old, new, key)
-    # write-then-swap (parquet has no MERGE; with Delta/Iceberg this
+    # write-then-swap (plain-parquet fallback; with Delta/Iceberg this
     # becomes a real MERGE INTO and the rewrite disappears)
     tmp = table_dir.rstrip("/") + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)

@@ -33,6 +33,39 @@ def _bucket_of(key: Column, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(n_buckets))
 
 
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — the portable existence/listing
+    API (os.listdir only works on the local FS; this resolves s3a://,
+    hdfs://, file:// alike through the same Hadoop conf Spark uses)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def table_has_data(spark: SparkSession, path: str) -> bool:
+    """True when the table directory exists and holds parquet data
+    (flat or one level of partition directories)."""
+    fs, hpath, jvm = _fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    mk = jvm.org.apache.hadoop.fs.Path
+    for pat in ("/*.parquet", "/*/*.parquet"):
+        st = fs.globStatus(mk(path.rstrip("/") + pat))
+        if st is not None and len(st) > 0:
+            return True
+    return False
+
+
+def is_bucketed(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a bucketed layout (``__bucket=N`` dirs)."""
+    fs, _, jvm = _fs(spark, path)
+    st = fs.globStatus(jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + f"/{BUCKET_COL}=*"
+    ))
+    return st is not None and len(st) > 0
+
+
 def write_bucketed(
     df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS
 ) -> None:

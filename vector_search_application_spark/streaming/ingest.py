@@ -42,8 +42,10 @@ def windowed_event_counts(
     integer-typed on purpose so engine/oracle comparison is
     timezone-proof.
     """
+    # integer division — float-dividing an int64 epoch rounds instead of
+    # truncating and can land boundary events in the wrong window
     with_ts = events.withColumn(
-        "__event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("bigint"))
+        "__event_time", F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("__event_time", watermark_delay)
@@ -118,28 +120,27 @@ def stream_upsert(
 
     Each micro-batch is deduped on the key (last row per key within the
     batch by file order is arbitrary; the testdata keys are unique) and
-    merged into the parquet table via anti-join + union — the plain-
-    parquet MERGE fallback (SURVEY.md §2.9 M1). With Delta/Iceberg the
-    body becomes a single MERGE INTO and the rewrite disappears.
+    merged into a BUCKETED parquet table (sources/layout.bucketed_upsert):
+    the batch's keys determine which bucket directories the merge reads,
+    and dynamic partition overwrite replaces only those — a micro-batch
+    touching 0.1% of keys rewrites ~0.1% of the table, not all of it.
+    Table existence is checked through the Hadoop FileSystem API, so the
+    sink works on s3a/hdfs paths, not just the local FS. With
+    Delta/Iceberg the merge body becomes a single MERGE INTO.
     Checkpointing makes the pipeline resumable (supersedes S7's pickle).
     """
+    from ..sources import layout
+
     schema = spark.read.parquet(source_path).schema
     src_dir, src_glob = os.path.dirname(source_path), os.path.basename(source_path)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         b = batch.dropDuplicates([key])
-        if os.path.isdir(table_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(table_dir)
-        ):
-            cur = batch.sparkSession.read.parquet(table_dir)
-            merged = cur.join(b, key, "left_anti").unionByName(b)
+        s = batch.sparkSession
+        if layout.table_has_data(s, table_dir):
+            layout.bucketed_upsert(s, table_dir, b, key)
         else:
-            merged = b
-        tmp = table_dir.rstrip("/") + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        batch.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(
-            table_dir
-        )
+            layout.write_bucketed(b, table_dir, key)
 
     stream = (
         spark.readStream.schema(schema)
@@ -153,7 +154,7 @@ def stream_upsert(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(table_dir)
+    return spark.read.parquet(table_dir).drop(layout.BUCKET_COL)
 
 
 def stateful_ema(
