@@ -89,6 +89,52 @@ def test_query_embed_cache(engine):
     assert engine.clear_cache() == 1
 
 
+def test_query_embed_cache_is_lru(engine):
+    """Eviction must drop the least-recently-USED entry, not the
+    oldest-inserted (the reference uses functools.lru_cache(1000))."""
+    engine.clear_cache()
+    old_cap = engine._query_cache_capacity
+    engine._query_cache_capacity = 2
+    try:
+        engine._embed_query("alpha")
+        engine._embed_query("beta")
+        engine._embed_query("alpha")   # hit: alpha is now most-recent
+        engine._embed_query("gamma")   # evicts beta (LRU), NOT alpha
+        assert set(engine._query_emb_cache) == {"alpha", "gamma"}
+    finally:
+        engine._query_cache_capacity = old_cap
+        engine.clear_cache()
+
+
+def test_search_postfilter_keeps_top_scored(engine):
+    """When more rows survive the Q2 post-filter than `count`, search()
+    must keep the TOP-scored survivors (the reference truncates the
+    score-ranked list) — not an arbitrary pre-sort subset."""
+    # pick a filter that many corpus rows satisfy so the limit binds
+    src = engine.products.groupBy("manufacturerPartNumber_text").count()
+    mfr = src.orderBy(F.desc("count")).first()["manufacturerPartNumber_text"]
+    got = engine.search(
+        "widget", 3, filter_field="manufacturerPartNumber_text",
+        filter_value=mfr, use_fusion=False,
+    ).collect()
+    # recompute: all survivors of the same inflated search, ranked
+    from vector_search_application_spark.plans.constants import (
+        POSTFILTER_INFLATION,
+    )
+
+    hits = engine.search_ultra_fast(
+        "widget", 3 * POSTFILTER_INFLATION
+    ).withColumn("search_type", F.lit("vector"))
+    survivors = (
+        hits.join(engine.products, "id")
+        .filter(F.col("manufacturerPartNumber_text") == mfr)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .collect()
+    )
+    want = [(r["id"], round(r["score"], 3)) for r in survivors[:3]]
+    assert [(r["id"], r["score"]) for r in got] == want
+
+
 def test_health_and_collections(engine):
     h = engine.health()
     assert h["status"] == "healthy" and h["document_count"] > 0

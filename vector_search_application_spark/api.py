@@ -33,6 +33,7 @@ exactly: avg = 0.9*avg + 0.1*x after the first sample
 from __future__ import annotations
 
 import time
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,7 +59,8 @@ class Engine:
         self.spark = spark
         self.sf_dir = sf_dir
         self._stats: dict[str, dict[str, float]] = {}
-        self._query_emb_cache: dict[str, DataFrame] = {}
+        self._query_emb_cache: OrderedDict[str, DataFrame] = OrderedDict()
+        self._query_cache_capacity = 1000  # reference lru_cache(1000)
         products = corpus.products(spark, sf_dir)
         # cache the corpus + its two derived indexes (the reference
         # holds all three in RAM: payload store, HNSW, sparse index)
@@ -73,9 +75,14 @@ class Engine:
     # -- embedding (E3: lru-cached query embed) -------------------------
 
     def _embed_query(self, q: str) -> DataFrame:
-        if q not in self._query_emb_cache:
-            if len(self._query_emb_cache) >= 1000:  # reference lru_cache(1000)
-                self._query_emb_cache.pop(next(iter(self._query_emb_cache)))
+        # true LRU, like the reference's functools.lru_cache(1000): a hit
+        # moves the key to the end, so eviction drops the least-recently-
+        # USED entry, not the oldest-inserted
+        if q in self._query_emb_cache:
+            self._query_emb_cache.move_to_end(q)
+        else:
+            if len(self._query_emb_cache) >= self._query_cache_capacity:
+                self._query_emb_cache.popitem(last=False)
             self._query_emb_cache[q] = E.embed_query_postings(self.spark, q)
         return self._query_emb_cache[q]
 
@@ -186,9 +193,14 @@ class Engine:
         )
         enriched = hits.join(self.products, "id")
         if filter_field:
-            enriched = enriched.filter(
-                F.col(filter_field) == F.lit(filter_value)
-            ).limit(count)
+            # order before limiting: when more than `count` rows survive
+            # the filter we must keep the TOP-scored ones (the reference
+            # truncates the score-ranked list, search_service.py)
+            enriched = (
+                enriched.filter(F.col(filter_field) == F.lit(filter_value))
+                .orderBy(F.desc("score"), F.asc("id"))
+                .limit(count)
+            )
         return enriched.select(
             scalars.normalize_image_url(F.col("img_270Wx270H_string")).alias("image"),
             "id",
@@ -247,9 +259,14 @@ class Engine:
         return json_source.export_documents(self.products, path)
 
     def reset(self) -> None:
-        """M9: drop the cached collection state."""
+        """M9: drop the cached collection state — including operator-
+        internal persisted intermediates (BM25 postings, LSH tables)
+        registered with functions/cache."""
+        from .functions.cache import release_all
+
         self.products.unpersist()
         self.dense_index.unpersist()
+        release_all()
         self.clear_cache()
         self._stats.clear()
 

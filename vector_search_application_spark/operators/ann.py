@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions.cache import tracked_persist
 from ..plans.constants import IVF_CENTROIDS, IVF_PROBES, K, LSH_PLANES
 
 
@@ -121,7 +122,8 @@ def lsh_neardup_pairs(
         f"{id_col} AS id",
         f"{vec_col} AS v",
         f"{_bucket_sql(vec_col, dim=dim)} AS bucket",
-    ).persist()
+    )
+    with_b = tracked_persist(with_b)
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
     b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions.cache import tracked_persist
 from ..plans.constants import BM25_B, BM25_K1, K
 
 
@@ -57,7 +58,7 @@ def build_postings(
     out = toks.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
     )
-    return out.persist() if persist else out
+    return tracked_persist(out) if persist else out
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions.cache import tracked_persist
 from ..plans.constants import (
     MINHASH_A,
     MINHASH_B,
@@ -194,13 +195,13 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup pairs with Jaccard >= threshold."""
     # the shingle-set table feeds signatures AND verification (x3);
     # persist = tokenize/shingle the corpus once
-    sharr = shingle_arrays(docs, id_col, text_col).persist()
+    sharr = tracked_persist(shingle_arrays(docs, id_col, text_col))
     # the banded signature table IS the LSH index: both sides of the
     # candidate self-join read it; signatures are computed per-row in
     # the scan (no shuffle), so persisting bands just skips recompute
     # (at scale this table is what you'd write out, partitioned by
     # (band, band_key))
-    bands = lsh_band_keys(minhash_signatures(sharr)).persist()
+    bands = tracked_persist(lsh_band_keys(minhash_signatures(sharr)))
     cands = lsh_candidates(bands)
     sh = sharr.select("id", F.explode("shs").alias("sh"))
     verified = jaccard_verify(cands, sh)
@@ -226,7 +227,7 @@ def jaccard_dedup_pairs(
     shingle and the df cap bounds each posting slice's pair fan-out at
     df_cap^2, so the candidate join cannot explode on boilerplate text.
     """
-    sharr = shingle_arrays(docs, id_col, text_col).persist()
+    sharr = tracked_persist(shingle_arrays(docs, id_col, text_col))
     sh = sharr.select("id", F.explode("shs").alias("sh"))
     rare = (
         sh.groupBy("sh")

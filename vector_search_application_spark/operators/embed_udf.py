@@ -28,6 +28,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 
 from ..plans.constants import HASH_EMBED_DIM
+from .ann import _round_half_up
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -43,7 +44,10 @@ def _hash_embed_one(text: str, dim: int) -> dict[int, float]:
         raw[d] = raw.get(d, 0.0) + sign
     nrm = math.sqrt(sum(v * v for v in raw.values()))
     if nrm > 0:
-        return {d: round(v / nrm, 6) for d, v in raw.items()}
+        # Spark ROUND is HALF_UP over the shortest decimal repr; Python
+        # round() is banker's — exact halfway values (e.g. 1/128) would
+        # silently diverge from the declarative embedder
+        return {d: _round_half_up(v / nrm) for d, v in raw.items()}
     return {d: 0.0 for d in raw}
 
 
