@@ -175,6 +175,39 @@ def test_bucketed_upsert_rewrites_only_touched_buckets(spark, tmp_path):
         assert after[d] != before[d]
 
 
+def test_export_sharded_manifest(spark, tmp_path):
+    """S6 scale path: distributed export writes a manifest whose row
+    count, shard list, and key order describe the actual files; Spark
+    ignores the _-prefixed manifest on read-back."""
+    from vector_search_application_spark.plans import corpus
+
+    prods = corpus.products(spark, SF_SMOKE)
+    out = str(tmp_path / "export")
+    path, n = json_source.export_documents_sharded(prods, out)
+    assert n == prods.count()
+
+    manifest = json.loads(open(os.path.join(out, "_MANIFEST.json")).read())
+    assert manifest["rows"] == n
+    on_disk = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".json")
+    )
+    assert manifest["shards"] == on_disk
+    assert manifest["key_order"] == [
+        c for c in json_source.PRODUCT_FIELDS if c in prods.columns
+    ]
+    # key order inside each shard follows the declared column order
+    # (the JSON writer drops null fields, so present keys must be an
+    # in-order subsequence of key_order)
+    with open(os.path.join(out, on_disk[0])) as f:
+        first = json.loads(f.readline())
+    pos = {k: i for i, k in enumerate(manifest["key_order"])}
+    idx = [pos[k] for k in first]
+    assert idx == sorted(idx) and len(idx) > 0
+
+    back = spark.read.json(out)  # manifest not parsed as data
+    assert back.count() == n
+
+
 def test_targz_scan_multiple_archives(spark, tmp_path, product_docs):
     """S2 over a directory glob: one task per archive, all inner .json
     members surfaced with their archive of origin."""

@@ -258,6 +258,10 @@ class Engine:
     def export(self, path: str) -> tuple[str, int]:
         return json_source.export_documents(self.products, path)
 
+    def export_sharded(self, path: str) -> tuple[str, int]:
+        """S6 scale path: distributed JSON export with manifest."""
+        return json_source.export_documents_sharded(self.products, path)
+
     def reset(self) -> None:
         """M9: drop the cached collection state — including operator-
         internal persisted intermediates (BM25 postings, LSH tables)

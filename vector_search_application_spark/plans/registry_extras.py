@@ -103,6 +103,57 @@ def q_directory_import_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S6 — sharded (distributed) JSON export roundtrip
+# ---------------------------------------------------------------------------
+
+_PRODUCT_EXPORT_COLS = [
+    "_id",
+    "partNumber_airgas_text",
+    "manufacturerPartNumber_text",
+    "shortDescription_airgas_text",
+    "onlinePrice_string",
+    "img_270Wx270H_string",
+    "id",
+]
+_PRODUCT_EXPORT_SCHEMA = (
+    "_id string, partNumber_airgas_text string,"
+    " manufacturerPartNumber_text string,"
+    " shortDescription_airgas_text string, onlinePrice_string string,"
+    " img_270Wx270H_string string, id bigint"
+)
+
+
+@declare(
+    "export_sharded_roundtrip",
+    f"""
+WITH {corpus.PRODUCTS_CTE}
+SELECT {', '.join(_PRODUCT_EXPORT_COLS)} FROM products
+""",
+    survey_ids="S6",
+)
+def q_export_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 scale path: the products table through the DISTRIBUTED JSON
+    export (one shard per partition + _MANIFEST.json; no driver
+    streaming) and back through a schema-pinned scan. The oracle reads
+    the source parquet, so the sharded roundtrip must be lossless —
+    including null-field dropping on write (omitted keys) resurfacing
+    as nulls under the explicit read schema."""
+    from ..sources import json_source
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sharded_export_"), "products")
+    prods = corpus.products(spark, sf_dir)
+    _, n = json_source.export_documents_sharded(
+        prods, out, order_cols=_PRODUCT_EXPORT_COLS
+    )
+    assert n == prods.count()
+    return (
+        spark.read.schema(_PRODUCT_EXPORT_SCHEMA)
+        .json(out)
+        .select(*_PRODUCT_EXPORT_COLS)
+    )
+
+
+# ---------------------------------------------------------------------------
 # S2 — tar.gz import (the reference's primary bulk-load path)
 # ---------------------------------------------------------------------------
 

@@ -196,6 +196,39 @@ def export_documents(
     return path, n
 
 
+def export_documents_sharded(
+    df: DataFrame, path: str, order_cols: list[str] | None = None
+) -> tuple[str, int]:
+    """S6 scale path: distributed JSON export — one JSON-lines file per
+    partition via df.write.json (no row ever crosses the driver), the
+    same fixed key order as the single-file export (JSON key order = the
+    DataFrame's column order), plus a ``_MANIFEST.json`` recording row
+    count, shard list, and key order (readers get a completeness check;
+    Spark itself ignores ``_``-prefixed files on read).
+
+    ``export_documents`` remains the reference-parity path (ONE array
+    file, app/services/document_service.py:528-654); this is what you
+    run at 100 TB."""
+    from . import layout
+
+    cols = order_cols or [c for c in PRODUCT_FIELDS if c in df.columns]
+    slim = df.select(*cols)
+    slim.write.mode("overwrite").json(path)
+    spark = df.sparkSession
+    # count from the written files: verifies the export, not the input
+    n = spark.read.schema(slim.schema).json(path).count()
+    fs, _, jvm = layout._fs(spark, path)
+    shards = sorted(
+        st.getPath().getName()
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + "/part-*"))
+    )
+    manifest = {"rows": n, "key_order": cols, "shards": shards}
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path + "/_MANIFEST.json"), True)
+    out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
+    out.close()
+    return path, n
+
+
 def import_full(spark: SparkSession, import_dir: str, table_dir: str) -> int:
     """S4: reset-and-load every *.json in the directory."""
     docs = read_json_array(spark, os.path.join(import_dir, "*.json"))
