@@ -110,6 +110,36 @@ def version_history(
     )
 
 
+def versioned_tables(
+    events: DataFrame, key: str, order_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """M4/M5 two-table fidelity: the reference materializes versions as
+    a MAIN collection (current rows) plus a ``{c}_history`` collection
+    whose ids are ``{doc_id}_v{n}`` with an ``original_id`` back-pointer
+    (reference app/services/version_service.py:24,112-127 — update
+    archives the superseded row into history, then bumps main).
+
+    main    = current version per key (keeps ``version``)
+    history = every superseded version, id'd ``{key}_v{version}``,
+              key column replaced by ``original_id``
+
+    One window pass derives both; at scale this is a single shuffle on
+    the key, and the two writes partition the same scan."""
+    v = with_versions(events, key, order_cols)
+    main = v.filter(F.col("is_current")).drop("is_current")
+    history = (
+        v.filter(~F.col("is_current"))
+        .select(
+            F.concat(
+                F.col(key).cast("string"), F.lit("_v"), F.col("version").cast("string")
+            ).alias("history_id"),
+            F.col(key).alias("original_id"),
+            *[c for c in v.columns if c not in (key, "is_current")],
+        )
+    )
+    return main, history
+
+
 def get_version(
     events: DataFrame, key: str, order_cols: list[str], key_value, version: int
 ) -> DataFrame:

@@ -212,6 +212,53 @@ def q_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "version_archive",
+    """
+WITH versioned AS (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS version
+    FROM events
+),
+maxv AS (
+    SELECT user_id, max(version) AS mx FROM versioned GROUP BY user_id
+)
+SELECT v.user_id::VARCHAR || '_v' || v.version::VARCHAR AS history_id,
+       v.user_id AS original_id, v.version, v.event_id, v.event_type
+FROM versioned v JOIN maxv USING (user_id)
+WHERE v.version < maxv.mx AND v.user_id < 5
+""",
+    survey_ids="M5,M6",
+)
+def q_version_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 archive-on-update as a TABLE PAIR (reference
+    version_service.py:112-127): materialize main + history to disk —
+    history ids '{key}_v{n}' with an original_id back-pointer — then
+    read the history table back. The oracle derives the same archive
+    relationally, so the materialized layout must hold exactly the
+    superseded versions (every key's rows minus its current one)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    events = corpus._read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    main, history = mutations.versioned_tables(
+        events, "user_id", ["ts", "event_id"]
+    )
+    work = _tempfile.mkdtemp(prefix="version_pair_")
+    main_dir = _os.path.join(work, "events_main")
+    hist_dir = _os.path.join(work, "events_history")
+    main.write.mode("overwrite").parquet(main_dir)
+    history.write.mode("overwrite").parquet(hist_dir)
+    return (
+        spark.read.parquet(hist_dir)
+        .filter(F.col("original_id") < 5)
+        .select("history_id", "original_id", "version", "event_id", "event_type")
+    )
+
+
+@declare(
     "version_get",
     """
 WITH versioned AS (
