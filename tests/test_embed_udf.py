@@ -35,6 +35,38 @@ def test_onnx_backend_gated(spark):
         embed_udf.embed_map_in_pandas(docs, "doc_id", "text", backend="onnx")
 
 
+def _has_fastembed() -> bool:
+    try:
+        import fastembed  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_fastembed(), reason="fastembed not installed")
+def test_onnx_backend_contract(spark):
+    """Activates the moment fastembed appears in the environment: the
+    ONNX backend must produce 384-dim, L2-normalized, deterministic
+    postings (BAAI/bge-small-en-v1.5 invariants). Golden vectors can't
+    be recorded in this container (no model weights), so the contract
+    is structural + determinism across runs; to pin goldens later, dump
+    one doc's postings from a machine with the model and assert them
+    here."""
+    docs = corpus.docs(spark, SF_SMOKE).limit(5)
+    a = embed_udf.embed_map_in_pandas(docs, "doc_id", "text", backend="onnx").collect()
+    assert a
+    by_id: dict = {}
+    for r in a:
+        by_id.setdefault(r["id"], {})[r["dim"]] = r["comp"]
+    for comps in by_id.values():
+        assert 0 <= min(comps) and max(comps) < 384  # BGE-small dim
+        norm = sum(v * v for v in comps.values()) ** 0.5
+        assert abs(norm - 1.0) < 1e-3  # L2-normalized (rounded comps)
+    b = embed_udf.embed_map_in_pandas(docs, "doc_id", "text", backend="onnx").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+
+
 def test_unknown_backend_rejected(spark):
     docs = corpus.docs(spark, SF_SMOKE).limit(1)
     with pytest.raises(ValueError):

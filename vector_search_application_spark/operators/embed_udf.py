@@ -92,7 +92,8 @@ def embed_map_in_pandas(
                 for i, vec in zip(pdf["id"], vecs):
                     for d, v in enumerate(vec):
                         if v != 0.0:
-                            ids.append(i); dims.append(d); comps.append(round(float(v), 6))
+                            ids.append(i); dims.append(d)
+                            comps.append(_round_half_up(float(v)))
             else:
                 for i, text in zip(pdf["id"], pdf["t"]):
                     for d, v in _hash_embed_one(text or "", dim).items():

@@ -250,6 +250,73 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# I2 — BINARY quantization + oversampled rescoring
+# ---------------------------------------------------------------------------
+
+BQ_OVERSAMPLE = 4
+
+_SIGN_SPARK = "transform({v}, x -> CASE WHEN cast(x as double) > 0.0D THEN 1.0D ELSE -1.0D END)"
+_SIGN_DUCK = "list_transform({v}, x -> CASE WHEN x::DOUBLE > 0 THEN 1.0 ELSE -1.0 END)"
+
+
+@declare(
+    "binary_quantized_topk",
+    f"""
+WITH q AS {corpus.query_vector_cte(QUERY_VEC_ID)},
+cand AS (
+    SELECT vec_id, embedding, q.qvec AS qvec,
+           {P.dot_sql(_SIGN_DUCK.format(v='embedding'), _SIGN_DUCK.format(v='q.qvec'))}
+               AS bin_score
+    FROM embeddings CROSS JOIN q
+    ORDER BY bin_score DESC, vec_id ASC
+    LIMIT {K * BQ_OVERSAMPLE}
+)
+SELECT vec_id, {P.rounded_sql(P.cosine_sql('embedding', 'qvec'))} AS score
+FROM cand
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+    survey_ids="I2,V1",
+)
+def q_binary_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization (reference scripts/indexing.py:283-300 offers
+    INT8 *and* binary): each component keeps only its sign bit; the
+    candidate score is the sign-vector dot product (= agreements minus
+    disagreements = dim - 2*hamming, so ranking by it IS hamming
+    ranking); the top k*{BQ_OVERSAMPLE} candidates are rescored at full
+    precision — Qdrant's binary-quantization oversample+rescore shape.
+
+    Scale shape: the sign pass is map-only over 1-bit-per-component
+    codes (32x smaller scans than float32), candidate selection is
+    TakeOrderedAndProject, and the expensive full-precision cosine
+    touches only k*{BQ_OVERSAMPLE} rows."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    cand = (
+        vecs.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "qvec",
+            P.dot(
+                F.expr(_SIGN_SPARK.format(v="embedding")),
+                F.expr(_SIGN_SPARK.format(v="qvec")),
+            ).alias("bin_score"),
+        )
+        .orderBy(F.desc("bin_score"), F.asc("vec_id"))
+        .limit(K * BQ_OVERSAMPLE)
+    )
+    return (
+        cand.select(
+            "vec_id",
+            P.rounded(P.cosine(F.col("embedding"), F.col("qvec"))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # V7/K4 — compare-all harness preview
 # ---------------------------------------------------------------------------
 
