@@ -228,7 +228,15 @@ class Engine:
     def compare(self, q: str, count: int = 10) -> dict:
         """V7: run ultra-fast / fusion / lean on the same query; report
         per-engine time + first-3 preview (reference search.py:288-348)."""
-        report: dict = {"query": q, "engines": {}}
+        report: dict = {
+            "query": q,
+            "engines": {},
+            # the reference's ultra-fast/lean differ only physically
+            # (hnsw_ef 128 vs 64); here both run the exact operator, so
+            # compare() shows near-identical timings BY DESIGN
+            "note": "ultra_fast and lean are intentionally aliased "
+                    "(physical-only split in the reference)",
+        }
         for name, fn in [
             ("ultra_fast", self.search_ultra_fast),
             ("fusion", self.search_fusion),
