@@ -111,3 +111,25 @@ def test_salted_topk_equals_naive_with_ties(spark):
     assert sorted(map(tuple, naive.collect())) == sorted(
         map(tuple, salted.collect())
     )
+
+
+def test_paginate_bounded_window_and_guard(spark):
+    """paginate pre-truncates with a distributed top-N (the window only
+    sees offset+limit rows) and refuses page depths beyond the guard,
+    pointing at keyset_page."""
+    import pytest
+
+    from vector_search_application_spark.operators import topk
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    page = topk.paginate(df, "doc_id", limit=5, offset=10)
+    assert [r["doc_id"] for r in page.collect()] == [10, 11, 12, 13, 14]
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError, match="keyset_page"):
+        topk.paginate(df, "doc_id", limit=5, offset=topk.MAX_PAGE_DEPTH)
+
+    # keyset twin returns the identical page via a cursor predicate
+    kp = topk.keyset_page(df, "doc_id", after=9, limit=5)
+    assert [r["doc_id"] for r in kp.collect()] == [10, 11, 12, 13, 14]

@@ -215,18 +215,42 @@ def postfilter_topk(
     return inflated.filter(predicate).orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
-def paginate(df: DataFrame, order_col: str, limit: int, offset: int = 0) -> DataFrame:
-    """Q4 scroll pagination: ORDER BY id LIMIT/OFFSET via row_number.
+MAX_PAGE_DEPTH = 100_000
 
-    At 100 TB, deep OFFSET pagination is an anti-pattern; this exists for
-    reference parity (get_documents(limit, offset)) — the scale path is
-    keyset pagination (WHERE id > last_seen LIMIT n), also expressible
-    here by filtering on order_col first.
+
+def paginate(
+    df: DataFrame,
+    order_col: str,
+    limit: int,
+    offset: int = 0,
+    max_page_depth: int = MAX_PAGE_DEPTH,
+) -> DataFrame:
+    """Q4 scroll pagination: ORDER BY id LIMIT/OFFSET, reference parity
+    (get_documents(limit, offset)).
+
+    Two scale safeties over the naive global-window form:
+    - the page head (offset+limit rows) is pre-truncated with a global
+      sort+limit, which compiles to TakeOrderedAndProject — a
+      DISTRIBUTED top-N; only those rows reach the single-reducer
+      row_number window, so the window cost is bounded by the page
+      depth, not the table size;
+    - page depths beyond ``max_page_depth`` are refused outright: deep
+      OFFSET is an anti-pattern at any scale — use ``keyset_page``
+      (WHERE order_col > last_seen LIMIT n), whose cost is
+      depth-independent.
     """
+    depth = offset + limit
+    if depth > max_page_depth:
+        raise ValueError(
+            f"OFFSET page depth {depth} exceeds {max_page_depth}; deep "
+            "pagination ranks and discards every earlier row — use "
+            "keyset_page(df, order_col, after, limit) instead"
+        )
+    head = df.orderBy(F.asc(order_col)).limit(depth)
     w = Window.orderBy(F.asc(order_col))
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        head.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > offset)
         .drop("__rn")
     )
 
