@@ -133,3 +133,25 @@ def test_paginate_bounded_window_and_guard(spark):
     # keyset twin returns the identical page via a cursor predicate
     kp = topk.keyset_page(df, "doc_id", after=9, limit=5)
     assert [r["doc_id"] for r in kp.collect()] == [10, 11, 12, 13, 14]
+
+
+def test_connected_components_chain_star_singleton(spark):
+    """Min-label propagation must reach the transitive closure: a chain
+    (needs multiple iterations), a star, and untouched singletons."""
+    from vector_search_application_spark.operators import dedup
+
+    # chain 1-2-3-4-5, star 10-(11,12,13), pair 20-21; 30/31 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 20, 21, 30, 31]], ["id"]
+    )
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in dedup.connected_components(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20, 30: 30, 31: 31}

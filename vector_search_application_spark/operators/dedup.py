@@ -324,3 +324,67 @@ def simhash_pairs(
         "id_b",
         F.expr("CAST(bit_count(sim_a ^ sim_b) AS INTEGER)").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Connected components: dup pairs -> clusters -> canonical representative
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, canonical_id): cluster duplicate PAIRS into components and
+    elect the min id as each component's canonical representative —
+    the step a training pipeline runs after any pair-producing dedup
+    (keep rows where id = canonical_id; singletons map to themselves).
+
+    Min-label propagation: every node starts as its own label; each
+    iteration every node takes the min label among itself and its
+    neighbors; converged when no label changes. Iterations = component
+    DIAMETER — near-dup clusters are shallow (pairs/stars/short
+    chains), so this converges in a handful of rounds even at corpus
+    scale; for adversarially long chains the alternating large-star/
+    small-star variant (O(log n) rounds) is the drop-in upgrade.
+
+    Scale shape per iteration: one key-join (edges hash-partitioned by
+    src) + one groupBy(dst) min — both map-side-combinable; labels are
+    localCheckpoint'ed each round so the plan stays one-iteration deep
+    (no exponential lineage), and the convergence probe is a single
+    count per round.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = nodes.select(F.col("id"), F.col("id").alias("canonical_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst"))
+            .agg(F.min("canonical_id").alias("neigh_min"))
+        )
+        updated = (
+            labels.join(neigh, labels["id"] == neigh["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -31,7 +31,7 @@ from .constants import (
     SHINGLE_N,
     SIMHASH_BITS,
 )
-from .registry import declare
+from .registry import REGISTRY, declare
 
 NEAR_OFFSET = 10_000_000
 EXACT_OFFSET = 20_000_000
@@ -376,3 +376,48 @@ def q_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = vec.filter(F.col("id") == QUERY_VEC_ID).first()["features"]
     res = model.approxNearestNeighbors(vec, key, K)
     return res.select("id", P.rounded(F.col("distCol")).alias("distance"))
+
+
+# --- dedup clustering: pairs -> connected components -> canonical --------
+
+_SIMHASH_PAIRS_SQL = next(
+    d.sql for d in REGISTRY if d.name == "dedup_simhash"
+)
+
+
+@declare(
+    "dedup_components",
+    f"""
+WITH RECURSIVE
+{DDOCS_CTE},
+p AS ({_SIMHASH_PAIRS_SQL}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM p
+    UNION ALL
+    SELECT id_b, id_a FROM p
+),
+walk(id, lbl) AS (
+    SELECT doc_id, doc_id FROM ddocs
+    UNION
+    SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id
+)
+SELECT id AS doc_id, min(lbl) AS canonical_id
+FROM walk GROUP BY id
+""",
+    survey_ids="dedup-components",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING: the simhash pair list folded into connected
+    components with a canonical (min-id) representative per component
+    — every doc mapped, singletons to themselves; 'dedup' = keep rows
+    where doc_id = canonical_id. The Spark side iterates min-label
+    propagation (operators/dedup.connected_components); the oracle
+    computes the same fixpoint with a recursive CTE, so the iterative
+    operator is held to a closed-form transitive-closure answer."""
+    docs = dedup_docs(spark, sf_dir)
+    sims = dedup.simhash(docs, "doc_id", "text")
+    pairs = dedup.simhash_pairs(sims, max_hamming=3).select("id_a", "id_b")
+    comps = dedup.connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    )
+    return comps.select(F.col("id").alias("doc_id"), "canonical_id")
