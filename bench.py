@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_components",      # pair clustering -> canonical (iterative)
     "embedding_neardup",     # embedding-cosine near-dup self-join
     "ivf_topk",              # IVF-pruned ANN (scale path)
+    "ivf_topk_batch",        # batched IVF (per-query cell pruning)
     "quantized_topk",        # I2 scalar-quantized rescoring
     "text_quality",          # text-analysis scoring
     "doc_fingerprint",       # rolling-hash fingerprint

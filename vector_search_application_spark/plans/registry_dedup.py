@@ -421,3 +421,69 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs.select(F.col("doc_id").alias("id"))
     )
     return comps.select(F.col("id").alias("doc_id"), "canonical_id")
+
+
+# --- batched IVF ANN: per-query cell pruning ------------------------------
+
+IVF_BATCH_NQ = 20
+
+
+@declare(
+    "ivf_topk_batch",
+    f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+    SELECT id, centroid_id AS cell FROM (
+        SELECT e.vec_id AS id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('e.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id < {IVF_BATCH_NQ}
+),
+qcells AS (
+    SELECT query_id, centroid_id AS cell FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM cents c CROSS JOIN q
+    ) WHERE rn <= {IVF_PROBES}
+),
+scored AS (
+    SELECT qc.query_id, e.vec_id AS id,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+    FROM embeddings e
+    JOIN assigned a ON a.id = e.vec_id
+    JOIN qcells qc ON qc.cell = a.cell
+    JOIN q ON q.query_id = qc.query_id
+)
+SELECT query_id, id, score FROM (
+    SELECT query_id, id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+    FROM scored
+) WHERE rn <= {K}
+""",
+    survey_ids="I1,ann-ivf,V1",
+)
+def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF: {IVF_BATCH_NQ} queries, each probing its nearest
+    cells; corpus side map-only cell assignment, query side in-row
+    probe-list + explode, broadcast candidate join, per-query top-k.
+    Unlike the brute-force batch (dense_topk_batch scores every
+    corpus row per query), scoring touches only the probed fraction."""
+    vecs = corpus.vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < IVF_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.ivf_topk_batch(vecs, queries)
