@@ -95,3 +95,28 @@ def test_ivf_batch_matches_single_query(spark):
     # each query in the batch yields exactly K rows on this corpus
     counts = {r["query_id"]: r["count"] for r in batch.groupBy("query_id").count().collect()}
     assert set(counts) == {QUERY_VEC_ID, 0, 1}
+
+
+def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):
+    """The IVF partitioned layout must (a) answer identically to the
+    in-memory ivf_topk and (b) carry a constant cell partition filter
+    so unprobed cell directories are pruned before file I/O."""
+    import re
+
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in vecs.filter(F.col("vec_id") < 8).collect()
+    ]
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_indexed(vecs, path, cents)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+
+    indexed = ann.ivf_indexed_topk(spark, path, q, cents)
+    want = [(r["id"], r["score"]) for r in ann.ivf_topk(vecs, q).collect()]
+    assert [(r["id"], r["score"]) for r in indexed.collect()] == want
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+L? IN \(", plan), (
+        f"no constant cell partition filter: {plan[:400]}"
+    )

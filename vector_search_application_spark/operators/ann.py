@@ -355,6 +355,66 @@ def ivf_topk_batch(
     return topk_per_group(scored, "query_id", k, id_col="id")
 
 
+def write_ivf_indexed(
+    vectors: DataFrame,
+    path: str,
+    cents: list[tuple[int, list]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF index BUILD as physical layout: persist the corpus
+    partitioned by its nearest-centroid cell. At 100 TB this is the
+    serving shape — each cell is a directory, so probing touches
+    1/n_cells of the files before any I/O (PartitionFilters), exactly
+    how the reference's HNSW keeps its candidate set small
+    (scripts/indexing.py:302-381), re-expressed as table layout."""
+    vectors.selectExpr(
+        f"{id_col} AS id",
+        f"{vec_col} AS v",
+        f"{_cell_expr(vec_col, cents)} AS cell",
+    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_indexed_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    cents: list[tuple[int, list]],
+    k: int = K,
+    n_probe: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF search over the partitioned layout: the probe list is
+    derived driver-side from the centroid set (it IS the index
+    metadata), the cell predicate prunes partition directories before
+    file I/O, and scoring + top-k touch only the probed cells' rows."""
+    qvec = [float(x) for x in query.first()["qvec"]]
+
+    def py_cos(a, b):
+        import math
+
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + float(x) * float(y)
+            na = na + float(x) * float(x)
+            nb = nb + float(y) * float(y)
+        denom = math.sqrt(na) * math.sqrt(nb)
+        return _round_half_up(dot / denom if denom > 0.0 else 0.0)
+
+    ranked = sorted(
+        ((py_cos(cv, qvec), cid) for cid, cv in cents),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe_cells = [cid for _, cid in ranked[:n_probe]]
+    score = _cos_lit_sql("v", qvec)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .selectExpr("id", f"{score} AS score")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def mllib_lsh_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

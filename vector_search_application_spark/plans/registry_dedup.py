@@ -487,3 +487,36 @@ def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ann.ivf_topk_batch(vecs, queries)
+
+
+# --- IVF as physical layout: build + pruned lookup ------------------------
+
+_IVF_TOPK_SQL = next(d.sql for d in REGISTRY if d.name == "ivf_topk")
+
+
+@declare(
+    "ivf_index_lookup",
+    _IVF_TOPK_SQL,  # the layout must be semantically invisible: same
+    # oracle as ivf_topk (plain relational assignment + probe + rescore)
+    survey_ids="I1,I4,ann-ivf",
+)
+def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD as partitioned table layout + pruned search:
+    the corpus is written partitioned by nearest-centroid cell (the
+    100 TB serving shape — one directory per cell), then the query's
+    probe predicate prunes every other cell directory BEFORE file I/O
+    (PartitionFilters, asserted in tests/test_ann.py). Each execution
+    rebuilds the layout in a fresh temp dir: a correctness gate for
+    build+lookup together, like payload_index_lookup."""
+    import os as _os
+    import tempfile as _tempfile
+
+    vecs = corpus.vectors(spark, sf_dir)
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in vecs.filter(F.col("vec_id") < 8).collect()
+    ]
+    path = _os.path.join(_tempfile.mkdtemp(prefix="ivf_index_"), "vectors")
+    ann.write_ivf_indexed(vecs, path, cents)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.ivf_indexed_topk(spark, path, q, cents)
