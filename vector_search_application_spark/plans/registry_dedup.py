@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions import text as T
 from ..operators import ann, dedup
 from . import corpus
 from .constants import (
@@ -520,3 +521,54 @@ def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann.write_ivf_indexed(vecs, path, cents)
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
     return ann.ivf_indexed_topk(spark, path, q, cents)
+
+
+# --- canonical selection by quality: components + text scoring ------------
+
+_COMPONENTS_SQL = next(d.sql for d in REGISTRY if d.name == "dedup_components")
+
+
+@declare(
+    "dedup_canonical_quality",
+    f"""
+WITH comp AS ({_COMPONENTS_SQL}),
+{DDOCS_CTE},
+scored AS (
+    SELECT c.canonical_id AS component, d.doc_id,
+           {T.quality_score_sql('d.text')} AS quality
+    FROM comp c JOIN ddocs d USING (doc_id)
+),
+ranked AS (
+    SELECT component, doc_id, quality,
+           row_number() OVER (
+               PARTITION BY component
+               ORDER BY quality DESC, doc_id ASC) AS rn
+    FROM scored
+)
+SELECT component, doc_id AS keep_id, quality FROM ranked WHERE rn = 1
+""",
+    survey_ids="dedup-components,text-quality",
+)
+def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection a real pipeline runs after clustering: per
+    dup component keep the HIGHEST-QUALITY member (tie: min doc_id),
+    not the arbitrary min-id one — composes the iterative components
+    operator with the text-quality scorer; one window over (component)
+    after a key-join, nothing corpus-wide."""
+    from ..operators import topk as topk_ops
+
+    docs = dedup_docs(spark, sf_dir)
+    sims = dedup.simhash(docs, "doc_id", "text")
+    pairs = dedup.simhash_pairs(sims, max_hamming=3).select("id_a", "id_b")
+    comps = dedup.connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    ).select(F.col("id").alias("doc_id"), F.col("canonical_id").alias("component"))
+    scored = comps.join(docs, "doc_id").select(
+        "component", "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    best = topk_ops.topk_per_group(
+        scored.withColumnRenamed("quality", "score"), "component", 1, id_col="doc_id"
+    )
+    return best.select(
+        "component", F.col("doc_id").alias("keep_id"), F.col("score").alias("quality")
+    )
