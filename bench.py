@@ -59,6 +59,7 @@ HEADLINE = [
     "doc_fingerprint",       # rolling-hash fingerprint
     "embed_search_topk",     # E1+E3+V1 text->embed->topk pipeline
     "stream_events_window",  # streaming windowed rollup (AvailableNow)
+    "event_sessionize",      # gap-based sessionization (one shuffle)
     "multimodal_byte_features",  # binary payload feature projection
 ]
 

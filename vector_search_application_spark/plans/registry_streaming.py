@@ -44,3 +44,77 @@ def q_stream_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet table; the settled table equals the keyed source."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return ingest.stream_ingest_documents(spark, sf_dir)
+
+
+# --- gap-based sessionization over the event log --------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+_SESSIONIZE_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END
+               AS is_new
+    FROM ordered
+),
+sessioned AS (
+    SELECT user_id, ts_us,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM marked
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*)::BIGINT AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM sessioned
+GROUP BY user_id, session_no
+""".strip()
+
+
+@declare("event_sessionize", _SESSIONIZE_SQL, survey_ids="streaming-window,§2.12")
+def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the event-pipeline operator between
+    raw logs and behavioral features: a session breaks after 30 min of
+    inactivity per user. One window pass (lag -> new-session flag ->
+    running sum) + one aggregation, everything partitioned by user_id:
+    at 100 TB the log shuffles ONCE on the session key and both windows
+    plus the rollup ride that partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from . import corpus
+
+    events = corpus._read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    marked = events.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = marked.withColumn(
+        "session_no", F.sum("is_new").over(run).cast("bigint")
+    )
+    return sessioned.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
