@@ -118,3 +118,24 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
     )
+
+
+from ..functions import embedder as _E
+
+_EMBED_DOCS_SQL = f"""
+WITH {_E.embed_postings_cte('documents', 'doc_id', 'text')}
+SELECT id AS doc_id, dim, comp FROM emb
+"""
+
+
+@declare(
+    "stream_embed_ingest",
+    _EMBED_DOCS_SQL,
+    survey_ids="E1,S5,streaming-ingest",
+)
+def q_stream_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embed ingest: each micro-batch embeds ONLY its own
+    docs (the expensive stage runs incrementally); the settled postings
+    table equals the batch corpus embed."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return ingest.stream_embed_documents(spark, sf_dir)
