@@ -367,6 +367,9 @@ def connected_components(
             .groupBy(F.col("dst"))
             .agg(F.min("canonical_id").alias("neigh_min"))
         )
+        # carry the changed flag inside the propagation result: the
+        # convergence probe then aggregates the checkpointed table
+        # directly instead of re-joining old vs new labels each round
         updated = (
             labels.join(neigh, labels["id"] == neigh["dst"], "left")
             .select(
@@ -374,17 +377,18 @@ def connected_components(
                 F.least(
                     F.col("canonical_id"),
                     F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
-                ).alias("canonical_id"),
+                ).alias("new_canonical"),
+                (
+                    F.coalesce(F.col("neigh_min"), F.col("canonical_id"))
+                    < F.col("canonical_id")
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-            .count()
+        changed = updated.agg(F.sum(F.col("__changed").cast("int"))).first()[0]
+        labels = updated.select(
+            "id", F.col("new_canonical").alias("canonical_id")
         )
-        labels = updated
-        if changed == 0:
+        if not changed:
             break
-    return labels
+    return labels.select("id", "canonical_id")
