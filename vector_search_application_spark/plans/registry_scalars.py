@@ -238,3 +238,79 @@ def q_corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@declare(
+    "event_props_agg",
+    """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+""",
+    survey_ids="§2.10,§2.11",
+)
+def q_event_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + aggregation: the events table's props
+    column is a JSON blob (the reference's extra='allow' payload
+    overflow, SURVEY.md §1.4); get_json_object pulls the typed field in
+    the scan stage, so only the extracted int reaches the one shuffle.
+    At scale, persistent extraction = a generated column the scan
+    prunes to."""
+    events = corpus._read(spark, sf_dir, "events").filter(
+        F.col("props").isNotNull()
+    )
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@declare(
+    "event_value_median",
+    """
+WITH ranked AS (
+    SELECT event_type, value, event_id,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, round(value, 6) AS median_value
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+    survey_ids="§2.11,§2.12",
+)
+def q_event_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median by explicit rank-pick (lower median at
+    rn = (n+1) div 2, ties broken by event_id) — the same arithmetic in
+    both engines, so it golden-matches where percentile built-ins'
+    interpolation rules would not. One shuffle on the group key; both
+    windows share it."""
+    events = corpus._read(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("CAST((n + 1) DIV 2 AS BIGINT)")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("value"), 6).alias("median_value"),
+    )
