@@ -22,3 +22,45 @@ WITH {M.MEDIA_CORPUS_CTE}
 def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.docs(spark, sf_dir)
     return M.byte_features(M.media_corpus(docs))
+
+
+@declare(
+    "multimodal_dedup_stats",
+    f"""
+WITH {M.MEDIA_CORPUS_CTE},
+feat AS (
+    SELECT media_type,
+           md5(lower(hex(content))) AS digest,
+           octet_length(content)::BIGINT AS n_bytes
+    FROM media
+)
+SELECT media_type,
+       count(*)::BIGINT AS n_assets,
+       count(DISTINCT digest)::BIGINT AS n_distinct,
+       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS n_dup_assets,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(max(n_bytes) AS BIGINT) AS max_bytes
+FROM feat GROUP BY media_type
+""",
+    survey_ids="multimodal,dedup-exact",
+)
+def q_multimodal_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset inventory + exact payload dedup per modality: digest and
+    size are computed in the scan (the blob is read once, at ingest —
+    the features are what get stored/queried), then one group-by over
+    the metadata. n_dup_assets = assets sharing a byte-identical
+    payload with an earlier one — the multimodal twin of exact text
+    dedup."""
+    from pyspark.sql import functions as F
+
+    docs = corpus.docs(spark, sf_dir)
+    feat = M.byte_features(M.media_corpus(docs))
+    return feat.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.countDistinct("digest").cast("bigint").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("digest"))
+        .cast("bigint")
+        .alias("n_dup_assets"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.max("n_bytes").cast("bigint").alias("max_bytes"),
+    )
