@@ -197,3 +197,55 @@ def test_stateful_ema_resumes_from_checkpoint(spark, tmp_path):
         assert abs(out2[k][0] - ema) < 1e-9
     # and the counts strictly grew from run 1 (state carried, not reset)
     assert all(out2[k][1] > out1[k][1] for k in out1)
+
+
+def test_compact_buckets_preserves_data(spark, tmp_path):
+    """Compaction must reduce per-bucket file counts to the target,
+    keep the table byte-equal, and leave already-compact buckets'
+    files untouched."""
+    from vector_search_application_spark.plans import corpus
+    from vector_search_application_spark.sources import layout
+
+    docs = corpus.docs(spark, SF_SMOKE).select("doc_id", "text")
+    table = str(tmp_path / "table")
+    # build a fragmented table: initial load + 3 small upserts
+    layout.write_bucketed(docs.filter(F.col("doc_id") < 300), table, "doc_id")
+    for lo in (300, 350, 400):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 50)
+        )
+        layout.bucketed_upsert(spark, table, batch, "doc_id")
+
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(table).drop("__bucket").collect())
+    )
+
+    def files_per_bucket():
+        out = {}
+        for d in os.listdir(table):
+            if d.startswith("__bucket="):
+                full = os.path.join(table, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = files_per_bucket()
+    fragmented = {d for d, fl in before.items() if len(fl) > 1}
+    assert fragmented, "test setup should fragment some buckets"
+
+    compacted = layout.compact_buckets(spark, table)
+    assert set(compacted) == fragmented
+
+    after = files_per_bucket()
+    for d in set(before) - fragmented:  # untouched buckets: identical
+        assert after[d] == before[d]
+    for d in fragmented:  # compacted buckets: single file now
+        assert len(after[d]) == 1
+
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(table).drop("__bucket").collect())
+    )
+    assert after_rows == before_rows

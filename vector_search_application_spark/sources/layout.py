@@ -136,3 +136,50 @@ def bucketed_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(path)
+
+
+def compact_buckets(
+    spark: SparkSession,
+    path: str,
+    max_files_per_bucket: int = 1,
+) -> dict[str, int]:
+    """Operational companion to the streaming merge: every micro-batch
+    upsert appends files to its touched buckets, so a long-running
+    ingest accumulates small files (the classic streaming-sink
+    problem). Compaction rewrites ONLY buckets whose file count exceeds
+    the target — each one re-written as max_files_per_bucket files via
+    dynamic partition overwrite, data byte-equal, untouched buckets
+    left alone. Run it off the hot path (a maintenance trigger), like
+    Delta OPTIMIZE / Iceberg rewrite_data_files, expressed with stock
+    partitioning.
+
+    Returns {bucket_dir: files_before} for the compacted buckets.
+    """
+    fs, _, jvm = _fs(spark, path)
+    mk = jvm.org.apache.hadoop.fs.Path
+    todo: dict[str, int] = {}
+    for st in fs.globStatus(mk(path.rstrip("/") + f"/{BUCKET_COL}=*")):
+        d = st.getPath()
+        n = sum(
+            1
+            for f in fs.listStatus(d)
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n > max_files_per_bucket:
+            todo[d.getName()] = n
+    if not todo:
+        return todo
+    buckets = [int(name.split("=", 1)[1]) for name in todo]
+    slice_df = (
+        spark.read.parquet(path)
+        .filter(F.col(BUCKET_COL).isin(buckets))
+        .repartition(max_files_per_bucket * len(buckets), BUCKET_COL)
+        .localCheckpoint(eager=True)  # cut lineage to the files we replace
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        slice_df.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return todo
