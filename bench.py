@@ -40,6 +40,7 @@ HEADLINE = [
     "dense_topk",            # V1 exact brute-force cosine top-k
     "dense_topk_batch",      # V1 batched (broadcast queries, one window)
     "bm25_topk",             # V2 sparse posting-join scorer
+    "bm25_topk_batch",       # V2 batched (shared postings probe)
     "hybrid_rrf",            # V3+F1 dense+sparse RRF fusion
     "fusion_max_dedup",      # V4+F3 exact+vector max-score dedup
     "exact_cascade_primary", # Q1/F5 payload exact-match cascade

@@ -146,3 +146,62 @@ def bm25_topk(
     postings = build_postings(docs, id_col=id_col, text_col=text_col)
     scored = bm25_score_terms(postings, query_terms(spark, query_text))
     return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def query_terms_batch(
+    queries: DataFrame, qid_col: str = "query_id", text_col: str = "qtext"
+) -> DataFrame:
+    """(query_id, term): distinct tokens per query — the batch twin of
+    query_terms, built from a queries DataFrame so the whole batch
+    stays one JVM plan."""
+    return queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.explode(F.array_distinct(P.tokens(F.col(text_col)))).alias("term"),
+    )
+
+
+def bm25_score_terms_batch(
+    postings: DataFrame,
+    qterms: DataFrame,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query_id, id, score) for a BATCH of queries in one plan.
+
+    Scale shape mirrors the single-query scorer: the distinct term set
+    of ALL queries broadcasts to probe the postings once (|batch terms|
+    posting slices move, the corpus does not); per-term df aggregates
+    over the probed slice only; the (query_id, term) pairs then fan the
+    probed rows out per query via a second broadcast join, so a posting
+    row is scored once per query containing its term — the one shuffle
+    is the final (query_id, id) aggregation."""
+    stats = corpus_stats(postings)
+    terms_only = qterms.select("term").distinct()
+    probed = postings.join(F.broadcast(terms_only), "term")
+    dfreq = doc_frequency(probed)
+    matched = (
+        probed.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doc_len").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    return (
+        matched.select("query_id", "id", (idf * tf_part).alias("w"))
+        .groupBy("query_id", "id")
+        .agg(P.rounded(F.sum("w")).alias("score"))
+    )

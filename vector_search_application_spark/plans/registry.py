@@ -18,6 +18,8 @@ from ..functions import portable as P
 from ..operators import bm25, exact, fusion, topk
 from . import corpus, sqlfrag
 from .constants import (
+    BM25_B,
+    BM25_K1,
     BRANCH_INFLATION,
     K,
     LINEAR_ALPHA,
@@ -590,3 +592,67 @@ from . import registry_embed  # noqa: E402,F401
 from . import registry_streaming  # noqa: E402,F401
 from . import registry_extras  # noqa: E402,F401
 from . import registry_media  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# V2 batched: BM25 over a query batch (the serving shape under load)
+# ---------------------------------------------------------------------------
+
+BM25_BATCH_NQ = 5
+
+_BM25_BATCH_CTES = (
+    sqlfrag.postings_ctes("documents", "doc_id", "text")
+    + f""",
+qb AS (
+    SELECT doc_id AS query_id,
+           unnest(list_distinct({P.tokens_sql('text')})) AS term
+    FROM documents WHERE doc_id < {BM25_BATCH_NQ}
+),
+bm25_matched_b AS (
+    SELECT qb.query_id, p.id,
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf::DOUBLE * {BM25_K1 + 1.0})
+             / (p.tf::DOUBLE + {BM25_K1}
+                * ({1.0 - BM25_B} + {BM25_B} * p.doc_len::DOUBLE / s.avgdl))
+               AS w
+    FROM postings p
+    JOIN qb USING (term)
+    JOIN dfreq d USING (term)
+    CROSS JOIN stats s
+),
+bm25_scored_b AS (
+    SELECT query_id, id, {P.rounded_sql('sum(w)')} AS score
+    FROM bm25_matched_b GROUP BY query_id, id
+)"""
+)
+
+
+@declare(
+    "bm25_topk_batch",
+    f"""
+WITH {_BM25_BATCH_CTES}
+SELECT query_id, id, score FROM (
+    SELECT query_id, id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+    FROM bm25_scored_b
+) WHERE rn <= {K}
+""",
+    survey_ids="E2,E4,V2,I3",
+)
+def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sparse search ({BM25_BATCH_NQ} doc-text queries in one
+    plan): the batch's distinct terms probe the postings ONCE via
+    broadcast, df aggregates over the probed slice, the (query_id,
+    term) pairs fan candidates out per query, and the single shuffle is
+    the (query_id, id) score aggregation + per-query top-k window —
+    the dense batch's scale story applied to the sparse index."""
+    docs = corpus.docs(spark, sf_dir)
+    queries = docs.filter(F.col("doc_id") < BM25_BATCH_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    postings = bm25.build_postings(docs, id_col="doc_id", text_col="text")
+    scored = bm25.bm25_score_terms_batch(
+        postings, bm25.query_terms_batch(queries)
+    )
+    return topk.topk_per_group(scored, "query_id", K, id_col="id")
