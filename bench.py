@@ -42,6 +42,7 @@ HEADLINE = [
     "bm25_topk",             # V2 sparse posting-join scorer
     "bm25_topk_batch",       # V2 batched (shared postings probe)
     "hybrid_rrf",            # V3+F1 dense+sparse RRF fusion
+    "hybrid_rrf_batch",      # V3+F1 batched (per-query windows)
     "fusion_max_dedup",      # V4+F3 exact+vector max-score dedup
     "exact_cascade_primary", # Q1/F5 payload exact-match cascade
     "linear_fusion",         # F2 alpha fusion

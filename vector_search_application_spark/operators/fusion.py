@@ -174,3 +174,56 @@ def normalize_scores(
     else:
         raise ValueError(f"unknown normalization method: {method}")
     return df.withColumn("norm_score", P.rounded(normed))
+
+
+def rrf_fuse_batch(
+    branches: dict[str, DataFrame],
+    k: int = K,
+    rank_k: int = RRF_RANK_K,
+    id_col: str = "id",
+    group_col: str = "query_id",
+) -> DataFrame:
+    """F1 RRF over a BATCH of queries: every rank window and the final
+    top-k partition by the query id, so fusing N queries is the same
+    one-shuffle plan as fusing one. Branch inputs are per-query ranked
+    lists (already truncated to branch_k rows per query by the caller);
+    output mirrors rrf_fuse per query: score = rrf, per-branch
+    score/rank diagnostics."""
+    labeled = None
+    for name, df in branches.items():
+        w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
+        b = (
+            df.select(group_col, id_col, "score")
+            .withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col(group_col),
+                F.col(id_col),
+                F.lit(name).alias("branch"),
+                F.col("score").alias("branch_score"),
+                F.col("rank"),
+            )
+        )
+        labeled = b if labeled is None else labeled.unionByName(b)
+    aggs = [
+        P.rounded(F.sum(F.lit(1.0) / (F.lit(float(rank_k)) + F.col("rank")))).alias(
+            "score"
+        )
+    ]
+    for name in branches:
+        aggs.append(
+            F.max(F.when(F.col("branch") == name, F.col("branch_score"))).alias(
+                f"{name}_score"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("branch") == name, F.col("rank")))
+            .cast("bigint")
+            .alias(f"{name}_rank")
+        )
+    fused = labeled.groupBy(group_col, id_col).agg(*aggs)
+    wk = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        fused.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -656,3 +656,103 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         postings, bm25.query_terms_batch(queries)
     )
     return topk.topk_per_group(scored, "query_id", K, id_col="id")
+
+
+# ---------------------------------------------------------------------------
+# V3/F1 batched: hybrid RRF over the query batch
+# ---------------------------------------------------------------------------
+
+_HYBRID_BATCH_CTES = (
+    _BM25_BATCH_CTES
+    + f""",
+qsd AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id < {BM25_BATCH_NQ}
+),
+dense_scored_bq AS (
+    SELECT qsd.query_id, e.vec_id AS id,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'qsd.qvec'))} AS score
+    FROM embeddings e CROSS JOIN qsd
+),
+dense_top_b AS (
+    SELECT query_id, id, score, rank FROM (
+        SELECT query_id, id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+        FROM dense_scored_bq
+    ) WHERE rank <= {K * BRANCH_INFLATION}
+),
+sparse_top_b AS (
+    SELECT query_id, id, score, rank FROM (
+        SELECT query_id, id, score,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+        FROM bm25_scored_b
+    ) WHERE rank <= {K * BRANCH_INFLATION}
+)"""
+)
+
+
+@declare(
+    "hybrid_rrf_batch",
+    f"""
+WITH {_HYBRID_BATCH_CTES},
+unioned AS (
+    SELECT query_id, id, 'dense' AS branch, score AS branch_score, rank
+    FROM dense_top_b
+    UNION ALL
+    SELECT query_id, id, 'sparse' AS branch, score AS branch_score, rank
+    FROM sparse_top_b
+),
+fused AS (
+    SELECT query_id, id,
+           {P.rounded_sql(f'sum(1.0 / ({RRF_RANK_K} + rank))')} AS score,
+           max(CASE WHEN branch = 'dense' THEN branch_score END) AS dense_score,
+           CAST(max(CASE WHEN branch = 'dense' THEN rank END) AS BIGINT)
+               AS dense_rank,
+           max(CASE WHEN branch = 'sparse' THEN branch_score END) AS sparse_score,
+           CAST(max(CASE WHEN branch = 'sparse' THEN rank END) AS BIGINT)
+               AS sparse_rank
+    FROM unioned
+    GROUP BY query_id, id
+)
+SELECT query_id, id, score, dense_score, dense_rank, sparse_score, sparse_rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+    FROM fused
+) WHERE rn <= {K}
+""",
+    survey_ids="V3,F1,V1,V2",
+)
+def q_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship hybrid query in its serving-batch shape: per query,
+    a dense branch (broadcast query vectors, corpus stays put) and a
+    sparse branch (one shared postings probe for the whole batch),
+    each ranked per query to K*{BRANCH_INFLATION}, fused by RRF(k=60)
+    with per-branch diagnostics — every window partitions by query_id,
+    so N queries cost one extra window column, not N plans."""
+    vecs = corpus.vectors(spark, sf_dir)
+    docs = corpus.docs(spark, sf_dir)
+    qs = vecs.filter(F.col("vec_id") < BM25_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dense_scored = topk.score_pairs(vecs, qs, query_keep=["query_id"]).select(
+        "query_id", F.col("vec_id").alias("id"), "score"
+    )
+    dense_top = topk.topk_per_group(
+        dense_scored, "query_id", K * BRANCH_INFLATION, id_col="id"
+    )
+    queries = docs.filter(F.col("doc_id") < BM25_BATCH_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    postings = bm25.build_postings(docs, id_col="doc_id", text_col="text")
+    sparse_scored = bm25.bm25_score_terms_batch(
+        postings, bm25.query_terms_batch(queries)
+    )
+    sparse_top = topk.topk_per_group(
+        sparse_scored, "query_id", K * BRANCH_INFLATION, id_col="id"
+    )
+    return fusion.rrf_fuse_batch(
+        {"dense": dense_top, "sparse": sparse_top}, K, RRF_RANK_K, "id"
+    )
