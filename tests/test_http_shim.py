@@ -1,0 +1,86 @@
+"""HTTP façade (§2.16): the reference's routes answered over real HTTP
+by the stdlib shim, backed by the same Engine the library API exposes."""
+
+import json
+import urllib.request
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from vector_search_application_spark.api import Engine
+from vector_search_application_spark.http_shim import serve_background
+
+
+@pytest.fixture(scope="module")
+def served(spark):
+    engine = Engine(spark, SF_SMOKE)
+    server, base = serve_background(engine)
+    yield engine, base
+    server.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_health_and_collections(served):
+    engine, base = served
+    status, body = _get(f"{base}/health")
+    assert status == 200 and body["status"] == "healthy"
+    assert body["document_count"] == engine.products.count()
+    _, cols = _get(f"{base}/api/collections")
+    assert cols["collections"][0]["points_count"] == body["document_count"]
+
+
+def test_query_routes_match_engine(served):
+    engine, base = served
+    status, body = _get(f"{base}/api/query?q=large+widget&mode=dense&count=5")
+    assert status == 200
+    want = [r.asDict() for r in engine.query("large widget", "dense", 5).collect()]
+    assert body["results"] == want
+    assert body["count"] == len(want) and body["query"] == "large widget"
+
+    status, _ = _get(f"{base}/api/search/fusion?q=large+widget")
+    assert status == 200
+
+    _, compare = _get(f"{base}/api/search/compare?q=blue+rod")
+    assert set(compare["engines"]) == {"ultra_fast", "fusion", "lean"}
+
+    _, stats = _get(f"{base}/api/search/performance-stats")
+    assert stats["query_dense"]["count"] >= 1
+
+
+def test_search_route_with_filter(served):
+    engine, base = served
+    row = engine.products.orderBy("id").first()
+    mfr = row["manufacturerPartNumber_text"]
+    status, body = _get(
+        f"{base}/api/search?q=widget&count=3"
+        f"&filter_field=manufacturerPartNumber_text&filter_value={mfr}"
+    )
+    assert status == 200
+    for r in body["results"]:
+        assert r["Mfr Code"] == mfr
+
+
+def test_errors(served):
+    _, base = served
+    status, body = _get_status(f"{base}/api/query?q=x&mode=bogus")
+    assert status == 400 and "unknown mode" in body["error"]
+    status, _ = _get_status(f"{base}/api/nope")
+    assert status == 404
+
+    req = urllib.request.Request(
+        f"{base}/api/search/cache", method="DELETE"
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.status == 200
+        assert "cleared" in json.loads(r.read())
+
+
+def _get_status(url: str):
+    try:
+        return _get(url)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())

@@ -1,6 +1,7 @@
 """Engine façade with the reference's HTTP-API semantics as methods
-(SURVEY.md §2.16) — a thin driver API over the DataFrame operators; a
-FastAPI/HTTP shim would wrap these 1:1.
+(SURVEY.md §2.16) — a thin driver API over the DataFrame operators;
+http_shim.py serves these same methods over real HTTP (stdlib-only,
+route-for-route with the reference's FastAPI surface).
 
 Endpoint map (reference file:line -> method):
   GET/POST /api/search            app/main.py:63-104,

@@ -1,0 +1,125 @@
+"""Optional HTTP façade over ``api.Engine`` — SURVEY.md §2.16 closed
+end-to-end.
+
+The reference serves its engine through FastAPI (reference
+app/main.py:63-211, app/api/endpoints/search.py:46-431,
+app/api/endpoints/admin.py:19-134). The Spark engine's query surface
+lives in ``api.Engine`` as methods; this module puts the same routes in
+front of it using ONLY the standard library (http.server), so the repo
+stays dependency-free while a user of the reference can hit the same
+paths:
+
+  GET  /health                        -> Engine.health()
+  GET  /api/collections               -> Engine.collections()
+  GET  /api/query?q=&mode=&count=     -> Engine.query()      (V1/V2/V3)
+  GET  /api/search?q=&count=&filter_field=&filter_value=&use_fusion=
+                                      -> Engine.search()     (V5 + Q2)
+  GET  /api/search/ultra-fast?q=      -> Engine.search_ultra_fast()
+  GET  /api/search/lean?q=            -> Engine.search_lean()
+  GET  /api/search/fusion?q=          -> Engine.search_fusion()  (V4)
+  GET  /api/search/compare?q=         -> Engine.compare()        (V7)
+  GET  /api/search/performance-stats  -> Engine.performance_stats()
+  DELETE /api/search/cache            -> Engine.clear_cache()
+
+Responses are ``{"results": [...], "count": n, "query": q}`` for search
+routes (the reference's envelope shape) and the raw dict elsewhere.
+Unknown routes 404; operator errors 400 with the message. This is a
+driver-side serving veneer: each request builds/collects one DataFrame
+plan, which is the reference's request/response model — throughput
+serving belongs to the batch APIs (``*_batch`` queries), not HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from .api import Engine
+
+
+def _rows(df) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    """Build (without starting) a ThreadingHTTPServer bound to the
+    engine. ``port=0`` picks a free port (``server.server_port``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):  # quiet: no stderr per request
+            pass
+
+        def _envelope(self, q: str, df) -> dict:
+            rows = _rows(df)
+            return {"results": rows, "count": len(rows), "query": q}
+
+        def do_GET(self):  # noqa: N802 — http.server contract
+            parsed = urlparse(self.path)
+            qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            q = qs.get("q", "")
+            count = int(qs.get("count", "10"))
+            try:
+                if parsed.path == "/health":
+                    self._send(200, engine.health())
+                elif parsed.path == "/api/collections":
+                    self._send(200, engine.collections())
+                elif parsed.path == "/api/query":
+                    mode = qs.get("mode", "hybrid")
+                    self._send(
+                        200, self._envelope(q, engine.query(q, mode, count))
+                    )
+                elif parsed.path == "/api/search":
+                    df = engine.search(
+                        q,
+                        count,
+                        filter_field=qs.get("filter_field"),
+                        filter_value=qs.get("filter_value"),
+                        use_fusion=qs.get("use_fusion", "").lower()
+                        in ("1", "true", "yes"),
+                    )
+                    self._send(200, self._envelope(q, df))
+                elif parsed.path == "/api/search/ultra-fast":
+                    self._send(
+                        200, self._envelope(q, engine.search_ultra_fast(q, count))
+                    )
+                elif parsed.path == "/api/search/lean":
+                    self._send(200, self._envelope(q, engine.search_lean(q, count)))
+                elif parsed.path == "/api/search/fusion":
+                    self._send(
+                        200, self._envelope(q, engine.search_fusion(q, count))
+                    )
+                elif parsed.path == "/api/search/compare":
+                    self._send(200, engine.compare(q, count))
+                elif parsed.path == "/api/search/performance-stats":
+                    self._send(200, engine.performance_stats())
+                else:
+                    self._send(404, {"error": f"unknown route {parsed.path}"})
+            except ValueError as e:  # bad mode / bad params
+                self._send(400, {"error": str(e)})
+
+        def do_DELETE(self):  # noqa: N802
+            if urlparse(self.path).path == "/api/search/cache":
+                self._send(200, {"cleared": engine.clear_cache()})
+            else:
+                self._send(404, {"error": "unknown route"})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    """Start the shim on a daemon thread; returns (server, base_url).
+    Call ``server.shutdown()`` to stop."""
+    server = make_server(engine, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, f"http://{host}:{server.server_port}"
