@@ -84,3 +84,28 @@ def _get_status(url: str):
         return _get(url)
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+def test_admin_routes(served, tmp_path):
+    """S4 import + S6 export through the HTTP surface (the reference's
+    admin.py routes) — and missing params answer 400, not 500."""
+    engine, base = served
+
+    out = tmp_path / "export.json"
+    status, body = _get(f"{base}/api/export?path={out}")
+    assert status == 200 and body["status"] == "completed"
+    assert body["documents"] == engine.products.count()
+    assert len(json.loads(out.read_text())) == body["documents"]
+
+    imp = tmp_path / "import"
+    imp.mkdir()
+    (imp / "batch.json").write_text(json.dumps([
+        {"_id": "HTTP0001", "partNumber_airgas_text": "HTTP0001",
+         "shortDescription_airgas_text": "http imported doc"},
+    ]))
+    table = tmp_path / "table"
+    status, body = _get(f"{base}/api/import?dir={imp}&table={table}")
+    assert status == 200 and body["documents"] == 1
+
+    status, body = _get_status(f"{base}/api/import?dir={imp}")
+    assert status == 400 and "missing parameter" in body["error"]

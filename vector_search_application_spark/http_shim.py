@@ -20,6 +20,10 @@ paths:
   GET  /api/search/compare?q=         -> Engine.compare()        (V7)
   GET  /api/search/performance-stats  -> Engine.performance_stats()
   DELETE /api/search/cache            -> Engine.clear_cache()
+  GET  /api/import?dir=&table=        -> Engine.import_full()       (S4)
+  GET  /api/importdelta?dir=&table=   -> Engine.import_delta()      (S5)
+  GET  /api/export?path=              -> Engine.export()            (S6)
+  GET  /api/reset                     -> Engine.reset()             (M9)
 
 Responses are ``{"results": [...], "count": n, "query": q}`` for search
 routes (the reference's envelope shape) and the raw dict elsewhere.
@@ -102,8 +106,23 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     self._send(200, engine.compare(q, count))
                 elif parsed.path == "/api/search/performance-stats":
                     self._send(200, engine.performance_stats())
+                elif parsed.path == "/api/import":
+                    n = engine.import_full(qs["dir"], qs["table"])
+                    self._send(200, {"status": "completed", "documents": n})
+                elif parsed.path == "/api/importdelta":
+                    counts = engine.import_delta(qs["dir"], qs["table"])
+                    self._send(200, {"status": "completed", "changes": counts})
+                elif parsed.path == "/api/export":
+                    path, n = engine.export(qs["path"])
+                    self._send(200, {"status": "completed", "path": path,
+                                     "documents": n})
+                elif parsed.path == "/api/reset":
+                    engine.reset()
+                    self._send(200, {"status": "reset"})
                 else:
                     self._send(404, {"error": f"unknown route {parsed.path}"})
+            except KeyError as e:  # missing required query param
+                self._send(400, {"error": f"missing parameter {e}"})
             except ValueError as e:  # bad mode / bad params
                 self._send(400, {"error": str(e)})
 
