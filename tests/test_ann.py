@@ -81,7 +81,8 @@ def test_ivf_batch_matches_single_query(spark):
     single = [
         (r["id"], r["score"]) for r in ann.ivf_topk(vecs, q).collect()
     ]
-    queries = vecs.filter(F.col("vec_id").isin([QUERY_VEC_ID, 0, 1])).select(
+    qids = sorted({QUERY_VEC_ID, 1, 2})  # distinct ids even if QUERY_VEC_ID is 0/1
+    queries = vecs.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     batch = ann.ivf_topk_batch(vecs, queries)
@@ -94,7 +95,8 @@ def test_ivf_batch_matches_single_query(spark):
     assert got == single
     # each query in the batch yields exactly K rows on this corpus
     counts = {r["query_id"]: r["count"] for r in batch.groupBy("query_id").count().collect()}
-    assert set(counts) == {QUERY_VEC_ID, 0, 1}
+    assert set(counts) == set(qids)
+    assert all(c == K for c in counts.values())
 
 
 def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):

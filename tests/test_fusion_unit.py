@@ -155,3 +155,24 @@ def test_connected_components_chain_star_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20, 30: 30, 31: 31}
+
+
+def test_tracked_persist_releases_orphaned_caches(spark):
+    """release_all must free caches whose Python references died inside
+    an operator (a weak registry would have dropped them — the exact
+    blocks the lifecycle module exists to release)."""
+    from tests.conftest import SF_SMOKE
+    from vector_search_application_spark.functions import cache
+    from vector_search_application_spark.operators import bm25
+    from vector_search_application_spark.plans import corpus
+
+    cache.release_all()  # clean slate
+
+    def build_and_drop():
+        docs = corpus.docs(spark, SF_SMOKE).limit(50)
+        bm25.build_postings(docs, id_col="doc_id", text_col="text").count()
+        # the persisted postings DF goes out of scope here
+
+    build_and_drop()
+    assert cache.release_all() >= 1
+    assert cache.release_all() == 0  # registry cleared

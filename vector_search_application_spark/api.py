@@ -33,6 +33,7 @@ exactly: avg = 0.9*avg + 0.1*x after the first sample
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import OrderedDict
 
@@ -62,6 +63,10 @@ class Engine:
         self._stats: dict[str, dict[str, float]] = {}
         self._query_emb_cache: OrderedDict[str, DataFrame] = OrderedDict()
         self._query_cache_capacity = 1000  # reference lru_cache(1000)
+        # the HTTP shim serves this engine from a threaded server; the
+        # LRU and EMA counters are the only shared mutable state (the
+        # reference's functools.lru_cache is thread-safe — match it)
+        self._lock = threading.Lock()
         products = corpus.products(spark, sf_dir)
         # cache the corpus + its two derived indexes (the reference
         # holds all three in RAM: payload store, HNSW, sparse index)
@@ -79,31 +84,37 @@ class Engine:
         # true LRU, like the reference's functools.lru_cache(1000): a hit
         # moves the key to the end, so eviction drops the least-recently-
         # USED entry, not the oldest-inserted
-        if q in self._query_emb_cache:
-            self._query_emb_cache.move_to_end(q)
-        else:
-            if len(self._query_emb_cache) >= self._query_cache_capacity:
-                self._query_emb_cache.popitem(last=False)
-            self._query_emb_cache[q] = E.embed_query_postings(self.spark, q)
-        return self._query_emb_cache[q]
+        with self._lock:
+            if q in self._query_emb_cache:
+                self._query_emb_cache.move_to_end(q)
+                return self._query_emb_cache[q]
+        built = E.embed_query_postings(self.spark, q)
+        with self._lock:
+            if q not in self._query_emb_cache:
+                if len(self._query_emb_cache) >= self._query_cache_capacity:
+                    self._query_emb_cache.popitem(last=False)
+                self._query_emb_cache[q] = built
+            return self._query_emb_cache[q]
 
     # -- EMA telemetry --------------------------------------------------
 
     def _track(self, engine: str, elapsed_ms: float) -> None:
-        s = self._stats.setdefault(engine, {"count": 0, "avg_time_ms": 0.0})
-        s["count"] += 1
-        if s["count"] == 1:
-            s["avg_time_ms"] = elapsed_ms
-        else:
-            s["avg_time_ms"] = 0.9 * s["avg_time_ms"] + 0.1 * elapsed_ms
+        with self._lock:
+            s = self._stats.setdefault(engine, {"count": 0, "avg_time_ms": 0.0})
+            s["count"] += 1
+            if s["count"] == 1:
+                s["avg_time_ms"] = elapsed_ms
+            else:
+                s["avg_time_ms"] = 0.9 * s["avg_time_ms"] + 0.1 * elapsed_ms
 
     def performance_stats(self) -> dict:
         return {k: dict(v) for k, v in self._stats.items()}
 
     def clear_cache(self) -> int:
-        n = len(self._query_emb_cache)
-        self._query_emb_cache.clear()
-        return n
+        with self._lock:
+            n = len(self._query_emb_cache)
+            self._query_emb_cache.clear()
+            return n
 
     # -- search branches ------------------------------------------------
 
@@ -142,21 +153,19 @@ class Engine:
             )
         else:
             raise ValueError(f"unknown mode: {mode}")
-        out.collect()
+        out = out.localCheckpoint(eager=True)  # executes; collects are free
         self._track(f"query_{mode}", (time.perf_counter() - t0) * 1000)
         return out
 
     def search_ultra_fast(self, q: str, count: int = 10) -> DataFrame:
         t0 = time.perf_counter()
-        out = self._dense_branch(q, count)
-        out.collect()
+        out = self._dense_branch(q, count).localCheckpoint(eager=True)
         self._track("ultra_fast", (time.perf_counter() - t0) * 1000)
         return out
 
     def search_lean(self, q: str, count: int = 10) -> DataFrame:
         t0 = time.perf_counter()
-        out = self._dense_branch(q, count)
-        out.collect()
+        out = self._dense_branch(q, count).localCheckpoint(eager=True)
         self._track("lean", (time.perf_counter() - t0) * 1000)
         return out
 
@@ -170,7 +179,7 @@ class Engine:
             "id", "score", F.lit("vector").alias("search_type")
         )
         out = fusion.max_dedup_fuse(exact_b, vector_b, count, "id")
-        out.collect()
+        out = out.localCheckpoint(eager=True)
         self._track("fusion", (time.perf_counter() - t0) * 1000)
         return out
 

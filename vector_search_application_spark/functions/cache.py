@@ -9,35 +9,37 @@ without bound.
 
 Every internal persist goes through ``tracked_persist``; callers that
 own a session lifecycle call ``release_all()`` at a boundary (Engine
-.reset(), a bench loop's teardown, test fixtures). The registry is a
-WeakSet: DataFrames the caller dropped are collected by Python GC and
-their blocks by Spark's ContextCleaner either way — release_all just
-makes the boundary deterministic.
+.reset(), a bench loop's teardown, test fixtures). The registry holds
+STRONG references on purpose: the persisted DataFrames are
+operator-local, so their Python refs die when the operator returns —
+but Spark's CacheManager keeps the JVM-side blocks regardless (Python
+GC never unpersists SQL cache). A weak registry would drop exactly the
+orphaned entries this module exists to free; the strong list keeps
+them reachable until release_all() unpersists and clears.
 """
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 
-_LIVE: weakref.WeakSet = weakref.WeakSet()
+_LIVE: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     """persist() + register for deterministic release at a boundary."""
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _LIVE.add(out)
+    _LIVE.append(out)
     return out
 
 
 def release_all() -> int:
-    """Unpersist every tracked DataFrame still alive; returns count."""
+    """Unpersist every tracked DataFrame; returns count released."""
     n = 0
-    for df in list(_LIVE):
+    for df in _LIVE:
         try:
             df.unpersist()
             n += 1
         except Exception:  # session already stopped — nothing to free
             pass
+    _LIVE.clear()
     return n

@@ -158,6 +158,22 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+def round_half_up(x: float, digits: int = ROUND_DIGITS) -> float:
+    """Python twin of Spark ROUND on DOUBLE: HALF_UP over the SHORTEST
+    decimal repr of the double (BigDecimal.valueOf = Double.toString,
+    which Python's repr() also produces) — NOT over the exact binary
+    expansion, and NOT Python round()'s banker's rounding. Any
+    driver-side value that must compare equal to an engine-rounded
+    value goes through this."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def rounded(col: Column, digits: int = ROUND_DIGITS) -> Column:
     return F.round(col.cast("double"), digits)
 

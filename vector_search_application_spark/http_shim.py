@@ -71,8 +71,8 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
             parsed = urlparse(self.path)
             qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
             q = qs.get("q", "")
-            count = int(qs.get("count", "10"))
             try:
+                count = int(qs.get("count", "10"))
                 if parsed.path == "/health":
                     self._send(200, engine.health())
                 elif parsed.path == "/api/collections":
@@ -125,6 +125,10 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                 self._send(400, {"error": f"missing parameter {e}"})
             except ValueError as e:  # bad mode / bad params
                 self._send(400, {"error": str(e)})
+            except Exception as e:  # engine/Spark errors (bad column,
+                # missing path, analysis failures) must still produce an
+                # HTTP response, not an aborted connection
+                self._send(400, {"error": f"{type(e).__name__}: {e}"[:2000]})
 
         def do_DELETE(self):  # noqa: N802
             if urlparse(self.path).path == "/api/search/cache":

@@ -201,19 +201,31 @@ def _cell_expr(vec_col: str, cents: list[tuple[int, list]], digits: int = 6) -> 
     return f"transform(array(sqrt({dot_vv})), nv -> {argmax})[0]"
 
 
-def _round_half_up(x: float, digits: int = 6) -> float:
-    """Spark ROUND on DOUBLE: HALF_UP over the SHORTEST decimal repr
-    of the double (BigDecimal.valueOf = Double.toString), which Python's
-    repr() also produces — NOT over the exact binary expansion
-    (Decimal(x)), and NOT Python round()'s banker's rounding.
-    Driver-side probe-cell ranking must match the engines."""
-    import decimal
+_round_half_up = P.round_half_up  # shared with embed_udf via portable
 
-    return float(
-        decimal.Decimal(repr(x)).quantize(
-            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
-        )
+
+def _py_cosine(a, b) -> float:
+    """Driver-side cosine with the engines' IEEE left-assoc
+    accumulation + HALF_UP rounding — probe-cell ranking computed on
+    the driver must tie-break identically to the in-plan expressions."""
+    import math
+
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + float(x) * float(y)
+        na = na + float(x) * float(x)
+        nb = nb + float(y) * float(y)
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return _round_half_up(dot / denom if denom > 0.0 else 0.0)
+
+
+def _rank_probe_cells(cents, qvec, n_probe: int) -> list:
+    """Top-n_probe centroid ids by (rounded cosine desc, cid asc)."""
+    ranked = sorted(
+        ((_py_cosine(cv, qvec), cid) for cid, cv in cents),
+        key=lambda t: (-t[0], t[1]),
     )
+    return [cid for _, cid in ranked[:n_probe]]
 
 
 def ivf_assign(
@@ -260,23 +272,7 @@ def ivf_topk(
         for r in vectors.filter(F.col(id_col) < n_centroids).collect()
     ]
     qvec = [float(x) for x in query.first()["qvec"]]
-
-    def py_cos(a, b):
-        dot = na = nb = 0.0
-        for x, y in zip(a, b):
-            dot = dot + float(x) * float(y)
-            na = na + float(x) * float(x)
-            nb = nb + float(y) * float(y)
-        import math
-
-        denom = math.sqrt(na) * math.sqrt(nb)
-        return _round_half_up(dot / denom if denom > 0.0 else 0.0)
-
-    ranked = sorted(
-        ((py_cos(cv, qvec), cid) for cid, cv in cents),
-        key=lambda t: (-t[0], t[1]),
-    )
-    probe_cells = [cid for _, cid in ranked[:n_probe]]
+    probe_cells = _rank_probe_cells(cents, qvec, n_probe)
 
     cell = _cell_expr(vec_col, cents)
     score = _cos_lit_sql(vec_col, qvec)
@@ -388,23 +384,7 @@ def ivf_indexed_topk(
     metadata), the cell predicate prunes partition directories before
     file I/O, and scoring + top-k touch only the probed cells' rows."""
     qvec = [float(x) for x in query.first()["qvec"]]
-
-    def py_cos(a, b):
-        import math
-
-        dot = na = nb = 0.0
-        for x, y in zip(a, b):
-            dot = dot + float(x) * float(y)
-            na = na + float(x) * float(x)
-            nb = nb + float(y) * float(y)
-        denom = math.sqrt(na) * math.sqrt(nb)
-        return _round_half_up(dot / denom if denom > 0.0 else 0.0)
-
-    ranked = sorted(
-        ((py_cos(cv, qvec), cid) for cid, cv in cents),
-        key=lambda t: (-t[0], t[1]),
-    )
-    probe_cells = [cid for _, cid in ranked[:n_probe]]
+    probe_cells = _rank_probe_cells(cents, qvec, n_probe)
     score = _cos_lit_sql("v", qvec)
     return (
         spark.read.parquet(path)

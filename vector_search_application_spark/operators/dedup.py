@@ -390,5 +390,10 @@ def connected_components(
             "id", F.col("new_canonical").alias("canonical_id")
         )
         if not changed:
-            break
-    return labels.select("id", "canonical_id")
+            return labels.select("id", "canonical_id")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        "(a component's diameter exceeds the cap); raise max_iters, or use "
+        "the large-star/small-star variant for adversarially long chains — "
+        "returning partial labels would silently split components"
+    )

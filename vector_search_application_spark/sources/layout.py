@@ -170,10 +170,16 @@ def compact_buckets(
     if not todo:
         return todo
     buckets = [int(name.split("=", 1)[1]) for name in todo]
+    # repartitioning by BUCKET_COL alone would collapse each bucket into
+    # ONE partition (one file, one task) regardless of the target; a
+    # row-id salt splits each bucket across max_files_per_bucket tasks
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(max_files_per_bucket))
     slice_df = (
         spark.read.parquet(path)
         .filter(F.col(BUCKET_COL).isin(buckets))
-        .repartition(max_files_per_bucket * len(buckets), BUCKET_COL)
+        .withColumn("__salt", salt)
+        .repartition(max_files_per_bucket * len(buckets), BUCKET_COL, F.col("__salt"))
+        .drop("__salt")
         .localCheckpoint(eager=True)  # cut lineage to the files we replace
     )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
