@@ -354,12 +354,25 @@ def connected_components(
     src) + one groupBy(dst) min — both map-side-combinable; labels are
     localCheckpoint'ed each round so the plan stays one-iteration deep
     (no exponential lineage), and the convergence probe is a single
-    count per round.
+    count per round. Only EDGE ENDPOINTS enter the loop — a node with
+    no dup pair can never change its label, so the iterated table is
+    the (typically tiny) duplicate-touched slice of the corpus;
+    singletons are appended as their own canonical at the end.
     """
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    labels = nodes.select(F.col("id"), F.col("id").alias("canonical_id"))
+    # materialize the edge list ONCE: `pairs` is usually the output of
+    # an expensive candidate join (banded simhash, LSH buckets) and is
+    # referenced by every round's join plus the singleton split — left
+    # as lineage it would recompute per round
+    edges = edges.localCheckpoint(eager=True)
+    endpoints = edges.select(F.col("src").alias("id")).distinct()
+    all_nodes = nodes.select("id")
+    singletons = all_nodes.join(endpoints, "id", "left_anti").select(
+        "id", F.col("id").alias("canonical_id")
+    )
+    labels = endpoints.select("id", F.col("id").alias("canonical_id"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
         neigh = (
@@ -390,7 +403,7 @@ def connected_components(
             "id", F.col("new_canonical").alias("canonical_id")
         )
         if not changed:
-            return labels.select("id", "canonical_id")
+            return labels.select("id", "canonical_id").unionByName(singletons)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations "
         "(a component's diameter exceeds the cap); raise max_iters, or use "
