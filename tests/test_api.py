@@ -111,7 +111,12 @@ def test_search_postfilter_keeps_top_scored(engine):
     must keep the TOP-scored survivors (the reference truncates the
     score-ranked list) — not an arbitrary pre-sort subset."""
     # pick a filter that many corpus rows satisfy so the limit binds
-    src = engine.products.groupBy("manufacturerPartNumber_text").count()
+    # (non-null: search() rejects filter_value=None by design)
+    src = (
+        engine.products.filter(F.col("manufacturerPartNumber_text").isNotNull())
+        .groupBy("manufacturerPartNumber_text")
+        .count()
+    )
     mfr = src.orderBy(F.desc("count")).first()["manufacturerPartNumber_text"]
     got = engine.search(
         "widget", 3, filter_field="manufacturerPartNumber_text",
@@ -177,3 +182,24 @@ def test_load_data_and_export_roundtrip(engine, tmp_path):
         "shortDescription_airgas_text", "onlinePrice_string",
         "img_270Wx270H_string",
     ]
+
+
+def test_search_requires_filter_value_with_field(engine):
+    with pytest.raises(ValueError, match="filter_value"):
+        engine.search("widget", 3, filter_field="manufacturerPartNumber_text")
+
+
+def test_reset_leaves_engine_serviceable(spark):
+    """reset() drops caches but the engine must keep answering — its
+    indexes re-persist lazily (the reference's reset leaves a working
+    collection)."""
+    from tests.conftest import SF_SMOKE
+    from vector_search_application_spark.api import Engine
+
+    e = Engine(spark, SF_SMOKE)
+    before = [r["id"] for r in e.search_ultra_fast("large widget", 5).collect()]
+    e.reset()
+    assert e.performance_stats() == {}
+    after = [r["id"] for r in e.search_ultra_fast("large widget", 5).collect()]
+    assert after == before
+    e.reset()

@@ -108,7 +108,8 @@ class Engine:
                 s["avg_time_ms"] = 0.9 * s["avg_time_ms"] + 0.1 * elapsed_ms
 
     def performance_stats(self) -> dict:
-        return {k: dict(v) for k, v in self._stats.items()}
+        with self._lock:
+            return {k: dict(v) for k, v in self._stats.items()}
 
     def clear_cache(self) -> int:
         with self._lock:
@@ -193,6 +194,12 @@ class Engine:
     ) -> DataFrame:
         """V5: search-with-details — fused or dense hits, optional Q2
         post-filter with k-inflation, UI projection with C3/C4."""
+        if filter_field is not None and filter_value is None:
+            # col == lit(NULL) is never true — a silently-empty result
+            # would be indistinguishable from a legitimate miss
+            raise ValueError(
+                "filter_value is required when filter_field is set"
+            )
         k = count * POSTFILTER_INFLATION if filter_field else count
         hits = (
             self.search_fusion(q, k)
@@ -283,14 +290,25 @@ class Engine:
     def reset(self) -> None:
         """M9: drop the cached collection state — including operator-
         internal persisted intermediates (BM25 postings, LSH tables)
-        registered with functions/cache."""
-        from .functions.cache import release_all
+        registered with functions/cache. release_all() is session-
+        scoped by design (the cache registry is process-global, like
+        Spark's own CacheManager); with multiple Engines in one session
+        reset() is a session boundary, not a per-collection one.
+
+        The engine stays serviceable: its own indexes are re-persisted
+        (lazily — blocks rebuild on next use), matching the reference
+        where reset recreates an empty-but-working collection."""
+        from .functions.cache import release_all, tracked_persist
 
         self.products.unpersist()
         self.dense_index.unpersist()
         release_all()
         self.clear_cache()
-        self._stats.clear()
+        with self._lock:
+            self._stats.clear()
+        self.products = self.products.persist()
+        self.dense_index = self.dense_index.persist()
+        self.sparse_postings = tracked_persist(self.sparse_postings)
 
     def health(self) -> dict:
         return {"status": "healthy", "document_count": self.products.count()}

@@ -78,7 +78,13 @@ def _bucket_sql(vec_col: str, n_planes: int = LSH_PLANES, dim: int = 64) -> str:
     terms = []
     for p, w in enumerate(_py_plane_weights(n_planes, dim)):
         dot = P.dot_spark_sql(vec_col, _lit_vec(w))
-        terms.append(f"CASE WHEN {dot} > 0.0D THEN {1 << p}L ELSE 0L END")
+        # sign decided on the ROUNDED dot: the oracle accumulates in
+        # arbitrary order (GROUP BY sum), so an unrounded near-zero dot
+        # could flip sign across engines on FP reassociation noise
+        terms.append(
+            f"CASE WHEN round(CAST({dot} AS DOUBLE), 6) > 0.0D"
+            f" THEN {1 << p}L ELSE 0L END"
+        )
     bucket = f"CAST({' + '.join(terms)} AS BIGINT)"
     return (
         f"CASE WHEN size({vec_col}) = {dim} THEN {bucket}"

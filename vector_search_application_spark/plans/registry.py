@@ -560,12 +560,9 @@ SELECT id, score, search_type FROM fused
 def q_fusion_max_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prods = corpus.products(spark, sf_dir)
     query = _part_number_literal(spark, sf_dir, 123)
-    exact_br = (
-        prods.filter(F.col("partNumber_airgas_text") == exact.clean_query(query))
-        .orderBy(F.asc("id"))
-        .limit(10)
-        .select("id", F.lit(1.0).alias("score"), F.lit("exact").alias("search_type"))
-    )
+    exact_br = exact.exact_match_branch(
+        prods, "partNumber_airgas_text", query, 1.0
+    ).select("id", "score", F.lit("exact").alias("search_type"))
     qterms = (
         corpus._read(spark, sf_dir, "part")
         .filter(F.col("p_partkey") == 123)

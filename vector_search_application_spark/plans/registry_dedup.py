@@ -292,7 +292,7 @@ dots AS (
 ),
 buckets AS (
     SELECT id,
-           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN round(dot, 6) > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
                AS bucket
     FROM dots GROUP BY id
 ),

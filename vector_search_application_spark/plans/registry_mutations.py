@@ -155,7 +155,8 @@ def q_cleanup_old(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH versioned AS (
     SELECT user_id, event_id, event_type, ts,
            row_number() OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS version
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS version
     FROM events
 ),
 maxv AS (

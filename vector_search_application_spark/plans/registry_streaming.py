@@ -54,7 +54,8 @@ _SESSIONIZE_SQL = f"""
 WITH ordered AS (
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
     FROM events
 ),
 marked AS (

@@ -271,11 +271,11 @@ def import_delta(
         )
         layout.bucketed_upsert(spark, table_dir, upserts, key)
         return counts
-    merged = mutations.upsert(old, new, key)
-    # write-then-swap (plain-parquet fallback; with Delta/Iceberg this
-    # becomes a real MERGE INTO and the rewrite disappears)
-    tmp = table_dir.rstrip("/") + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_dir)
+    # materialize the merge BEFORE overwriting (the plan reads the
+    # same files the write replaces); localCheckpoint cuts the lineage
+    # in one write instead of the old tmp-dir double write, which also
+    # leaked the tmp copy on disk. With Delta/Iceberg this becomes a
+    # real MERGE INTO and the rewrite disappears.
+    merged = mutations.upsert(old, new, key).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(table_dir)
     return counts

@@ -236,7 +236,11 @@ def stateful_ema(
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     # the log holds one row per touched key per micro-batch across ALL
     # runs on this checkpoint; the row with the highest n per key is the
-    # settled state
+    # settled state. A source with zero files produces no micro-batch,
+    # so the log may not exist yet — that is an empty result, not an
+    # error (the resume contract).
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], "event_type string, ema double, n bigint")
     sink = spark.read.parquet(out_dir)
     w_last = (
         sink.groupBy("event_type")
