@@ -176,3 +176,53 @@ def test_tracked_persist_releases_orphaned_caches(spark):
     build_and_drop()
     assert cache.release_all() >= 1
     assert cache.release_all() == 0  # registry cleared
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star must find exactly the union-find
+    components on random graphs PLUS a diameter-30 chain (which the
+    min-label variant refuses under its iteration cap)."""
+    import random
+
+    import pytest as _pytest
+
+    from vector_search_application_spark.operators import dedup
+
+    rng = random.Random(11)
+    base = list(range(60))
+    rand_pairs = [
+        (a, b)
+        for a, b in ((rng.choice(base), rng.choice(base)) for _ in range(40))
+        if a != b
+    ]
+    chain = [(i, i + 1) for i in range(100, 130)]  # diameter 30
+    all_pairs = rand_pairs + chain
+    all_ids = sorted(set(base) | {x for p in chain for x in p})
+
+    # union-find ground truth; attaching max root under min root makes
+    # every root the minimum of its component
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in all_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in all_ids}
+
+    pairs_df = spark.createDataFrame(all_pairs, ["id_a", "id_b"])
+    nodes_df = spark.createDataFrame([(i,) for i in all_ids], ["id"])
+    got = {
+        r["id"]: r["canonical_id"]
+        for r in dedup.connected_components_star(pairs_df, nodes_df).collect()
+    }
+    assert got == want
+
+    # the min-label variant refuses the same chain under a small cap
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs_df, nodes_df, max_iters=5)

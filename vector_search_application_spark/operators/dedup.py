@@ -410,3 +410,89 @@ def connected_components(
         "the large-star/small-star variant for adversarially long chains — "
         "returning partial labels would silently split components"
     )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 40,
+) -> DataFrame:
+    """(id, canonical_id) via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale sibling of ``connected_components``: min-label
+    propagation needs DIAMETER rounds (fine for shallow dup clusters,
+    fatal on long chains), the star operations converge in
+    O(log n) rounds on ANY graph shape.
+
+    large-star: every node links its strictly-larger neighbors to the
+    minimum of its closed neighborhood; small-star: links its
+    smaller-or-equal neighbors there. Alternating the two contracts
+    every component to a star whose center is the component minimum.
+    Each operation is one groupBy(min) + explode — the same
+    key-partitioned shape per round as label propagation; edges are
+    localCheckpoint'ed per round (plans stay one-round deep).
+    Convergence = edge multiset stable (count + order-insensitive
+    hash), checked from the materialized result at no extra pass.
+    """
+    both = pairs.select(
+        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+    ).unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+    edges = both.filter(F.col("u") != F.col("v")).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    all_nodes = nodes.select("id")
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # group the FULL (bidirectional) neighborhood of u;
+        # m = min(Γ(u) ∪ {u}); link every strictly-larger neighbor to m
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(F.min(F.least("v", "u")).alias("m"))
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient every edge max -> min, group the SMALLER neighborhood;
+        # m = min(N⁻(u) ∪ {u}); link u and each smaller neighbor to m
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.min("v").alias("m"))  # all v < u
+        linked = (
+            oriented.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+        )
+        return linked.filter(F.col("u") != F.col("v")).distinct()
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return row["n"], row["h"]
+
+    sig = _sig(edges)
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges))
+        edges = edges.localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not stabilize in {max_iters} rounds"
+        )
+    # stars: every remaining edge points a node at its component min
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("canonical_id"))
+    # star centers and singletons label themselves
+    centers = all_nodes.join(
+        members.select("id").distinct(), "id", "left_anti"
+    ).select("id", F.col("id").alias("canonical_id"))
+    return members.unionByName(centers)

@@ -572,3 +572,24 @@ def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         "component", F.col("doc_id").alias("keep_id"), F.col("score").alias("quality")
     )
+
+
+@declare(
+    "dedup_components_star",
+    _COMPONENTS_SQL,  # identical semantics to dedup_components — the
+    # oracle doesn't care which distributed algorithm produced the labels
+    survey_ids="dedup-components",
+)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(log n)-rounds sibling of dedup_components: alternating
+    large-star/small-star contraction (correct on ANY component shape,
+    incl. chains longer than min-label's iteration budget — validated
+    against union-find ground truth in tests/test_fusion_unit.py).
+    Same simhash pair list, same recursive-CTE oracle."""
+    docs = dedup_docs(spark, sf_dir)
+    sims = dedup.simhash(docs, "doc_id", "text")
+    pairs = dedup.simhash_pairs(sims, max_hamming=3).select("id_a", "id_b")
+    comps = dedup.connected_components_star(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    )
+    return comps.select(F.col("id").alias("doc_id"), "canonical_id")
