@@ -156,3 +156,22 @@ def re_token_count(text: Column) -> Column:
 
 def re_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all(lower({expr}), '{RE_TOKEN_PAT}'))"
+
+
+# --- BPE-style pretokenizer (portable: no lookahead, ASCII classes) -------
+
+# GPT-2's pretokenizer splits contractions / letter runs / digit runs /
+# punctuation runs; its real pattern needs lookahead + unicode
+# categories, which RE2 (DuckDB) lacks — this is the lookahead-free
+# ASCII projection, identical under Java regex and RE2.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(text):
+    from pyspark.sql import functions as F
+
+    return F.regexp_extract_all(text, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_tokens_sql(expr: str) -> str:
+    return f"regexp_extract_all({expr}, $bpe${BPE_SPLIT_RE}$bpe$)"

@@ -120,3 +120,44 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("toks") > 0)
         .selectExpr("doc_id", f"CAST({fold} % {T.FP_MOD}L AS BIGINT) AS fingerprint")
     )
+
+
+@declare(
+    "token_stats_bpe",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {T.bpe_tokens_sql('text')} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(tk) AS INTEGER) AS n_bpe,
+       CAST(len(list_filter(tk, t -> regexp_full_match(t, '[a-zA-Z]+')))
+            AS INTEGER) AS n_word,
+       CAST(len(list_filter(tk, t -> regexp_full_match(t, '[0-9]+')))
+            AS INTEGER) AS n_num,
+       CAST(len(list_filter(tk, t -> t LIKE '''%')) AS INTEGER)
+            AS n_contraction
+FROM toks
+""",
+    survey_ids="text-tokens",
+)
+def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization counts (the brief's 'BPE-ish regex'):
+    contraction suffixes / letter runs / digit runs / punctuation runs,
+    with per-class counts — the token accounting an LLM data pipeline
+    runs before actual BPE merges. Pure column expressions; the token
+    array never leaves the row."""
+    docs = corpus.docs(spark, sf_dir)
+    tk = T.bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(tk).cast("int").alias("n_bpe"),
+        F.size(F.filter(tk, lambda t: t.rlike("^[a-zA-Z]+$")))
+        .cast("int")
+        .alias("n_word"),
+        F.size(F.filter(tk, lambda t: t.rlike("^[0-9]+$")))
+        .cast("int")
+        .alias("n_num"),
+        F.size(F.filter(tk, lambda t: t.startswith("'")))
+        .cast("int")
+        .alias("n_contraction"),
+    )
