@@ -140,3 +140,70 @@ def q_stream_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table equals the batch corpus embed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return ingest.stream_embed_documents(spark, sf_dir)
+
+
+# --- conversion funnel: a range join over the event log -------------------
+
+FUNNEL_WINDOW_US = 60 * 60 * 1_000_000  # B must follow A within 1 hour
+
+_FUNNEL_SQL = f"""
+WITH a AS (
+    SELECT user_id, min(epoch_us(ts)) AS first_a_us
+    FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+b AS (
+    SELECT user_id, epoch_us(ts) AS tb
+    FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+    SELECT DISTINCT a.user_id
+    FROM a JOIN b USING (user_id)
+    WHERE b.tb > a.first_a_us AND b.tb <= a.first_a_us + {FUNNEL_WINDOW_US}
+)
+SELECT a.user_id, a.first_a_us,
+       (conv.user_id IS NOT NULL) AS converted
+FROM a LEFT JOIN conv ON conv.user_id = a.user_id
+""".strip()
+
+
+@declare("event_funnel", _FUNNEL_SQL, survey_ids="streaming-window,§2.12")
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion — the RANGE-JOIN shape (did a purchase follow
+    the user's first click within an hour): the B side joins on the
+    user key with a time-band predicate, so the shuffle is keyed on
+    user_id and the band condition evaluates inside the joined
+    partition — never a time-cross-product. At 100 TB both sides
+    partition once on user_id and the band check is map-side within
+    the co-partitioned join."""
+    from pyspark.sql import functions as F
+
+    from . import corpus
+
+    events = corpus._read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+    )
+    a = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_a_us"))
+    )
+    b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("tb")
+    )
+    conv = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("tb") > F.col("first_a_us"))
+            & (F.col("tb") <= F.col("first_a_us") + FUNNEL_WINDOW_US)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("__conv", F.lit(True))
+    )
+    return a.join(conv, "user_id", "left").select(
+        "user_id",
+        "first_a_us",
+        F.coalesce(F.col("__conv"), F.lit(False)).alias("converted"),
+    )
