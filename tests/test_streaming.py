@@ -249,3 +249,36 @@ def test_compact_buckets_preserves_data(spark, tmp_path):
         map(tuple, spark.read.parquet(table).drop("__bucket").collect())
     )
     assert after_rows == before_rows
+
+
+def test_ts_us_survives_schema_drift(spark):
+    """corpus.ts_us() must yield identical BIGINT epoch-micros whether the
+    generator wrote events.ts as TIMESTAMP(NANOS)->BIGINT, TIMESTAMP, or
+    TIMESTAMP_NTZ — the round-3 regression was exactly this drift."""
+    import duckdb
+    from pyspark.sql.types import LongType
+
+    for sf_dir in ["/root/testdata/sf0.001", SF_SMOKE]:
+        raw = corpus._read(spark, sf_dir, "events")
+        got = (
+            raw.select("event_id", corpus.ts_us(raw).alias("ts_us"))
+            .orderBy("event_id")
+            .limit(50)
+        )
+        assert isinstance(got.schema["ts_us"].dataType, LongType)
+        want = duckdb.sql(
+            f"SELECT event_id, epoch_us(ts) AS ts_us "
+            f"FROM '{sf_dir}/events.parquet' ORDER BY event_id LIMIT 50"
+        ).fetchall()
+        assert [(r.event_id, r.ts_us) for r in got.collect()] == want
+
+    # synthetic drift: the same instants as BIGINT nanos and TIMESTAMP
+    ntz = corpus._read(spark, SF_SMOKE, "events").select("event_id", "ts").limit(20)
+    base = ntz.select("event_id", corpus.ts_us(ntz).alias("us"))
+    as_nanos = ntz.select("event_id", (corpus.ts_us(ntz) * 1000).alias("ts"))
+    as_tstz = ntz.select(
+        "event_id", F.timestamp_micros(corpus.ts_us(ntz)).alias("ts")
+    )
+    for variant in (as_nanos, as_tstz):
+        got = variant.select("event_id", corpus.ts_us(variant).alias("us"))
+        assert sorted(got.collect()) == sorted(base.collect())

@@ -23,8 +23,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from ..functions import portable as P
 
@@ -35,9 +36,10 @@ IMG_NULL_MOD = 5     # ~20% image null
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The driver testdata stores timestamps as parquet TIMESTAMP(NANOS),
-    # which Spark 4 rejects; read them as BIGINT nanoseconds instead
-    # (the DuckDB oracle side uses epoch_ns(ts) for the same value).
+    # Timestamp columns arrive as whatever the generator wrote — parquet
+    # TIMESTAMP(NANOS) (Spark 4 rejects it unless read as BIGINT nanos)
+    # in some generations, timestamp[us]/TIMESTAMP_NTZ in others. Keep
+    # the nanos escape hatch on and normalize per-column with ts_us().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Constraint propagation is super-linear in the number of aliased
     # non-trivial project expressions below a join; the flattened-vector
@@ -48,6 +50,30 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's vanilla session).
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def ts_us(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microseconds (BIGINT) from a timestamp column, whatever the
+    physical type the testdata generation produced — the engine-side twin
+    of the oracle's ``epoch_us(ts)``.
+
+    - BIGINT: TIMESTAMP(NANOS) read via nanosAsLong -> integer-divide
+      (never float-divide an int64 epoch; rounding moves boundary rows).
+    - TIMESTAMP_NTZ: ``timestampdiff`` against the NTZ epoch literal —
+      timezone-independent, unlike ``unix_micros(cast(.. as timestamp))``
+      which would shift with the session timezone.
+    - TIMESTAMP: ``unix_micros`` directly.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"CAST({col} DIV 1000 AS BIGINT)")
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+        )
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"ts_us: unsupported type {dt} for column {col!r}")
 
 
 def vectors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,14 +168,12 @@ FROM versioned v JOIN maxv USING (user_id, version)
     survey_ids="M4,M5",
 )
 def q_version_current(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ts is read as BIGINT nanoseconds (nanosAsLong); the oracle's
-    # TIMESTAMP is micros — normalize with integer division (never
-    # float-divide an int64 epoch) and order by the same value.
-    events = corpus._read(spark, sf_dir, "events").select(
+    raw = corpus._read(spark, sf_dir, "events")
+    events = raw.select(
         "user_id",
         "event_id",
         "event_type",
-        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        corpus.ts_us(raw).alias("ts_us"),
     )
     return mutations.current_versions(
         events, "user_id", ["ts_us", "event_id"]

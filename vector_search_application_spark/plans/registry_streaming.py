@@ -94,10 +94,11 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import corpus
 
-    events = corpus._read(spark, sf_dir, "events").select(
+    raw = corpus._read(spark, sf_dir, "events")
+    events = raw.select(
         "user_id",
         "event_id",
-        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        corpus.ts_us(raw).alias("ts_us"),
     )
     w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
     marked = events.withColumn(
@@ -179,10 +180,11 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from . import corpus
 
-    events = corpus._read(spark, sf_dir, "events").select(
+    raw = corpus._read(spark, sf_dir, "events")
+    events = raw.select(
         "user_id",
         "event_type",
-        F.expr("CAST(ts DIV 1000 AS BIGINT)").alias("ts_us"),
+        corpus.ts_us(raw).alias("ts_us"),
     )
     a = (
         events.filter(F.col("event_type") == "click")

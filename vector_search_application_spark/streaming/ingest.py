@@ -37,15 +37,16 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Event-time windowed aggregation (streaming or batch DataFrame).
 
-    ts_col is BIGINT epoch-nanoseconds (the testdata's TIMESTAMP(NANOS)
-    read via nanosAsLong). Output keys are epoch-millis window starts —
-    integer-typed on purpose so engine/oracle comparison is
-    timezone-proof.
+    ts_col may be BIGINT nanos, TIMESTAMP, or TIMESTAMP_NTZ depending on
+    the testdata generation — corpus.ts_us() normalizes all three to
+    epoch-micros before the event-time column is derived. Output keys
+    are epoch-millis window starts — integer-typed on purpose so
+    engine/oracle comparison is timezone-proof.
     """
-    # integer division — float-dividing an int64 epoch rounds instead of
-    # truncating and can land boundary events in the wrong window
+    from ..plans.corpus import ts_us
+
     with_ts = events.withColumn(
-        "__event_time", F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
+        "__event_time", F.timestamp_micros(ts_us(events, ts_col))
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("__event_time", watermark_delay)
