@@ -111,7 +111,7 @@ def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):
         for r in vecs.filter(F.col("vec_id") < 8).collect()
     ]
     path = str(tmp_path / "ivf")
-    ann.write_ivf_indexed(vecs, path, cents)
+    ann.write_ivf_indexed(vecs, path, n_centroids=8)
     q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
 
     indexed = ann.ivf_indexed_topk(spark, path, q, cents)

@@ -9,13 +9,17 @@ Correctness is always defined by the exact brute-force operator
                    generation is a key join (no all-pairs), verification
                    is exact cosine on candidates only. Fully portable to
                    the DuckDB oracle (declared queries use this).
-  IVF              single-stage map plan: the centroid set (small by
-                   construction) rides as plan literals, each row
-                   computes its nearest cell in-row, the probe filter
-                   is an IN-literal, top-k is TakeOrderedAndProject —
-                   zero exchanges, zero joins. At scale the corpus is
-                   PARTITIONED BY cell, so the probe filter becomes
-                   partition pruning.
+  IVF              the centroid set (small by construction — that is
+                   what makes it an index) rides a BroadcastExchange
+                   as a one-row array<struct> table; each corpus row
+                   computes its nearest cell with an aggregate() argmax
+                   over the broadcast column, the probe filter is an
+                   IN-literal, top-k is TakeOrderedAndProject. At
+                   production centroid counts (thousands x 384 dims)
+                   a literal expression would be a multi-megabyte
+                   codegen plan; the broadcast row is just data. At
+                   scale the corpus is PARTITIONED BY cell, so the
+                   probe filter becomes partition pruning.
   MLlib LSH        BucketedRandomProjectionLSH as the "index build"
                    (fit = index construction, transform = bucketed
                    table); seeded -> reproducible, recall measured in
@@ -170,24 +174,55 @@ def _cos_lit_sql(vec_col: str, arr, digits: int = 6) -> str:
     )
 
 
-def _cell_expr(vec_col: str, cents: list[tuple[int, list]], digits: int = 6) -> str:
-    """Per-row nearest-centroid argmax over literal centroids — a pure
-    map expression; the corpus never shuffles for assignment.
+def _centroid_table_from(
+    centroids: DataFrame, id_col: str = "centroid_id", vec_col: str = "cvec"
+) -> DataFrame:
+    """Fold a (centroid_id, cvec) table into ONE row holding
+    cents: array<struct<cid, cvec, cnorm>> in ascending-cid order.
+
+    This row is the IVF index metadata; broadcast-crossJoined to the
+    corpus it reaches every task as data (one BroadcastExchange)
+    instead of being inlined into the codegen'd plan as literals.
+    cnorm is precomputed once per centroid with the same left-assoc
+    IEEE accumulation the scoring expressions use."""
+    c = centroids.select(
+        F.struct(
+            F.col(id_col).cast("bigint").alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.expr(f"sqrt({P.dot_spark_sql(vec_col, vec_col)})").alias("cnorm"),
+        ).alias("c")
+    )
+    # collect_list order is partition-arbitrary; sort_array restores the
+    # ascending-cid iteration order the argmax tie-break contract needs
+    # (struct comparison leads with cid)
+    return c.groupBy().agg(F.sort_array(F.collect_list("c")).alias("cents"))
+
+
+def centroid_table(
+    vectors: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic centroid set (first n_centroids corpus
+    vectors) as a one-row broadcastable table."""
+    return _centroid_table_from(
+        vectors.filter(F.col(id_col) < n_centroids), id_col, vec_col
+    )
+
+
+def _cell_over_cents_sql(
+    vec_col: str, cents_col: str = "cents", digits: int = 6
+) -> str:
+    """Per-row nearest-centroid argmax over the broadcast cents column.
 
     Three nested bindings keep every quantity single-evaluation (HOF
     lambdas get no codegen CSE): the row's own norm binds once in an
-    outer transform; a transform over the centroid literals scores each
-    centroid ONCE (centroid norms precomputed in Python); the final
+    outer transform; a transform over the cents array scores each
+    centroid ONCE (centroid norms ride in the struct); the final
     aggregate() folds an argmax over the scored array, iterating in
     ascending centroid-id order with strict > so ties keep the lowest
     id (the order the ranking-window formulation produced)."""
-    entries = []
-    for cid, arr in sorted(cents):
-        entries.append(
-            f"named_struct('cid', CAST({cid} AS BIGINT), 'cvec', {_lit_vec(arr)},"
-            f" 'cnorm', CAST('{_py_norm(arr)!r}' AS DOUBLE))"
-        )
-    cents_lit = "array(" + ", ".join(entries) + ")"
     dot_vc = P.dot_spark_sql(vec_col, "c.cvec")
     dot_vv = P.dot_spark_sql(vec_col, vec_col)
     cos = (
@@ -195,7 +230,7 @@ def _cell_expr(vec_col: str, cents: list[tuple[int, list]], digits: int = 6) -> 
         f" THEN ({dot_vc}) / (nv * c.cnorm)"
         f" ELSE 0.0D END AS DOUBLE), {digits})"
     )
-    scored = f"transform({cents_lit}, c -> named_struct('cid', c.cid, 's', {cos}))"
+    scored = f"transform({cents_col}, c -> named_struct('cid', c.cid, 's', {cos}))"
     argmax = (
         f"aggregate({scored},"
         " named_struct('cell', CAST(-1 AS BIGINT), 'best', CAST(-2.0 AS DOUBLE)),"
@@ -241,16 +276,12 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell): nearest-centroid assignment (max rounded cosine,
-    centroid id breaking ties), computed per-row against the collected
-    centroid set — a map-only plan, no shuffle. At scale this column is
-    what the stored table is partitioned by (the IVF index build); the
-    centroid set is small by construction (that is what makes it an
-    index) so collecting it to the driver is the broadcast."""
-    cents = [
-        (r["centroid_id"], list(r["cvec"])) for r in centroids.collect()
-    ]
-    return vectors.selectExpr(
-        f"{id_col} AS id", f"{_cell_expr(vec_col, cents)} AS cell"
+    centroid id breaking ties), computed per-row against the BROADCAST
+    centroid set — the corpus side never shuffles. At scale this column
+    is what the stored table is partitioned by (the IVF index build)."""
+    cent_tbl = _centroid_table_from(centroids)
+    return vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
+        f"{id_col} AS id", f"{_cell_over_cents_sql(vec_col)} AS cell"
     )
 
 
@@ -267,12 +298,13 @@ def ivf_topk(
     cosine top-k within them. Deterministic (centroids = the first
     n_centroids corpus vectors), hence oracle-checkable.
 
-    Single-stage plan: scan -> per-row cell argmax -> cell IN
-    (probe list) filter -> literal-query cosine -> TakeOrderedAndProject.
-    No shuffle, no joins, no persist; cell ranking happens driver-side
-    on the collected centroid set (8 rows). The previous formulation
-    windowed the corpus x centroids cross join on id — a full-corpus
-    shuffle that exists only to pick a per-row max."""
+    Plan shape: scan -> broadcast-crossJoin the one-row centroid table
+    -> per-row cell argmax -> cell IN (probe list) filter ->
+    literal-query cosine -> TakeOrderedAndProject. No corpus shuffle,
+    no persist; probe-cell ranking happens driver-side on the collected
+    centroid set (index metadata, small by construction). The previous
+    formulation windowed the corpus x centroids cross join on id — a
+    full-corpus shuffle that exists only to pick a per-row max."""
     cents = [
         (r[id_col], list(r[vec_col]))
         for r in vectors.filter(F.col(id_col) < n_centroids).collect()
@@ -280,10 +312,12 @@ def ivf_topk(
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
 
-    cell = _cell_expr(vec_col, cents)
+    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    cell = _cell_over_cents_sql(vec_col)
     score = _cos_lit_sql(vec_col, qvec)
     return (
-        vectors.selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
+        vectors.crossJoin(F.broadcast(cent_tbl))
+        .selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
         .filter(F.col("cell").isin(probe_cells))
         .select("id", "score")
         .orderBy(F.desc("score"), F.asc("id"))
@@ -291,21 +325,26 @@ def ivf_topk(
     )
 
 
-def _probe_cells_expr(
-    vec_col: str, cents: list[tuple[int, list]], n_probe: int, digits: int = 6
+def _probe_over_cents_sql(
+    vec_col: str, n_probe: int, cents_col: str = "cents", digits: int = 6
 ) -> str:
     """Per-row top-n_probe centroid ids by (rounded cosine desc, cid
-    asc) — the query-side probe list as a pure map expression. Sorting
-    array<struct(neg_score, cid)> uses struct field order, so one
-    array_sort delivers the exact (score desc, id asc) ranking."""
-    entries = ", ".join(
-        f"named_struct('ns', -{_cos_lit_sql(vec_col, arr, digits)},"
-        f" 'cid', CAST({cid} AS BIGINT))"
-        for cid, arr in sorted(cents)
+    asc) over the broadcast cents column — the query-side probe list as
+    a pure map expression. Sorting array<struct(neg_score, cid)> uses
+    struct field order, so one array_sort delivers the exact
+    (score desc, id asc) ranking."""
+    dot_vc = P.dot_spark_sql(vec_col, "c.cvec")
+    dot_vv = P.dot_spark_sql(vec_col, vec_col)
+    cos = (
+        f"round(CAST(CASE WHEN nv * c.cnorm > 0.0D"
+        f" THEN ({dot_vc}) / (nv * c.cnorm)"
+        f" ELSE 0.0D END AS DOUBLE), {digits})"
     )
-    return (
-        f"slice(transform(array_sort(array({entries})), s -> s.cid), 1, {n_probe})"
+    scored = (
+        f"transform({cents_col}, c -> named_struct('ns', -{cos}, 'cid', c.cid))"
     )
+    ranked = f"slice(transform(array_sort({scored}), s -> s.cid), 1, {n_probe})"
+    return f"transform(array(sqrt({dot_vv})), nv -> {ranked})[0]"
 
 
 def ivf_topk_batch(
@@ -334,19 +373,16 @@ def ivf_topk_batch(
     """
     from .topk import topk_per_group
 
-    cents = [
-        (r[id_col], list(r[vec_col]))
-        for r in vectors.filter(F.col(id_col) < n_centroids).collect()
-    ]
-    corpus_cells = vectors.selectExpr(
+    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    corpus_cells = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{id_col} AS id",
         f"{vec_col} AS v",
-        f"{_cell_expr(vec_col, cents)} AS cell",
+        f"{_cell_over_cents_sql(vec_col)} AS cell",
     )
-    probe = queries.selectExpr(
+    probe = queries.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{query_id_col} AS query_id",
         f"{qvec_col} AS qvec",
-        f"explode({_probe_cells_expr(qvec_col, cents, n_probe)}) AS cell",
+        f"explode({_probe_over_cents_sql(qvec_col, n_probe)}) AS cell",
     )
     cand = corpus_cells.join(F.broadcast(probe), "cell")
     scored = cand.select(
@@ -360,20 +396,22 @@ def ivf_topk_batch(
 def write_ivf_indexed(
     vectors: DataFrame,
     path: str,
-    cents: list[tuple[int, list]],
+    n_centroids: int = IVF_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """IVF index BUILD as physical layout: persist the corpus
-    partitioned by its nearest-centroid cell. At 100 TB this is the
-    serving shape — each cell is a directory, so probing touches
-    1/n_cells of the files before any I/O (PartitionFilters), exactly
-    how the reference's HNSW keeps its candidate set small
+    partitioned by its nearest-centroid cell (assignment against the
+    broadcast centroid table). At 100 TB this is the serving shape —
+    each cell is a directory, so probing touches 1/n_cells of the
+    files before any I/O (PartitionFilters), exactly how the
+    reference's HNSW keeps its candidate set small
     (scripts/indexing.py:302-381), re-expressed as table layout."""
-    vectors.selectExpr(
+    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{id_col} AS id",
         f"{vec_col} AS v",
-        f"{_cell_expr(vec_col, cents)} AS cell",
+        f"{_cell_over_cents_sql(vec_col)} AS cell",
     ).write.mode("overwrite").partitionBy("cell").parquet(path)
 
 

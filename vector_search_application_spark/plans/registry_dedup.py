@@ -518,7 +518,7 @@ def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in vecs.filter(F.col("vec_id") < 8).collect()
     ]
     path = _os.path.join(_tempfile.mkdtemp(prefix="ivf_index_"), "vectors")
-    ann.write_ivf_indexed(vecs, path, cents)
+    ann.write_ivf_indexed(vecs, path, n_centroids=8)
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
     return ann.ivf_indexed_topk(spark, path, q, cents)
 
