@@ -112,7 +112,9 @@ def test_bucketed_layout_prunes_partitions(spark, tmp_path):
     )
 
     plan = hit._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[\(__bucket#\d+ = \d+\)\]", plan)
+    # constraint propagation may add an inferred isnotnull(__bucket)
+    # alongside the constant equality — only the equality matters
+    m = re.search(r"PartitionFilters: \[[^\]]*\(__bucket#\d+ = \d+\)", plan)
     assert m, f"no constant partition filter in plan: {plan[:500]}"
 
 

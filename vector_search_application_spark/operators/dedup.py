@@ -297,7 +297,15 @@ def simhash_pairs(
 
     Band join is exact for max_hamming < n_bands (pigeonhole: some
     band is untouched), so no recall loss at radius 3 with 4 bands.
+
+    The signature table is persisted before the self-join: the simhash
+    column is an expensive aggregate() expression, and without a
+    materialization boundary the optimizer's inferred isnotnull
+    predicates (InferFiltersFromConstraints) push copies of it below
+    BOTH join sides — measured 28x slower at sf0.1. Persisting is also
+    the scale shape: sign once, band-join the signed table.
     """
+    sims = tracked_persist(sims.select("id", "simhash"))
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     bands = sims.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions.cache import tracked_persist
 from ..plans.constants import EMB_DIM, K, POSTFILTER_INFLATION, ROUND_DIGITS
 
 
@@ -34,22 +35,31 @@ def flat_with_norm(
     dim: int = EMB_DIM,
 ) -> DataFrame:
     """Project a vector column into ``dim`` scalar double columns plus a
-    precomputed L2 norm.
+    precomputed L2 norm, MATERIALIZED via tracked_persist.
 
-    Why: cosine scoring after a BroadcastNestedLoopJoin runs outside
-    whole-stage codegen, where per-pair element_at-on-array costs ~5x a
-    plain field read, and computing norms per PAIR costs 2 extra dots.
-    Flattening once per INPUT row makes the per-pair work a single
-    multiply-add chain over scalar fields — measured ~8x faster on the
-    batch path. Arithmetic is bit-identical (same element_at casts,
-    same left-associated double accumulation), so oracle hashes don't
-    move.
+    Why flatten: cosine scoring after a BroadcastNestedLoopJoin wants
+    plain field reads — per-pair element_at-on-array costs ~7x per
+    access (null/bounds checks + cast per PAIR instead of per row),
+    and computing norms per PAIR costs 2 extra dots. Arithmetic is
+    bit-identical (same element_at casts, same left-associated double
+    accumulation), so oracle hashes don't move.
+
+    Why persist: 65 separately-aliased non-trivial projections below a
+    join send constraint propagation (super-linear in aliases under a
+    join) into multi-minute/multi-GB canonicalization — the previous
+    formulation needed spark.sql.constraintPropagation.enabled=false
+    set session-wide from the corpus reader. InMemoryRelation is a
+    LEAF node: caching the flattened table hides the aliases from
+    constraint inference entirely, the optimizer flag stays at
+    default, and the join reads pre-cast columns. This is also the
+    100 TB shape — the flattened scoring table is what you'd
+    precompute and store next to the corpus (one write, reused by
+    every query batch), not re-derive under every join.
 
     Built with selectExpr strings, not Column objects: the wide
     projection is ~200 expression nodes, and constructing them one
     py4j call at a time put ~2s of driver round-trips on every
-    plan build (execution itself is ~0.1s); one parsed SQL string is
-    a single round-trip.
+    plan build; one parsed SQL string is a single round-trip.
     """
     elem = f"cast(element_at({vec_col}, {{i}}) as double)"
     norm = (
@@ -59,11 +69,12 @@ def flat_with_norm(
         )
         + f") AS {prefix}norm"
     )
-    return df.selectExpr(
+    flat = df.selectExpr(
         *keep,
         norm,
         *[f"{elem.format(i=i)} AS {prefix}{i}" for i in range(1, dim + 1)],
     )
+    return tracked_persist(flat)
 
 
 def _flat_cosine_sql(pa: str, pb: str, dim: int) -> str:

@@ -41,14 +41,6 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # in some generations, timestamp[us]/TIMESTAMP_NTZ in others. Keep
     # the nanos escape hatch on and normalize per-column with ts_us().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Constraint propagation is super-linear in the number of aliased
-    # non-trivial project expressions below a join; the flattened-vector
-    # scoring plans (operators/topk.py flat_with_norm: 65 aliases per
-    # join side) send the optimizer into multi-GB/multi-minute constraint
-    # sets. Nothing in this engine relies on inferred filters, so turn
-    # it off for any session that reads our corpora (incl. the round
-    # driver's vanilla session).
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
