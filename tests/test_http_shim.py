@@ -109,3 +109,61 @@ def test_admin_routes(served, tmp_path):
 
     status, body = _get_status(f"{base}/api/import?dir={imp}")
     assert status == 400 and "missing parameter" in body["error"]
+
+
+def test_mode_twin_routes_match_engine(served):
+    """/api/dense|sparse|hybrid are the reference's enhanced-search
+    twins (search.py:436-533): same results as Engine.query in the
+    corresponding mode, reference param spellings (query=, limit=)."""
+    engine, base = served
+    for mode in ("dense", "sparse", "hybrid"):
+        status, body = _get(f"{base}/api/{mode}?query=large+widget&limit=4")
+        assert status == 200
+        want = [r.asDict() for r in engine.query("large widget", mode, 4).collect()]
+        assert body["results"] == want
+        assert body["method"] == mode and body["query"] == "large widget"
+        assert "fields_searched" in body
+
+
+def test_introspection_routes(served):
+    _, base = served
+    status, info = _get(f"{base}/api/methods-info")
+    assert status == 200
+    assert set(info["available_methods"]) == {"query", "dense", "sparse", "hybrid"}
+    assert info["service_status"] == "available"
+    status, t = _get(f"{base}/api/test")
+    assert status == 200 and t["status"] == "success"
+    assert t["details"]["search_methods"] == ["dense", "sparse", "hybrid"]
+
+
+def test_load_data_route(served, tmp_path):
+    """POST /api/load-data (reference app/main.py:106-160): JSON array
+    body -> upload-file source -> T1/T2/T3 transform -> written table."""
+    _, base = served
+    docs = [
+        {"partNumber_airgas_text": "LOAD0001",
+         "shortDescription_airgas_text": "posted doc one"},
+        {"partNumber_airgas_text": "LOAD0002",
+         "shortDescription_airgas_text": "posted doc two"},
+    ]
+    table = tmp_path / "loaded"
+    req = urllib.request.Request(
+        f"{base}/api/load-data?table={table}",
+        data=json.dumps(docs).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    assert body["success"] is True and body["documents_loaded"] == 2
+
+    bad = urllib.request.Request(
+        f"{base}/api/load-data", data=b"not json{", method="POST"
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "Invalid JSON" in json.loads(e.read())["error"]

@@ -12,6 +12,12 @@ paths:
   GET  /health                        -> Engine.health()
   GET  /api/collections               -> Engine.collections()
   GET  /api/query?q=&mode=&count=     -> Engine.query()      (V1/V2/V3)
+  GET  /api/dense?query=&limit=       -> Engine.query(mode="dense")  (V1)
+  GET  /api/sparse?query=&limit=      -> Engine.query(mode="sparse") (V2)
+  GET  /api/hybrid?query=&limit=      -> Engine.query(mode="hybrid") (V3)
+  GET  /api/methods-info              -> static method introspection
+  GET  /api/test                      -> service self-check
+  POST /api/load-data?table=          -> Engine.load_data()   (S3+I6)
   GET  /api/search?q=&count=&filter_field=&filter_value=&use_fusion=
                                       -> Engine.search()     (V5 + Q2)
   GET  /api/search/ultra-fast?q=      -> Engine.search_ultra_fast()
@@ -36,11 +42,70 @@ serving belongs to the batch APIs (``*_batch`` queries), not HTTP.
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from .api import Engine
+
+# field-mapping introspection (reference app/api/endpoints/search.py:545-590):
+# static metadata about the three search modes, served by /api/methods-info
+_SEARCH_FIELDS = {
+    "dense": ["shortDescription_airgas_text"],
+    "sparse": [
+        "shortDescription_airgas_text",
+        "partNumber_airgas_text",
+        "manufacturerPartNumber_text",
+    ],
+}
+
+_METHODS_INFO = {
+    "available_methods": {
+        "query": {
+            "name": "Flexible Query",
+            "description": "Flexible search with mode selection",
+            "modes": ["dense", "sparse", "hybrid"],
+            "type": "flexible",
+            "endpoint": "/api/query",
+        },
+        "dense": {
+            "name": "Dense Search",
+            "description": "Semantic vector search on product descriptions only",
+            "fields": _SEARCH_FIELDS["dense"],
+            "type": "vector",
+            "endpoint": "/api/dense",
+        },
+        "sparse": {
+            "name": "BM25 Sparse Search",
+            "description": "BM25 keyword search over the posting index",
+            "fields": _SEARCH_FIELDS["sparse"],
+            "type": "sparse",
+            "endpoint": "/api/sparse",
+        },
+        "hybrid": {
+            "name": "Hybrid Search",
+            "description": "Dense + BM25 fusion by reciprocal rank",
+            "fields": _SEARCH_FIELDS["dense"] + _SEARCH_FIELDS["sparse"],
+            "type": "hybrid_rrf",
+            "endpoint": "/api/hybrid",
+        },
+    },
+    "field_mapping": {
+        "dense_search_fields": _SEARCH_FIELDS["dense"],
+        "sparse_search_fields": _SEARCH_FIELDS["sparse"],
+        "available_fields": [
+            "partNumber_airgas_text",
+            "manufacturerPartNumber_text",
+            "shortDescription_airgas_text",
+            "onlinePrice_string",
+            "img_270Wx270H_string",
+        ],
+    },
+    "fusion_method": "rrf",
+    "service_status": "available",
+}
 
 
 def _rows(df) -> list[dict]:
@@ -102,6 +167,36 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     self._send(
                         200, self._envelope(q, engine.search_fusion(q, count))
                     )
+                elif parsed.path in ("/api/dense", "/api/sparse", "/api/hybrid"):
+                    # reference param names: query= and limit=
+                    # (app/api/endpoints/search.py:441-533); accept the
+                    # shim's q=/count= spellings as fallbacks
+                    mode = parsed.path.rsplit("/", 1)[1]
+                    rq = qs.get("query", q)
+                    limit = int(qs.get("limit", qs.get("count", "10")))
+                    rows = _rows(engine.query(rq, mode, limit))
+                    self._send(200, {
+                        "results": rows,
+                        "count": len(rows),
+                        "method": mode,
+                        "query": rq,
+                        "fields_searched": " + ".join(
+                            _SEARCH_FIELDS.get(mode)
+                            or _SEARCH_FIELDS["dense"] + _SEARCH_FIELDS["sparse"]
+                        ),
+                    })
+                elif parsed.path == "/api/methods-info":
+                    self._send(200, _METHODS_INFO)
+                elif parsed.path == "/api/test":
+                    self._send(200, {
+                        "status": "success",
+                        "message": "search service is working",
+                        "details": {
+                            "search_methods": ["dense", "sparse", "hybrid"],
+                            "fusion_method": "rrf",
+                            **engine.health(),
+                        },
+                    })
                 elif parsed.path == "/api/search/compare":
                     self._send(200, engine.compare(q, count))
                 elif parsed.path == "/api/search/performance-stats":
@@ -128,6 +223,42 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
             except Exception as e:  # engine/Spark errors (bad column,
                 # missing path, analysis failures) must still produce an
                 # HTTP response, not an aborted connection
+                self._send(400, {"error": f"{type(e).__name__}: {e}"[:2000]})
+
+        def do_POST(self):  # noqa: N802
+            parsed = urlparse(self.path)
+            qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            if parsed.path != "/api/load-data":
+                self._send(404, {"error": f"unknown route {parsed.path}"})
+                return
+            # reference: multipart JSON upload into the collection
+            # (app/main.py:106-160); the shim takes the JSON array as
+            # the request body, lands it as an upload file, and runs
+            # the same S3 upload -> T1/T2 transform -> batch write path
+            try:
+                n_bytes = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(n_bytes)
+                try:
+                    docs = json.loads(body)
+                except json.JSONDecodeError:
+                    self._send(400, {"error": "Invalid JSON file"})
+                    return
+                if not isinstance(docs, list):
+                    self._send(400, {"error": "expected a JSON array of documents"})
+                    return
+                work = tempfile.mkdtemp(prefix="load_data_")
+                upload = os.path.join(work, "upload.json")
+                with open(upload, "w", encoding="utf-8") as f:
+                    json.dump(docs, f)
+                table_dir = qs.get("table", os.path.join(work, "table"))
+                n = engine.load_data(upload, table_dir)
+                self._send(200, {
+                    "success": True,
+                    "message": f"Successfully loaded {n} documents",
+                    "documents_loaded": n,
+                    "collection_name": qs.get("collection_name", "products"),
+                })
+            except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"[:2000]})
 
         def do_DELETE(self):  # noqa: N802
