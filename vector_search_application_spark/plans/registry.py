@@ -755,6 +755,9 @@ def q_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from . import registry_pipeline  # noqa: E402,F401
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation
 # ---------------------------------------------------------------------------

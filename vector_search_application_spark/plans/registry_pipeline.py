@@ -1,0 +1,258 @@
+"""Registry entries for training-data curation operators beyond the
+reference's surface: deterministic dataset splitting, stratified
+sampling, sequence packing, PII scrubbing, and vocabulary statistics.
+
+These are the steps between a deduplicated corpus and a training run.
+Every one is a declarative plan (no Python workers) with a DuckDB
+oracle; determinism comes from the portable md5 hash
+(functions/portable.md5_long), never from rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from . import corpus
+from .registry import declare
+
+# hash-space split: 100 buckets, 80/10/10 — changing ratios moves docs
+# between ADJACENT splits only (bucket membership is stable), which is
+# what makes hash splits re-runnable as the corpus grows
+SPLIT_BUCKETS = 100
+TRAIN_CUT = 80
+VAL_CUT = 90
+SPLIT_SEED = "split-v1"
+
+_BUCKET = f"{P.md5_long_sql('CAST(doc_id AS VARCHAR)', SPLIT_SEED)} % {SPLIT_BUCKETS}"
+
+_SPLIT_SQL = f"""
+SELECT doc_id,
+       CAST({_BUCKET} AS BIGINT) AS bucket,
+       CASE WHEN {_BUCKET} < {TRAIN_CUT} THEN 'train'
+            WHEN {_BUCKET} < {VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _bucket_col() -> F.Column:
+    return P.md5_long(
+        F.col("doc_id").cast("string"), SPLIT_SEED
+    ) % SPLIT_BUCKETS
+
+
+@declare("dataset_split", _SPLIT_SQL, survey_ids="pipeline-split")
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hash bucket — the
+    split is a PROPERTY of the document id, not of a run: re-ingesting,
+    repartitioning, or growing the corpus never moves an existing doc
+    across splits (no rand(), no global sort). Map-only plan; at 100 TB
+    this column is computed in the scan and usually written as a
+    partition column so each split trains from its own directories."""
+    b = _bucket_col()
+    return corpus.docs(spark, sf_dir).select(
+        "doc_id",
+        b.cast("bigint").alias("bucket"),
+        F.when(b < TRAIN_CUT, "train")
+        .when(b < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_SPLIT_BALANCE_SQL = f"""
+WITH assigned AS ({_SPLIT_SQL})
+SELECT d.lang, a.split, count(*)::BIGINT AS n_docs
+FROM documents d JOIN assigned a USING (doc_id)
+GROUP BY d.lang, a.split
+"""
+
+
+@declare(
+    "dataset_split_balance", _SPLIT_BALANCE_SQL, survey_ids="pipeline-split"
+)
+def q_dataset_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit of the hash split: doc counts per
+    (lang, split) — the check a pipeline runs before trusting a split.
+    One map-side-combinable aggregation over the map-only assignment;
+    no join is needed engine-side because the split derives in-row."""
+    docs = corpus.docs(spark, sf_dir)
+    b = _bucket_col()
+    assigned = docs.select(
+        "lang",
+        F.when(b < TRAIN_CUT, "train")
+        .when(b < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+SAMPLE_PCT = 20
+SAMPLE_SEED = "sample-v1"
+
+_SAMPLE_BUCKET = f"{P.md5_long_sql('CAST(doc_id AS VARCHAR)', SAMPLE_SEED)} % 100"
+
+_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_SAMPLE_BUCKET} < {SAMPLE_PCT}
+"""
+
+
+@declare("deterministic_sample", _SAMPLE_SQL, survey_ids="pipeline-sample")
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~{SAMPLE_PCT}% corpus sample by hash threshold —
+    reproducible across runs and machines (unlike df.sample, whose
+    output depends on partitioning), and composable: a 10% sample is a
+    strict subset of the 20% sample under the same seed. The predicate
+    is a pure row expression, so it evaluates in the scan — sampling
+    100 TB reads everything once but shuffles nothing."""
+    docs = corpus.docs(spark, sf_dir)
+    bucket = P.md5_long(F.col("doc_id").cast("string"), SAMPLE_SEED) % 100
+    return docs.filter(bucket < SAMPLE_PCT).select("doc_id", "lang", "n_chars")
+
+
+PACK_BUDGET = 2048  # tokens per packed sequence
+
+_PACK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {P.token_count_sql('text')}::BIGINT AS n_tokens
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS cum_before
+    FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM runs
+"""
+
+
+@declare("sequence_pack", _PACK_SQL, survey_ids="pipeline-pack")
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing for LLM training: docs in stable id
+    order are laid end-to-end into {PACK_BUDGET}-token sequences; each
+    doc gets (pack_id, pack_offset) from an exclusive running token
+    sum. One window pass defines the whole layout.
+
+    Scale shape: the global running sum is the one operation here that
+    doesn't scale as written (a single ordered window). At 100 TB you
+    run the identical plan PER SHARD (partitionBy(shard) in the window
+    spec) and make pack_id globally unique as (shard, local pack_id) —
+    packing never needs cross-shard order, only stable within-shard
+    order. The fixture corpus is one shard of that plan."""
+    docs = corpus.docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", P.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = toks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return runs.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_before") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
+
+
+# every 10th doc gets a synthetic contact line appended BEFORE scrubbing,
+# so the detector has true positives to find and the oracle verifies the
+# redaction actually fired (the synthetic corpus contains no real PII)
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+_PII_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0
+                THEN text || ' contact user' || doc_id || '@example.com now'
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+           AS n_emails,
+       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g') AS scrubbed
+FROM seeded
+"""
+
+
+@declare("text_pii_scrub", _PII_SQL, survey_ids="pipeline-pii")
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a map-only projection: count and redact email
+    addresses in one pass (the pattern set extends to phones/IPs/SSNs as
+    more regexp_replace stages — still one projection, still zero
+    shuffles at any corpus size). The regex sticks to syntax shared by
+    Java regex and RE2 so engine and oracle agree character-for-
+    character."""
+    docs = corpus.docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+        .cast("integer")
+        .alias("n_emails"),
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>").alias("scrubbed"),
+    )
+
+
+VOCAB_TOP_N = 50
+
+_VOCAB_SQL = f"""
+WITH per_doc AS (
+    SELECT doc_id, unnest(list_distinct({P.tokens_sql('text')})) AS term
+    FROM documents
+),
+df AS (
+    SELECT term, count(*)::BIGINT AS doc_freq FROM per_doc GROUP BY term
+)
+SELECT term, doc_freq FROM df
+ORDER BY doc_freq DESC, term ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+@declare("vocab_topn", _VOCAB_SQL, survey_ids="pipeline-vocab")
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-{VOCAB_TOP_N} terms by document
+    frequency — the statistic behind stopword lists, BPE merge seeds,
+    and quality filters. Distinct-tokens explode, then ONE
+    map-side-combinable count per term, then TakeOrderedAndProject:
+    the only shuffle is keyed on the term, and partial aggregation
+    collapses each partition's repeats before it."""
+    docs = corpus.docs(spark, sf_dir)
+    per_doc = docs.select(
+        F.explode(F.array_distinct(P.tokens(F.col("text")))).alias("term")
+    )
+    dfreq = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq")
+    )
+    return dfreq.orderBy(F.desc("doc_freq"), F.asc("term")).limit(VOCAB_TOP_N)
