@@ -1,0 +1,103 @@
+"""Property tests for the training-data curation operators — the
+invariants that make them usable in a pipeline, beyond oracle parity
+(tests/test_registry_oracle.py checks value equality)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_application_spark.plans import registry_pipeline as RP
+from vector_search_application_spark.plans import corpus
+
+
+def test_split_is_total_stable_and_ratioed(spark):
+    """Every doc gets exactly one split; assignment is a pure function
+    of doc_id (two runs agree row-for-row); ratios land near 80/10/10."""
+    a = {r.doc_id: r.split for r in RP.q_dataset_split(spark, SF_SMOKE).collect()}
+    b = {r.doc_id: r.split for r in RP.q_dataset_split(spark, SF_SMOKE).collect()}
+    assert a == b
+    n_docs = corpus.docs(spark, SF_SMOKE).count()
+    assert len(a) == n_docs
+    from collections import Counter
+
+    frac = {k: v / n_docs for k, v in Counter(a.values()).items()}
+    assert 0.70 <= frac["train"] <= 0.90
+    assert 0.04 <= frac["val"] <= 0.16
+    assert 0.04 <= frac["test"] <= 0.16
+
+
+def test_split_survives_corpus_growth(spark):
+    """Hash splits are per-row: restricting the corpus to a subset must
+    not change any surviving doc's assignment (rand()/sort-based splits
+    break exactly this)."""
+    full = {r.doc_id: r.split for r in RP.q_dataset_split(spark, SF_SMOKE).collect()}
+    docs = corpus.docs(spark, SF_SMOKE).filter(F.col("doc_id") < 100)
+    b = RP._bucket_col()
+    sub = {
+        r.doc_id: r.split
+        for r in docs.select(
+            "doc_id",
+            F.when(b < RP.TRAIN_CUT, "train")
+            .when(b < RP.VAL_CUT, "val")
+            .otherwise("test")
+            .alias("split"),
+        ).collect()
+    }
+    assert sub == {k: v for k, v in full.items() if k < 100}
+
+
+def test_sample_is_subset_composable(spark):
+    """A lower-rate sample under the same seed is a strict subset of a
+    higher-rate one — the property that lets a pipeline dial a sample
+    up without resampling from scratch."""
+    docs = corpus.docs(spark, SF_SMOKE)
+    from vector_search_application_spark.functions import portable as P
+
+    bucket = P.md5_long(F.col("doc_id").cast("string"), RP.SAMPLE_SEED) % 100
+    s5 = {r.doc_id for r in docs.filter(bucket < 5).select("doc_id").collect()}
+    s20 = {r.doc_id for r in RP.q_deterministic_sample(spark, SF_SMOKE).collect()}
+    assert s5 <= s20
+    assert len(s20) < docs.count()
+
+
+def test_sequence_pack_layout_invariants(spark):
+    """Packs are dense and ordered: offsets are the exclusive running
+    sum, every pack boundary falls at a multiple of the budget, and a
+    doc longer than the budget still gets exactly one slot (spanning
+    packs) rather than being dropped."""
+    rows = sorted(
+        RP.q_sequence_pack(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id
+    )
+    cum = 0
+    for r in rows:
+        assert r.pack_id == cum // RP.PACK_BUDGET
+        assert r.pack_offset == cum % RP.PACK_BUDGET
+        cum += r.n_tokens
+    assert rows[-1].pack_id >= 1  # fixture corpus spans multiple packs
+
+
+def test_pii_scrub_redacts_seeded_emails(spark):
+    """Seeded docs report >=1 email and a redacted body; unseeded docs
+    pass through byte-identical."""
+    out = {r.doc_id: r for r in RP.q_text_pii_scrub(spark, SF_SMOKE).collect()}
+    original = {
+        r.doc_id: r.text for r in corpus.docs(spark, SF_SMOKE).collect()
+    }
+    for doc_id, r in out.items():
+        if doc_id % 10 == 0:
+            assert r.n_emails >= 1
+            assert "<EMAIL>" in r.scrubbed
+            assert "@example.com" not in r.scrubbed
+        else:
+            assert r.scrubbed == original[doc_id]
+
+
+def test_vocab_topn_plans_and_values(spark):
+    """The vocabulary head is deterministic and its plan aggregates
+    before the shuffle (partial_count present) — the map-side combine
+    that makes the term count scale."""
+    df = RP.q_vocab_topn(spark, SF_SMOKE)
+    rows = [(r.term, r.doc_freq) for r in df.collect()]
+    assert rows == sorted(rows, key=lambda t: (-t[1], t[0]))
+    assert len(rows) <= RP.VOCAB_TOP_N
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower()
