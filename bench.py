@@ -63,6 +63,10 @@ HEADLINE = [
     "stream_events_window",  # streaming windowed rollup (AvailableNow)
     "event_sessionize",      # gap-based sessionization (one shuffle)
     "multimodal_byte_features",  # binary payload feature projection
+    "dataset_split",         # hash-bucket train/val/test assignment
+    "sequence_pack",         # running-sum packing into token budgets
+    "text_pii_scrub",        # map-only detect+redact projection
+    "vocab_topn",            # df vocabulary head (partial-agg + topN)
 ]
 
 N_BATCH_QUERIES = 1000
