@@ -101,3 +101,25 @@ def test_vocab_topn_plans_and_values(spark):
     assert len(rows) <= RP.VOCAB_TOP_N
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_decontaminate_flags_only_test_split_docs(spark):
+    """Every reported eval doc is in the test split, thresholds hold,
+    and the report is deterministic across runs."""
+    split = {r.doc_id: r.split for r in RP.q_dataset_split(spark, SF_SMOKE).collect()}
+    a = sorted(map(tuple, RP.q_benchmark_decontaminate(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, RP.q_benchmark_decontaminate(spark, SF_SMOKE).collect()))
+    assert a == b
+    for eval_id, n_train, max_shared, total_shared in a:
+        assert split[eval_id] == "test"
+        assert max_shared >= RP.DECON_MIN_OVERLAP
+        assert total_shared >= max_shared and n_train >= 1
+
+
+def test_quality_funnel_partitions_corpus(spark):
+    """Funnel counts sum to the corpus size (first-failing-rule CASE is
+    total) and every verdict label is from the fixed set."""
+    rows = {r.verdict: r.n_docs for r in RP.q_quality_filter_funnel(spark, SF_SMOKE).collect()}
+    assert set(rows) <= {"keep", "drop_too_short", "drop_non_english", "drop_low_quality"}
+    assert sum(rows.values()) == corpus.docs(spark, SF_SMOKE).count()
+    assert rows.get("keep", 0) > 0

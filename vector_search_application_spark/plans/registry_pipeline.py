@@ -256,3 +256,146 @@ def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("doc_freq")
     )
     return dfreq.orderBy(F.desc("doc_freq"), F.asc("term")).limit(VOCAB_TOP_N)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: n-gram collisions between train and eval
+# ---------------------------------------------------------------------------
+
+DECON_N = 5        # n-gram size (13 in prod pipelines; 5 fits fixture docs)
+DECON_MIN_OVERLAP = 3  # shared shingles before an eval doc counts as hit
+
+_DECON_SQL = f"""
+WITH assigned AS ({_SPLIT_SQL}),
+toks AS (
+    SELECT d.doc_id, a.split, {P.tokens_sql('d.text')} AS toks
+    FROM documents d JOIN assigned a USING (doc_id)
+),
+shing AS (
+    SELECT DISTINCT doc_id, split, sh FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(
+                   range(1, len(toks) - {DECON_N - 2}),
+                   i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), '_')
+               )) AS sh
+        FROM toks WHERE len(toks) >= {DECON_N}
+    )
+),
+hits AS (
+    SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+           count(*)::BIGINT AS n_shared
+    FROM shing e JOIN shing t USING (sh)
+    WHERE e.split = 'test' AND t.split = 'train'
+    GROUP BY e.doc_id, t.doc_id
+)
+SELECT eval_id,
+       count(*)::BIGINT AS n_train_docs,
+       CAST(max(n_shared) AS BIGINT) AS max_shared,
+       CAST(sum(n_shared) AS BIGINT) AS total_shared
+FROM hits
+WHERE n_shared >= {DECON_MIN_OVERLAP}
+GROUP BY eval_id
+"""
+
+
+@declare(
+    "benchmark_decontaminate", _DECON_SQL, survey_ids="pipeline-decontaminate"
+)
+def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: which eval(test-split) docs share
+    >= {DECON_MIN_OVERLAP} distinct {DECON_N}-gram shingles with any
+    train-split doc — the check a training pipeline runs before
+    trusting held-out numbers. The collision join is BLOCKED on the
+    shingle (an equi-join, never eval x train pairs); both aggregations
+    are map-side-combinable. At 100 TB the eval side is tiny, so the
+    join broadcasts it and the train corpus never shuffles."""
+    from ..operators.dedup import shingles
+
+    docs = corpus.docs(spark, sf_dir)
+    b = _bucket_col()
+    assigned = docs.select(
+        "doc_id",
+        "text",
+        F.when(b < TRAIN_CUT, "train")
+        .when(b < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sh = shingles(assigned, "doc_id", "text", n=DECON_N).join(
+        assigned.select(F.col("doc_id").alias("id"), "split"), "id"
+    )
+    ev = sh.filter(F.col("split") == "test").select(
+        F.col("id").alias("eval_id"), "sh"
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("id").alias("train_id"), "sh"
+    )
+    hits = (
+        ev.join(tr, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return (
+        hits.filter(F.col("n_shared") >= DECON_MIN_OVERLAP)
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.max("n_shared").cast("bigint").alias("max_shared"),
+            F.sum("n_shared").cast("bigint").alias("total_shared"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-filter funnel: ordered drop rules with per-stage attrition
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 10
+MIN_STOPWORD = 0.02   # below this the lang-ID heuristic says non-English
+MIN_QUALITY = 0.5
+
+_VERDICT_CASE_SQL = f"""
+CASE WHEN {P.token_count_sql('text')} < {MIN_TOKENS} THEN 'drop_too_short'
+     WHEN {{sw}} < {MIN_STOPWORD} THEN 'drop_non_english'
+     WHEN {{q}} < {MIN_QUALITY} THEN 'drop_low_quality'
+     ELSE 'keep' END
+"""
+
+
+def _funnel_sql() -> str:
+    from ..functions import text as T
+
+    case = _VERDICT_CASE_SQL.format(
+        sw=T.stopword_ratio_sql("text"), q=T.quality_score_sql("text")
+    )
+    return f"""
+SELECT verdict, count(*)::BIGINT AS n_docs
+FROM (SELECT {case} AS verdict FROM documents)
+GROUP BY verdict
+"""
+
+
+@declare(
+    "quality_filter_funnel", _funnel_sql(), survey_ids="pipeline-funnel"
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel: ordered drop rules (too short -> non-English
+    -> low quality -> keep), first failing rule wins, reported as
+    per-stage attrition counts — the dashboard number every corpus
+    pipeline watches. One map-only CASE projection plus one
+    map-side-combinable count; nothing about this plan changes at
+    100 TB."""
+    from ..functions import text as T
+
+    docs = corpus.docs(spark, sf_dir)
+    verdict = (
+        F.when(P.token_count(F.col("text")) < MIN_TOKENS, "drop_too_short")
+        .when(T.stopword_ratio(F.col("text")) < MIN_STOPWORD, "drop_non_english")
+        .when(T.quality_score(F.col("text")) < MIN_QUALITY, "drop_low_quality")
+        .otherwise("keep")
+    )
+    return (
+        docs.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
