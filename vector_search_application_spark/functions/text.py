@@ -103,13 +103,14 @@ def quality_score_sql(expr: str) -> str:
 
 
 def quality_features(text: Column) -> Column:
-    """1-element ``array<struct<punct_ratio, uniq_ratio, quality>>``
-    with the token array bound ONCE as a lambda variable — callers
-    ``explode()`` it so the tokenizer (the expensive regex) runs once
-    per row instead of 5x. A plain shared-Project split gets re-inlined
-    by CollapseProject (see operators/dedup.py simhash); a Generate
-    node is a real barrier. Math is identical to punct_ratio /
-    uniq_token_ratio / quality_score."""
+    """1-element ``array<struct<punct_ratio, uniq_ratio, quality,
+    n_tokens, stopword_ratio>>`` with the token array bound ONCE as a
+    lambda variable — callers ``explode()`` it so the tokenizer (the
+    expensive regex) runs once per row instead of 5x. A plain
+    shared-Project split gets re-inlined by CollapseProject (see
+    operators/dedup.py simhash); a Generate node is a real barrier.
+    Math is identical to punct_ratio / uniq_token_ratio /
+    quality_score / token_count / stopword_ratio."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
     pr = punct_ratio(text)
 
@@ -133,6 +134,8 @@ def quality_features(text: Column) -> Column:
             P.rounded(pr).alias("punct_ratio"),
             P.rounded(ur).alias("uniq_ratio"),
             quality.alias("quality"),
+            n.cast("int").alias("n_tokens"),
+            swr.alias("stopword_ratio"),
         )
 
     return F.transform(F.array(P.tokens(text)), build)

@@ -382,20 +382,24 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation funnel: ordered drop rules (too short -> non-English
     -> low quality -> keep), first failing rule wins, reported as
     per-stage attrition counts — the dashboard number every corpus
-    pipeline watches. One map-only CASE projection plus one
-    map-side-combinable count; nothing about this plan changes at
-    100 TB."""
+    pipeline watches. The features come from the single-pass
+    quality_features struct (the tokenizer runs once per row, not once
+    per rule); then one map-side-combinable count. Nothing about this
+    plan changes at 100 TB."""
     from ..functions import text as T
 
     docs = corpus.docs(spark, sf_dir)
+    feat = docs.select(
+        F.explode(T.quality_features(F.col("text"))).alias("qf")
+    )
     verdict = (
-        F.when(P.token_count(F.col("text")) < MIN_TOKENS, "drop_too_short")
-        .when(T.stopword_ratio(F.col("text")) < MIN_STOPWORD, "drop_non_english")
-        .when(T.quality_score(F.col("text")) < MIN_QUALITY, "drop_low_quality")
+        F.when(F.col("qf.n_tokens") < MIN_TOKENS, "drop_too_short")
+        .when(F.col("qf.stopword_ratio") < MIN_STOPWORD, "drop_non_english")
+        .when(F.col("qf.quality") < MIN_QUALITY, "drop_low_quality")
         .otherwise("keep")
     )
     return (
-        docs.select(verdict.alias("verdict"))
+        feat.select(verdict.alias("verdict"))
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
