@@ -143,6 +143,69 @@ def q_stream_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest.stream_embed_documents(spark, sf_dir)
 
 
+# --- as-of join: purchases to their latest preceding view -----------------
+
+_ASOF_SQL = """
+WITH tagged AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, 1 AS tag,
+           NULL::BIGINT AS r_event_id, NULL::BIGINT AS r_ts_us
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, event_id, epoch_us(ts), 0, event_id, epoch_us(ts)
+    FROM events WHERE event_type = 'view'
+),
+filled AS (
+    SELECT user_id, event_id, ts_us, tag,
+           last_value(r_event_id IGNORE NULLS) OVER w AS view_event_id,
+           last_value(r_ts_us IGNORE NULLS) OVER w AS view_ts_us
+    FROM tagged
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, tag ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts_us, view_event_id, view_ts_us,
+       ts_us - view_ts_us AS gap_us
+FROM filled WHERE tag = 1
+""".strip()
+
+
+@declare("event_asof_join", _ASOF_SQL, survey_ids="asof-join,§2.12")
+def q_event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join over the event log: each purchase gets the
+    user's latest view at-or-before it (attribution's base operator).
+    Spark has no ASOF JOIN; operators/asof.py expresses it as union +
+    one per-key window — one shuffle on user_id, no pair materialization
+    — instead of the theta-join-per-key cross product. NULL view columns
+    mean no view preceded the purchase (kept, as a left join would)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+    from . import corpus
+
+    raw = corpus._read(spark, sf_dir, "events")
+    events = raw.select(
+        "user_id", "event_id", "event_type", corpus.ts_us(raw).alias("ts_us")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").drop("event_type")
+    views = events.filter(F.col("event_type") == "view").drop("event_type")
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts_col="ts_us",
+        payload_cols=["event_id", "ts_us"],
+        tiebreak_col="event_id",
+        payload_prefix="view_",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "view_event_id",
+        "view_ts_us",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+
+
 # --- conversion funnel: a range join over the event log -------------------
 
 FUNNEL_WINDOW_US = 60 * 60 * 1_000_000  # B must follow A within 1 hour
