@@ -282,3 +282,49 @@ def test_ts_us_survives_schema_drift(spark):
     for variant in (as_nanos, as_tstz):
         got = variant.select("event_id", corpus.ts_us(variant).alias("us"))
         assert sorted(got.collect()) == sorted(base.collect())
+
+
+def test_session_rollup_gap_boundary(spark, tmp_path):
+    """session_window merges sessions whose ranges touch at-or-before
+    last_event + gap: an EXACTLY-gap silence stays one session, one
+    microsecond more breaks it — the same boundary as the batch
+    lag-formulation (test_new_ops_edges.test_sessionize_gap_boundary),
+    so stream_sessionize shares its oracle's break condition."""
+    from vector_search_application_spark.plans.registry_streaming import (
+        SESSION_GAP_US,
+    )
+
+    rows = [
+        # user 1: gap exactly SESSION_GAP_US -> still one session
+        (1, 1, "a", 0),
+        (2, 1, "a", SESSION_GAP_US * 1000),
+        # user 2: one microsecond more -> two sessions
+        (3, 2, "a", 0),
+        (4, 2, "a", (SESSION_GAP_US + 1) * 1000),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts bigint"
+    )
+    out = ingest.session_rollup(df)
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_user == {1: 1, 2: 2}
+
+
+def test_stream_sessionize_matches_batch_session_window(spark, tmp_path):
+    """The settled streaming result (state merged across micro-batches)
+    equals the batch session_window over the same files."""
+    events = corpus._read(spark, SF_SMOKE, "events")
+    batch = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["end_us"])
+        for r in ingest.session_rollup(events).collect()
+    }
+    streamed = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["end_us"])
+        for r in ingest.stream_sessionize(
+            spark, os.path.join(SF_SMOKE, "events.parquet")
+        ).collect()
+    }
+    assert streamed == batch

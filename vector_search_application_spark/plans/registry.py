@@ -8,9 +8,6 @@ in functions/portable.py; SURVEY.md §2 operator ids are cited per entry.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable, Optional
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,23 +28,10 @@ from .constants import (
 )
 
 
-@dataclass
-class Declared:
-    name: str
-    spark: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # None -> driver records weaker rows-only check
-    survey_ids: str = ""
-
-
-REGISTRY: list[Declared] = []
-
-
-def declare(name: str, sql: Optional[str], survey_ids: str = ""):
-    def deco(fn):
-        REGISTRY.append(Declared(name, fn, sql, survey_ids))
-        return fn
-
-    return deco
+# Declared/REGISTRY/declare live in registry_core (a leaf module) so
+# sibling registry modules can register entries without importing THIS
+# module — see registry_core's docstring for the circular-import story.
+from .registry_core import REGISTRY, Declared, declare  # noqa: F401
 
 
 # ---------------------------------------------------------------------------

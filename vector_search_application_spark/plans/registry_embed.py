@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import embedder as E
 from . import corpus
 from .constants import K
-from .registry import declare
+from .registry_core import declare
 
 # a golden text query drawn from the documents vocabulary
 EMBED_QUERY_TEXT = "stream processing engine"

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import multimodal as M
 from . import corpus
-from .registry import declare
+from .registry_core import declare
 
 
 @declare(

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import mutations
 from . import corpus
-from .registry import declare
+from .registry_core import declare
 
 DOC_COLS = ["text", "lang", "source", "n_chars"]
 MOD_MOD = 10      # doc_id % 10 == 0  -> text modified

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import portable as P
 from . import corpus
-from .registry import declare
+from .registry_core import declare
 
 # hash-space split: 100 buckets, 80/10/10 — changing ratios moves docs
 # between ADJACENT splits only (bucket membership is stable), which is

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import ingest
-from .registry import declare
+from .registry_core import declare
 
 _EVENTS_WINDOW_SQL = """
 SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms,
@@ -141,6 +141,59 @@ def q_stream_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     table equals the batch corpus embed."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return ingest.stream_embed_documents(spark, sf_dir)
+
+
+# --- native session_window sessionization (streaming) ---------------------
+
+# session_window's merge boundary equals the lag-formulation's: an
+# exactly-gap silence still merges, only strictly-greater breaks
+# (tests/test_streaming.py::test_session_rollup_gap_boundary) — so the
+# oracle is the batch sessionize SQL without the session_no column
+_STREAM_SESSIONIZE_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+    FROM events
+),
+marked AS (
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN prev_us IS NULL
+                     OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END
+               AS is_new
+    FROM ordered
+),
+sessioned AS (
+    SELECT user_id, ts_us,
+           sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM marked
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM sessioned
+GROUP BY user_id, session_no
+""".strip()
+
+
+@declare(
+    "stream_sessionize", _STREAM_SESSIONIZE_SQL, survey_ids="streaming-window"
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through Spark's NATIVE session_window in a
+    REAL streaming query (readStream -> watermark -> merging session
+    state -> memory sink under AvailableNow). The streaming engine
+    merges per-user session state across micro-batches — the stateful
+    path the batch window-function formulation never exercises. ~150
+    users at sf0.01 -> a handful of state partitions."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return ingest.stream_sessionize(
+        spark, os.path.join(sf_dir, "events.parquet"), state_partitions=8
+    )
 
 
 # --- as-of join: purchases to their latest preceding view -----------------

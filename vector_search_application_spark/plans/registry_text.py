@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from ..functions import portable as P, text as T
 from . import corpus
-from .registry import declare
+from .registry_core import declare
 
 
 @declare(

@@ -110,6 +110,84 @@ def stream_events_window(
     return spark.table(name)
 
 
+def session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session aggregation via the NATIVE session_window
+    operator (streaming or batch DataFrame) — the idiomatic-Spark twin
+    of the window-function sessionize (plans/registry_streaming.py).
+
+    Boundary semantics match the batch lag-formulation: two events
+    separated by EXACTLY the gap still merge into one session; only a
+    strictly-greater silence breaks it (verified by
+    tests/test_streaming.py::test_session_rollup_gap_boundary —
+    session ranges merge when the next event lands at or before
+    last_event + gap).
+
+    Output keys are epoch-micros min/max of the events in the session
+    (not the padded window end), so engine/oracle comparison is
+    timezone- and gap-padding-proof.
+    """
+    from ..plans.corpus import ts_us
+
+    with_ts = events.withColumn("__ts_us", ts_us(events, ts_col)).withColumn(
+        "__event_time", F.timestamp_micros(F.col("__ts_us"))
+    )
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("__event_time", watermark_delay)
+    return (
+        with_ts.groupBy(
+            F.session_window("__event_time", gap).alias("__w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("__ts_us").alias("start_us"),
+            F.max("__ts_us").alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Run the session rollup as a REAL streaming query (file source ->
+    watermark -> session_window agg -> memory sink, Trigger.AvailableNow)
+    and return the settled result. Complete mode + AvailableNow admit no
+    late data, so the settled sessions equal the batch session_window
+    over the same files — which is what the oracle checks."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    agg = session_rollup(stream, gap, watermark_delay)
+    name = "stream_sessionize_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def stream_upsert(
     spark: SparkSession,
     source_path: str,
