@@ -439,6 +439,87 @@ def ivf_indexed_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[tuple[int, list[float]]]:
+    """TRAINED IVF centroids: MLlib KMeans (k-means||) over the corpus —
+    the real index-build step the first-N-vectors centroid set stands in
+    for in oracle-checked queries (trained centroids are float-iteration
+    artifacts, so the queries over them are rows-only + recall-tested,
+    never golden-matched; SURVEY.md §7 hard-parts rule).
+
+    Fit is distributed JVM MLlib (Lloyd iterations as DataFrame jobs
+    under the hood); the returned centers are index METADATA — small by
+    construction — ordered by cluster id. Reference parity: this is the
+    collection-build step (scripts/indexing.py:302-381) where HNSW
+    construction becomes centroid training."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(vec)
+    return [
+        (cid, [float(x) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+
+
+def centroid_table_lit(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """The one-row cents: array<struct<cid, cvec, cnorm>> table from
+    driver-held centroid metadata (e.g. kmeans_centroids output).
+
+    The literal expression evaluates ONCE over a one-row relation and
+    then rides a BroadcastExchange as data — unlike a per-row literal
+    scoring expression, the codegen cost is O(1), not O(corpus). At
+    production centroid counts the metadata would be persisted as a
+    parquet table and read back (then _centroid_table_from applies);
+    literals are the no-I/O path for index-build pipelines."""
+    structs = ", ".join(
+        f"named_struct('cid', CAST({int(cid)} AS BIGINT),"
+        f" 'cvec', {_lit_vec(v)},"
+        f" 'cnorm', CAST('{_py_norm(v)!r}' AS DOUBLE))"
+        for cid, v in cents
+    )
+    return spark.range(1).selectExpr(f"array({structs}) AS cents")
+
+
+def ivf_topk_trained(
+    vectors: DataFrame,
+    query: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    k: int = K,
+    n_probe: int = IVF_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a TRAINED centroid set: same plan shape as
+    ivf_topk (broadcast cents -> per-row cell argmax -> probe filter ->
+    literal-query cosine -> TakeOrderedAndProject), but the cells come
+    from index metadata instead of the first-N corpus vectors."""
+    spark = vectors.sparkSession
+    qvec = [float(x) for x in query.first()["qvec"]]
+    probe_cells = _rank_probe_cells(cents, qvec, n_probe)
+    cent_tbl = centroid_table_lit(spark, cents)
+    cell = _cell_over_cents_sql(vec_col)
+    score = _cos_lit_sql(vec_col, qvec)
+    return (
+        vectors.crossJoin(F.broadcast(cent_tbl))
+        .selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
+        .filter(F.col("cell").isin(probe_cells))
+        .select("id", "score")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def mllib_lsh_index(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -379,6 +379,23 @@ def q_mllib_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("id", P.rounded(F.col("distCol")).alias("distance"))
 
 
+@declare(
+    "ivf_kmeans_topk",
+    None,  # trained centroids are float-iteration artifacts: rows-only
+    # check; recall vs the exact operator is asserted in tests/test_ann.py
+    survey_ids="I1,ann-ivf",
+)
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over TRAINED centroids: MLlib KMeans as the index build
+    (reference collection-build parity, scripts/indexing.py:302-381),
+    then the same broadcast-argmax probe plan as ivf_topk. Query-side
+    semantics stay exact cosine within probed cells."""
+    vecs = corpus.vectors(spark, sf_dir)
+    cents = ann.kmeans_centroids(vecs)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.ivf_topk_trained(vecs, q, cents)
+
+
 # --- dedup clustering: pairs -> connected components -> canonical --------
 
 _SIMHASH_PAIRS_SQL = next(
