@@ -123,3 +123,62 @@ def test_quality_funnel_partitions_corpus(spark):
     assert set(rows) <= {"keep", "drop_too_short", "drop_non_english", "drop_low_quality"}
     assert sum(rows.values()) == corpus.docs(spark, SF_SMOKE).count()
     assert rows.get("keep", 0) > 0
+
+
+def test_repetition_signals_on_constructed_docs(spark):
+    """Known-answer checks: a fully repetitive doc scores 1.0 on both
+    signals, an all-distinct doc scores near-zero, and docs shorter
+    than the gram size score 0.0 (the sequence(1,0)-descends trap)."""
+    from vector_search_application_spark.functions import text as T
+
+    rows = [
+        (1, "ab ab ab ab ab ab"),          # one repeated 2-gram
+        (2, "a b c d e f g h"),            # all 2-grams distinct
+        (3, "one"),                        # below gram size
+        (4, ""),                           # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["t2"], r["d3"])
+        for r in df.select(
+            "doc_id",
+            T.top_ngram_ratio(F.col("text"), 2).alias("t2"),
+            T.dup_ngram_ratio(F.col("text"), 3).alias("d3"),
+        ).collect()
+    }
+    assert out[1] == (1.0, 1.0)
+    assert out[2][0] <= 1.0 / 7 + 1e-9 and out[2][1] == 0.0
+    assert out[3] == (0.0, 0.0)
+    assert out[4] == (0.0, 0.0)
+
+
+def test_ngrams_matches_oracle_on_fixture(spark, duck):
+    """Engine and oracle gram arrays agree element-for-element on a
+    sample of real docs (join-key '_' and 1-based indexing parity)."""
+    from tests.conftest import register_views
+    from vector_search_application_spark.functions import portable as P
+    from vector_search_application_spark.functions import text as T
+
+    docs = corpus.docs(spark, SF_SMOKE).filter(F.col("doc_id") < 20)
+    eng = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", T.ngrams(P.tokens(F.col("text")), 2).alias("g")
+        ).collect()
+    }
+    register_views(duck, SF_SMOKE)
+    got = duck.execute(
+        f"SELECT doc_id, {T.ngrams_sql(P.tokens_sql('text'), 2)} AS g "
+        "FROM documents WHERE doc_id < 20"
+    ).fetchall()
+    for doc_id, g in got:
+        assert eng[doc_id] == g, doc_id
+
+
+def test_domain_mix_weights_sum_to_target(spark):
+    """Token shares sum to ~1 and weighted token mass per source is
+    equal across sources (that is what 'uniform weight' means)."""
+    out = RP.q_domain_mix_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-6
+    masses = [r["uniform_weight"] * r["n_tokens"] for r in out]
+    assert max(masses) - min(masses) < 1e-3 * max(masses)

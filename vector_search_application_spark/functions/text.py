@@ -161,6 +161,111 @@ def re_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all(lower({expr}), '{RE_TOKEN_PAT}'))"
 
 
+# --- repetition signals (Gopher-style quality rules) ----------------------
+# Per-row array expressions: gram frequencies computed as
+# distinct-grams x scan — O(u*n) per document, fine for per-row corpus
+# docs; a pipeline facing book-length texts would explode grams and
+# count via groupBy(doc_id, gram) instead (one shuffle keyed on the
+# doc), trading per-row cost for a keyed aggregation. Ratios are exact
+# int/int divisions, identical across engines; rounded anyway to stay
+# inside the portable-parity contract (functions/portable.py).
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Adjacent word n-grams joined by '_' (empty below n tokens).
+
+    The short-doc case must be an explicit branch: sequence(1, 0)
+    DESCENDS in Spark ([1, 0]), it does not return empty."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "_", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngrams_sql(toks: str, n: int) -> str:
+    parts = " || '_' || ".join(f"{toks}[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 2}, 1)),"
+        f" i -> {parts})"
+    )
+
+
+def top_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's n-gram instances taken by its single
+    most frequent n-gram (Gopher: high -> boilerplate/repetition).
+
+    The gram array binds ONCE as a lambda variable — HOF lambdas get no
+    codegen CSE, so referencing the raw gram expression inside the
+    frequency lambda would re-tokenize the document once per distinct
+    gram (measured: ~500x slower on the fixture corpus)."""
+
+    def ratio(g: Column) -> Column:
+        freqs = F.transform(
+            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
+        )
+        return F.when(
+            F.size(g) > 0,
+            P.rounded(F.array_max(freqs).cast("double") / F.size(g)),
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(ngrams(P.tokens(text), n)), ratio)[0]
+
+
+def top_ngram_ratio_sql(expr: str, n: int = 2) -> str:
+    toks = P.tokens_sql(expr)
+    g = ngrams_sql(toks, n)
+    freqs = "list_transform(list_distinct(g), x -> len(list_filter(g, y -> y = x)))"
+    ratio = (
+        f"CASE WHEN len(g) > 0 THEN "
+        f"{P.rounded_sql(f'list_max({freqs})::DOUBLE / len(g)')}"
+        f" ELSE 0.0 END"
+    )
+    return f"list_transform([{g}], g -> {ratio})[1]"
+
+
+def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of n-gram instances whose n-gram occurs more than once
+    in the document (Gopher's duplicate-n-gram-fraction). Same
+    bind-the-gram-array-once discipline as top_ngram_ratio."""
+
+    def ratio(g: Column) -> Column:
+        dup_instances = F.aggregate(
+            F.transform(
+                F.array_distinct(g),
+                lambda x: F.size(F.filter(g, lambda y: y == x)),
+            ),
+            F.lit(0),
+            lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
+        )
+        return F.when(
+            F.size(g) > 0, P.rounded(dup_instances.cast("double") / F.size(g))
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(ngrams(P.tokens(text), n)), ratio)[0]
+
+
+def dup_ngram_ratio_sql(expr: str, n: int = 3) -> str:
+    toks = P.tokens_sql(expr)
+    g = ngrams_sql(toks, n)
+    dup = (
+        "list_sum(list_transform(list_distinct(g),"
+        " x -> CASE WHEN len(list_filter(g, y -> y = x)) > 1"
+        " THEN len(list_filter(g, y -> y = x)) ELSE 0 END))"
+    )
+    ratio = (
+        f"CASE WHEN len(g) > 0 THEN "
+        f"{P.rounded_sql(f'({dup})::DOUBLE / len(g)')}"
+        f" ELSE 0.0 END"
+    )
+    return f"list_transform([{g}], g -> {ratio})[1]"
+
+
 # --- BPE-style pretokenizer (portable: no lookahead, ASCII classes) -------
 
 # GPT-2's pretokenizer splits contractions / letter runs / digit runs /

@@ -403,3 +403,59 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# domain mixture weights: per-source sampling weights to a target share
+# ---------------------------------------------------------------------------
+
+_MIX_SQL = f"""
+WITH per_source AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum({P.token_count_sql('text')})::BIGINT AS n_tokens
+    FROM documents
+    GROUP BY source
+),
+tot AS (
+    SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources
+    FROM per_source
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       {P.rounded_sql('s.n_tokens::DOUBLE / t.total_tokens')} AS token_share,
+       {P.rounded_sql('(t.total_tokens::DOUBLE / t.n_sources) / s.n_tokens')}
+           AS uniform_weight
+FROM per_source s CROSS JOIN tot t
+"""
+
+
+@declare("domain_mix_weights", _MIX_SQL, survey_ids="pipeline-mix")
+def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture accounting: per-source token shares and the
+    sampling weight that would equalize them (weight > 1 -> upsample,
+    < 1 -> downsample) — the numbers behind training-mixture tuning.
+    One map-side-combinable rollup keyed on source; the totals side is
+    a one-row aggregate broadcast back over the (tiny) per-source
+    table, so corpus rows shuffle once and only pre-aggregated rows
+    ever cross the broadcast join."""
+    docs = corpus.docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(P.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.groupBy().agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        P.rounded(
+            F.col("n_tokens").cast("double") / F.col("total_tokens")
+        ).alias("token_share"),
+        P.rounded(
+            (F.col("total_tokens").cast("double") / F.col("n_sources"))
+            / F.col("n_tokens")
+        ).alias("uniform_weight"),
+    )

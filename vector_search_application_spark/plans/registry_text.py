@@ -161,3 +161,27 @@ def q_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_contraction"),
     )
+
+
+_REPETITION_SQL = f"""
+SELECT doc_id,
+       {T.top_ngram_ratio_sql('text', 2)} AS top_2gram_ratio,
+       {T.dup_ngram_ratio_sql('text', 3)} AS dup_3gram_ratio
+FROM documents
+"""
+
+
+@declare("text_repetition", _REPETITION_SQL, survey_ids="text-quality")
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: the share of 2-gram instances
+    taken by the most frequent 2-gram, and the share of 3-gram
+    instances whose 3-gram repeats — the filters that catch boilerplate
+    and degenerate generations. Per-row array expressions (map-only,
+    zero shuffles); functions/text.ngrams documents the explode+groupBy
+    alternative for book-length documents."""
+    docs = corpus.docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.top_ngram_ratio(F.col("text"), 2).alias("top_2gram_ratio"),
+        T.dup_ngram_ratio(F.col("text"), 3).alias("dup_3gram_ratio"),
+    )
