@@ -67,6 +67,10 @@ HEADLINE = [
     "sequence_pack",         # running-sum packing into token budgets
     "text_pii_scrub",        # map-only detect+redact projection
     "vocab_topn",            # df vocabulary head (partial-agg + topN)
+    "event_asof_join",       # backward as-of join (union + one window)
+    "stream_sessionize",     # native session_window streaming state
+    "text_repetition",       # Gopher repetition signals (map-only)
+    "domain_mix_weights",    # per-source token shares + mix weights
 ]
 
 N_BATCH_QUERIES = 1000
