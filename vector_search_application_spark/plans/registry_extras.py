@@ -412,3 +412,24 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "id", "partNumber_airgas_text", F.lit(1.0).cast("double").alias("score")
     )
+
+
+@declare(
+    "mmr_rerank_topk",
+    None,  # inherently sequential greedy selection: no closed-form SQL
+    # oracle; exact python-model equality asserted in tests/test_rerank.py
+    survey_ids="V5,rerank-mmr",
+)
+def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank of the dense top-50 head (operators/
+    rerank.py): the deterministic member of the reference's second-pass
+    re-rank family (its cross-encoder config is dead code,
+    app/config/config.py:44-48). Candidate generation is the
+    distributed stage; the O(k*N) greedy runs on the driver over
+    index-small data."""
+    from ..operators.rerank import mmr_rerank
+    from .constants import QUERY_VEC_ID
+
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return mmr_rerank(vecs, q)

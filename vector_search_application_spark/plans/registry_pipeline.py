@@ -459,3 +459,63 @@ def q_domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens")
         ).alias("uniform_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source length quantiles: exact rank-pick percentiles
+# ---------------------------------------------------------------------------
+
+_QUANTILES_SQL = """
+WITH ranked AS (
+    SELECT source, n_chars, doc_id,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars ASC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (n * 10 + 99) // 100 THEN n_chars END)
+            AS BIGINT) AS p10_chars,
+       CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+            AS BIGINT) AS p50_chars,
+       CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END)
+            AS BIGINT) AS p90_chars
+FROM ranked
+GROUP BY source
+""".strip()
+
+
+@declare(
+    "source_length_quantiles", _QUANTILES_SQL, survey_ids="pipeline-stats,§2.11"
+)
+def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p10/p50/p90 document lengths by exact rank-pick
+    (rank = ceil(p*n/100) via integer arithmetic, ties on doc_id) —
+    the length-distribution audit behind per-domain truncation and
+    filter thresholds. Percentile BUILT-INS interpolate differently
+    across engines; rank-pick is the same integer in both. One shuffle
+    on source; both windows and the final rollup share it."""
+    docs = corpus.docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    wn = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: int):
+        return F.max(
+            F.when(
+                F.col("rn") == F.expr(f"CAST((n * {p} + 99) DIV 100 AS BIGINT)"),
+                F.col("n_chars"),
+            )
+        ).cast("bigint")
+
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        pick(10).alias("p10_chars"),
+        pick(50).alias("p50_chars"),
+        pick(90).alias("p90_chars"),
+    )
