@@ -44,6 +44,12 @@ PROBE_QUERIES = [
     "vocab_topn",
     "quality_filter_funnel",
     "text_pii_scrub",
+    "event_asof_join",
+    "event_sliding_avg",
+    "text_repetition",
+    "domain_mix_weights",
+    "source_length_quantiles",
+    "token_accounting_rollup",
 ]
 
 

@@ -174,18 +174,27 @@ def re_token_count_sql(expr: str) -> str:
 def ngrams(toks: Column, n: int) -> Column:
     """Adjacent word n-grams joined by '_' (empty below n tokens).
 
-    The short-doc case must be an explicit branch: sequence(1, 0)
-    DESCENDS in Spark ([1, 0]), it does not return empty."""
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            "_", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    Two traps encoded here: (a) the short-doc case must be an explicit
+    branch — sequence(1, 0) DESCENDS in Spark ([1, 0]), it does not
+    return empty; (b) the token array binds as a lambda variable before
+    element_at indexes it — toks is usually the regex tokenizer
+    expression, and HOF lambdas re-evaluate free subexpressions per
+    element (measured: the inline form re-tokenized ~2*len times per
+    row, 7.4 s -> 0.5 s at sf0.1 for the gram stage alone)."""
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.transform(F.array(toks), build)[0]
 
 
 def ngrams_sql(toks: str, n: int) -> str:
@@ -196,22 +205,62 @@ def ngrams_sql(toks: str, n: int) -> str:
     )
 
 
+def _run_fold(g: Column) -> Column:
+    """struct<mx, dup> over a gram array: longest equal-run length and
+    total length of runs >= 2, computed on the SORTED array in ONE
+    linear fold.
+
+    Why this shape: higher-order functions evaluate interpreted (no
+    whole-stage codegen), so per-element lambda cost dominates. The
+    natural distinct x filter frequency count is O(u*n) lambda evals
+    (~2,800 per 55-token doc) and measured ~2 ms/row; sort + one fold
+    is O(n) evals (~55) for the same integers."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("mx"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, e):
+        same = acc["prev"].isNotNull() & (e == acc["prev"])
+        closed_mx = F.greatest(acc["mx"], acc["run"])
+        closed_dup = acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(
+            F.lit(0)
+        )
+        return F.struct(
+            e.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["mx"]).otherwise(closed_mx).alias("mx"),
+            F.when(same, acc["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc["mx"], acc["run"]).alias("mx"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
+            ).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(g), acc0, step, finish)
+
+
 def top_ngram_ratio(text: Column, n: int = 2) -> Column:
     """Fraction of the document's n-gram instances taken by its single
     most frequent n-gram (Gopher: high -> boilerplate/repetition).
 
-    The gram array binds ONCE as a lambda variable — HOF lambdas get no
-    codegen CSE, so referencing the raw gram expression inside the
-    frequency lambda would re-tokenize the document once per distinct
-    gram (measured: ~500x slower on the fixture corpus)."""
+    The gram array binds ONCE as a lambda variable (HOF lambdas get no
+    CSE — inlining it re-tokenizes per element); frequency comes from
+    the linear run fold, not a distinct x filter scan (_run_fold).
+    The ratio is an exact int/int division, so the DuckDB oracle may
+    count frequencies any way it likes and still match."""
 
     def ratio(g: Column) -> Column:
-        freqs = F.transform(
-            F.array_distinct(g), lambda x: F.size(F.filter(g, lambda y: y == x))
-        )
         return F.when(
             F.size(g) > 0,
-            P.rounded(F.array_max(freqs).cast("double") / F.size(g)),
+            P.rounded(_run_fold(g)["mx"].cast("double") / F.size(g)),
         ).otherwise(F.lit(0.0))
 
     return F.transform(F.array(ngrams(P.tokens(text), n)), ratio)[0]
@@ -232,19 +281,12 @@ def top_ngram_ratio_sql(expr: str, n: int = 2) -> str:
 def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
     """Fraction of n-gram instances whose n-gram occurs more than once
     in the document (Gopher's duplicate-n-gram-fraction). Same
-    bind-the-gram-array-once discipline as top_ngram_ratio."""
+    bind-once + linear-fold discipline as top_ngram_ratio."""
 
     def ratio(g: Column) -> Column:
-        dup_instances = F.aggregate(
-            F.transform(
-                F.array_distinct(g),
-                lambda x: F.size(F.filter(g, lambda y: y == x)),
-            ),
-            F.lit(0),
-            lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
-        )
         return F.when(
-            F.size(g) > 0, P.rounded(dup_instances.cast("double") / F.size(g))
+            F.size(g) > 0,
+            P.rounded(_run_fold(g)["dup"].cast("double") / F.size(g)),
         ).otherwise(F.lit(0.0))
 
     return F.transform(F.array(ngrams(P.tokens(text), n)), ratio)[0]

@@ -749,14 +749,16 @@ from . import registry_pipeline  # noqa: E402,F401
 # entries; declaration order is an accident of module layout. Curate the
 # window explicitly so every operator family has its flagship inside it
 # (embed, streaming, import/export, quantization, multimodal included);
-# redundant siblings (batch-salted dense, second normalize variant,
-# cascade secondary/miss, min-label components, scroll paging, ...) move
-# past position 50, where tests/test_registry_oracle.py remains their net.
+# redundant siblings (batch-salted dense, the bm25/hybrid batch twins —
+# their survey ids stay green via the single-query variants and
+# dense_topk_batch — second normalize variant, cascade secondary/miss,
+# min-label components, scroll paging, ...) move past position 50, where
+# tests/test_registry_oracle.py remains their net.
 
 DRIVER_WINDOW = [
     # dense / sparse / hybrid search + fusion
     "dense_topk", "dense_topk_batch", "dense_threshold", "dense_postfilter",
-    "bm25_topk", "bm25_topk_batch", "hybrid_rrf", "hybrid_rrf_batch",
+    "bm25_topk", "hybrid_rrf",
     "linear_fusion", "normalize_min_max", "fusion_max_dedup",
     # ingest / validation / exact cascade
     "ingest_products", "validate_quarantine", "exact_cascade_primary",
@@ -776,7 +778,9 @@ DRIVER_WINDOW = [
     "embed_search_topk",
     # event-time / streaming family
     "stream_events_window", "stream_ingest_upsert", "event_sessionize",
-    "event_funnel",
+    "event_funnel", "event_asof_join",
+    # curation signals (beyond-reference, first-class)
+    "text_repetition",
     # import / export
     "json_export_roundtrip", "targz_import",
     # text pipeline + multimodal

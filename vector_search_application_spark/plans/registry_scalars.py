@@ -314,3 +314,75 @@ def q_event_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("value"), 6).alias("median_value"),
     )
+
+
+# --- §2.11 extension: ROLLUP token accounting ------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       count(*)::BIGINT AS n_docs,
+       sum({P.token_count_sql('text')})::BIGINT AS n_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)
+""".strip()
+
+
+@declare("token_accounting_rollup", _ROLLUP_SQL, survey_ids="§2.11")
+def q_token_accounting_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting at every reporting level in one pass —
+    (lang, source), per-lang subtotals, grand total — via ROLLUP
+    (the reference has no grouping sets at all, SURVEY.md §2.11).
+    Spark expands rollup into partial-aggregable grouping-id groups:
+    still ONE shuffle, map-side combine per level. lang/source are
+    never NULL in this corpus, so coalesce labels are unambiguous."""
+    docs = corpus.docs(spark, sf_dir)
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(P.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+# --- §2.12 extension: sliding-frame window over event time -----------------
+
+_SLIDING_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) ASC, event_id ASC
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS sliding_avg
+FROM events
+""".strip()
+
+
+@declare("event_sliding_avg", _SLIDING_SQL, survey_ids="§2.12")
+def q_event_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing average over an explicit ROWS frame (3
+    preceding + current) — the §2.12 frame-spec surface the reference
+    never exercises. The frame order is total (ts, event_id), so the
+    FP accumulation order is identical in both engines; rounded to 6
+    per the portable-parity contract. One shuffle on user_id."""
+    raw = corpus._read(spark, sf_dir, "events")
+    events = raw.select(
+        "user_id", "event_id", "value", corpus.ts_us(raw).alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.avg("value").over(w), 6).alias("sliding_avg"),
+    )
