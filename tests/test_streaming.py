@@ -328,3 +328,71 @@ def test_stream_sessionize_matches_batch_session_window(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """The late-data contract the registry queries deliberately avoid:
+    in APPEND mode a row arriving behind the checkpointed watermark is
+    dropped once its window is finalized. Two separate runs share a
+    checkpoint so the batch boundary (and the watermark restore) is
+    deterministic — no reliance on file-listing order. The declared
+    streaming queries use complete/AvailableNow exactly so this cannot
+    fire (oracle equality); this pins the semantics for the
+    incremental deployment shape, where it does."""
+    src = tmp_path / "late_src"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, user_id bigint, event_type string,"
+            " ts bigint, value double"
+        )
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.parquet(str(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.rename(tmp / part, src / name)
+
+    from vector_search_application_spark.streaming.ingest import (
+        windowed_event_counts,
+    )
+
+    schema = "event_id bigint, user_id bigint, event_type string, ts bigint, value double"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = windowed_event_counts(stream, "1 hour", "10 minutes")
+
+        def sink(batch, batch_id):
+            batch.write.mode("append").parquet(out)
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    hour_ns = 3_600_000_000_000
+    # run 1: events through hour 10 -> checkpointed watermark 9:50
+    write_file(
+        "a.parquet",
+        [
+            (1, 1, "x", 8 * hour_ns + 1, 1.0),   # window [8:00, 9:00)
+            (2, 1, "x", 10 * hour_ns, 1.0),      # advances the watermark
+        ],
+    )
+    run_once()
+    # run 2: a row for hour 8, far behind the restored watermark
+    write_file("b.parquet", [(3, 1, "x", 8 * hour_ns + 2, 1.0)])
+    run_once()
+
+    got = {
+        r["window_start_ms"]: r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # hour-8 window finalized with ONE event; the late row was dropped
+    # (batch semantics would count 2)
+    assert got[8 * 3600 * 1000] == 1
