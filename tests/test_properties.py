@@ -77,3 +77,53 @@ def test_cosine_sql_bounded_and_self_similar(xs):
         assert abs(cos_neg + 1.0) < 1e-6
     else:
         assert cos_self == 0.0  # declared zero-norm fallback
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # ts (collisions likely)
+            st.booleans(),                            # True -> left row
+        ),
+        max_size=30,
+    )
+)
+def test_asof_union_window_formulation_matches_brute_force(rows):
+    """The union + last_value(IGNORE NULLS) as-of formulation (the one
+    both engines declare, plans/registry_streaming._ASOF_SQL) must equal
+    the brute-force definition: latest right row with ts <= left ts,
+    ties preferring the right row (inclusive), then highest id."""
+    events = [(i, u, t, is_l) for i, (u, t, is_l) in enumerate(rows)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (id BIGINT, u BIGINT, ts BIGINT, is_l BOOLEAN)")
+    if events:
+        con.executemany("INSERT INTO ev VALUES (?, ?, ?, ?)", events)
+    got = dict(
+        con.execute(
+            """
+WITH tagged AS (
+    SELECT u, id, ts, 1 AS tag, NULL::BIGINT AS r_id
+    FROM ev WHERE is_l
+    UNION ALL
+    SELECT u, id, ts, 0, id FROM ev WHERE NOT is_l
+),
+filled AS (
+    SELECT u, id, ts, tag,
+           last_value(r_id IGNORE NULLS) OVER w AS m_id
+    FROM tagged
+    WINDOW w AS (PARTITION BY u ORDER BY ts ASC, tag ASC, id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT id, m_id FROM filled WHERE tag = 1
+"""
+        ).fetchall()
+    )
+    lefts = [(i, u, t) for i, u, t, is_l in events if is_l]
+    rights = [(i, u, t) for i, u, t, is_l in events if not is_l]
+    assert set(got) == {i for i, _, _ in lefts}
+    for i, u, t in lefts:
+        cand = [(rt, ri) for ri, ru, rt in rights if ru == u and rt <= t]
+        want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, got[i], want)
