@@ -71,6 +71,7 @@ HEADLINE = [
     "stream_sessionize",     # native session_window streaming state
     "text_repetition",       # Gopher repetition signals (map-only)
     "domain_mix_weights",    # per-source token shares + mix weights
+    "training_manifest",     # full curation chain in one 2-shuffle plan
 ]
 
 N_BATCH_QUERIES = 1000

@@ -182,3 +182,27 @@ def test_domain_mix_weights_sum_to_target(spark):
     assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-6
     masses = [r["uniform_weight"] * r["n_tokens"] for r in out]
     assert max(masses) - min(masses) < 1e-3 * max(masses)
+
+
+def test_training_manifest_composition_invariants(spark):
+    """The capstone plan's output must be consistent with its stages
+    run separately: every manifest doc passed the funnel keep rules, is
+    its own exact-dedup canonical, carries its hash-split assignment,
+    and packs contiguously within each split."""
+    out = RP.q_training_manifest(spark, SF_SMOKE).collect()
+    split_of = {
+        r["doc_id"]: r["split"]
+        for r in RP.q_dataset_split(spark, SF_SMOKE).collect()
+    }
+    by_split = {}
+    for r in out:
+        assert split_of[r["doc_id"]] == r["split"]
+        by_split.setdefault(r["split"], []).append(r)
+    assert set(by_split) == {"train", "val", "test"}
+    for rows in by_split.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["pack_id"] == cum // RP.PACK_BUDGET
+            assert r["pack_offset"] == cum % RP.PACK_BUDGET
+            cum += r["n_tokens"]

@@ -519,3 +519,112 @@ def q_source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50).alias("p50_chars"),
         pick(90).alias("p90_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the capstone composition: corpus -> training manifest in ONE plan
+# ---------------------------------------------------------------------------
+
+
+def _manifest_sql() -> str:
+    from ..functions import text as T
+
+    return f"""
+WITH feat AS (
+    SELECT doc_id, text,
+           {P.token_count_sql('text')}::BIGINT AS n_tokens,
+           {T.stopword_ratio_sql('text')} AS sw,
+           {T.quality_score_sql('text')} AS q
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, text, n_tokens FROM feat
+    WHERE n_tokens >= {MIN_TOKENS} AND sw >= {MIN_STOPWORD}
+          AND q >= {MIN_QUALITY}
+),
+canon AS (
+    SELECT doc_id, n_tokens,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+    FROM kept
+),
+uniq AS (SELECT doc_id, n_tokens FROM canon WHERE doc_id = canonical_id),
+assigned AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN {_BUCKET} < {TRAIN_CUT} THEN 'train'
+                WHEN {_BUCKET} < {VAL_CUT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM uniq
+),
+runs AS (
+    SELECT doc_id, split, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS cum_before
+    FROM assigned
+)
+SELECT doc_id, split, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM runs
+"""
+
+
+@declare("training_manifest", _manifest_sql(), survey_ids="pipeline-manifest")
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declared plan: quality-filter
+    (funnel keep rules) -> exact-dedup canonical -> hash split ->
+    per-split sequence packing. This is the composition test the
+    individual stages cannot give: filters and projections collapse
+    into the scan, and the full chain costs exactly TWO shuffles — one
+    keyed on the content hash (dedup window), one on the split (pack
+    window). A real pipeline writes this manifest partitioned by
+    (split, pack_id DIV shard_size); the per-split pack window is the
+    per-shard plan documented on sequence_pack."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+
+    docs = corpus.docs(spark, sf_dir)
+    feat = docs.select(
+        "doc_id",
+        "text",
+        F.explode(T.quality_features(F.col("text"))).alias("qf"),
+    )
+    kept = feat.filter(
+        (F.col("qf.n_tokens") >= MIN_TOKENS)
+        & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
+        & (F.col("qf.quality") >= MIN_QUALITY)
+    ).select(
+        "doc_id", "text", F.col("qf.n_tokens").cast("bigint").alias("n_tokens")
+    )
+    wh = Window.partitionBy(F.sha2(F.col("text"), 256))
+    uniq = (
+        kept.withColumn("canonical_id", F.min("doc_id").over(wh))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "n_tokens")
+    )
+    b = _bucket_col()
+    assigned = uniq.select(
+        "doc_id",
+        "n_tokens",
+        F.when(b < TRAIN_CUT, "train")
+        .when(b < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    wp = (
+        Window.partitionBy("split")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = assigned.withColumn(
+        "cum_before", F.sum("n_tokens").over(wp) - F.col("n_tokens")
+    )
+    return runs.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        (F.col("cum_before") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
