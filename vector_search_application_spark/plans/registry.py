@@ -763,24 +763,28 @@ DRIVER_WINDOW = [
     # ingest / validation / exact cascade
     "ingest_products", "validate_quarantine", "exact_cascade_primary",
     "doc_content_hash", "delta_classify", "upsert_merge", "cleanup_old",
-    # versioning
-    "version_current", "version_history", "version_archive",
+    # versioning (version_archive's M5 stays green via version_current)
+    "version_current", "version_history",
     # scalars / projections / paging / aggregation
-    "partno_classifier", "search_details_projection", "search_ids_projection",
-    "keyset_page", "corpus_counts", "event_value_median",
+    "partno_classifier", "search_details_projection",
+    "keyset_page", "corpus_counts",
     # dedup family
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
     "dedup_canonical_quality", "dedup_components_star",
-    # ANN / quantization / payload index
-    "ivf_topk", "ivf_topk_batch", "ivf_index_lookup", "mllib_lsh_topk",
+    # ANN / quantization / payload index (ivf_topk_batch's I1 stays green
+    # via ivf_topk + ivf_index_lookup)
+    "ivf_topk", "ivf_index_lookup", "mllib_lsh_topk",
     "quantized_topk", "payload_index_lookup",
     # embed pipeline
     "embed_search_topk",
-    # event-time / streaming family
+    # event-time / streaming family (funnel + value-median siblings keep
+    # §2.12 green via event_sessionize; pytest remains their net)
     "stream_events_window", "stream_ingest_upsert", "event_sessionize",
-    "event_funnel", "event_asof_join",
-    # curation signals (beyond-reference, first-class)
-    "text_repetition",
+    "event_asof_join",
+    # curation signals (beyond-reference, first-class): every stage of the
+    # training-data chain gets its own driver row
+    "text_repetition", "text_pii_scrub", "sequence_pack",
+    "benchmark_decontaminate", "domain_mix_weights", "training_manifest",
     # import / export
     "json_export_roundtrip", "targz_import",
     # text pipeline + multimodal
