@@ -1,0 +1,104 @@
+"""Property tests for the round-4 curation operators (chunking,
+boilerplate, temperature mixture, semantic dedup) — pipeline invariants
+beyond oracle parity (tests/test_registry_oracle.py checks values)."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_search_application_spark.functions import portable as P
+from vector_search_application_spark.plans import corpus
+from vector_search_application_spark.plans import registry_curation as RC
+from vector_search_application_spark.plans import registry_dedup as RD
+from vector_search_application_spark.plans.constants import (
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+)
+
+
+def test_chunks_reconstruct_documents(spark):
+    """Chunk layout invariants: starts step by the stride, every
+    non-final chunk is full-width, coverage reaches the last token, and
+    de-overlapping the chunks reconstructs each doc's exact token
+    sequence (the property that makes chunking lossless)."""
+    docs = corpus.docs(spark, SF_SMOKE)
+    orig = {
+        r.doc_id: r.toks
+        for r in docs.select(
+            "doc_id", P.tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    rows = RC.q_doc_chunk_windows(spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = len(orig[doc_id])
+        assert chunks[0].start_tok == 0
+        for i, c in enumerate(chunks):
+            assert c.chunk_id == i
+            assert c.start_tok == i * CHUNK_STRIDE
+            got = c.chunk_text.split(" ")
+            assert len(got) == c.chunk_tokens
+            if i < len(chunks) - 1:
+                assert c.chunk_tokens == CHUNK_TOKENS
+        last = chunks[-1]
+        assert last.start_tok + last.chunk_tokens == n
+        rebuilt = chunks[0].chunk_text.split(" ")
+        for c in chunks[1:]:
+            rebuilt += c.chunk_text.split(" ")[overlap:]
+        assert rebuilt == orig[doc_id], doc_id
+    assert set(by_doc) == set(orig)
+
+
+def test_boilerplate_finds_seeded_footer(spark):
+    """Every even doc carries the seeded per-source footer, whose
+    shingles appear in ~half the source's docs — well over the
+    detection threshold — so every even doc must flag boilerplate, and
+    seeded docs must out-score unseeded ones on average."""
+    rows = RC.q_boilerplate_ngrams(spark, SF_SMOKE).collect()
+    even = [r for r in rows if r.doc_id % 2 == 0]
+    odd = [r for r in rows if r.doc_id % 2 == 1]
+    assert even and odd
+    assert all(r.n_boiler >= 1 for r in even)
+    mean_even = sum(r.boiler_frac for r in even) / len(even)
+    mean_odd = sum(r.boiler_frac for r in odd) / len(odd)
+    assert mean_even > mean_odd
+    assert all(0.0 <= r.boiler_frac <= 1.0 for r in rows)
+
+
+def test_temperature_mixture_flattens(spark):
+    """τ=0.5 weights preserve the domain ordering but compress its
+    spread: the smallest/largest weight ratio must exceed the raw
+    share ratio (that's what 'temperature flattening' means), the
+    largest domain anchors sample_rate at exactly 1.0, and every rate
+    stays in (0, 1]."""
+    rows = RC.q_temperature_mixture(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    assert all(0.0 < r.sample_rate <= 1.0 for r in rows)
+    top = max(rows, key=lambda r: r.n_tokens)
+    assert top.sample_rate == 1.0
+    by_tokens = sorted(rows, key=lambda r: r.n_tokens)
+    weights = [r.temp_weight for r in by_tokens]
+    assert weights == sorted(weights)  # order preserved
+    share_ratio = by_tokens[0].token_share / by_tokens[-1].token_share
+    weight_ratio = by_tokens[0].temp_weight / by_tokens[-1].temp_weight
+    assert weight_ratio > share_ratio  # spread compressed
+
+
+def test_semantic_dedup_catches_planted_copies(spark):
+    """The corpus plants 1-component-perturbed copies (cos≈0.999 to
+    their originals). Cluster blocking may separate a few pairs — the
+    documented recall trade-off — but must catch >=90%, each kept by
+    its own original; and the verdict table stays total (one row per
+    input vector)."""
+    rows = RD.q_semantic_dedup(spark, SF_SMOKE).collect()
+    n_vecs = RD.dedup_vectors(spark, SF_SMOKE).count()
+    assert len(rows) == n_vecs
+    planted = [r for r in rows if r.id >= RD.NEAR_OFFSET]
+    assert planted
+    caught = [r for r in planted if r.is_duplicate]
+    assert len(caught) / len(planted) >= 0.9
+    right_rep = [r for r in caught if r.kept_by == r.id - RD.NEAR_OFFSET]
+    assert len(right_rep) / len(caught) >= 0.9

@@ -274,15 +274,19 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(id, cell): nearest-centroid assignment (max rounded cosine,
     centroid id breaking ties), computed per-row against the BROADCAST
     centroid set — the corpus side never shuffles. At scale this column
-    is what the stored table is partitioned by (the IVF index build)."""
+    is what the stored table is partitioned by (the IVF index build).
+    keep_vec=True carries the vector through as ``v`` for consumers
+    that score within cells (semantic dedup)."""
     cent_tbl = _centroid_table_from(centroids)
-    return vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
-        f"{id_col} AS id", f"{_cell_over_cents_sql(vec_col)} AS cell"
-    )
+    cols = [f"{id_col} AS id", f"{_cell_over_cents_sql(vec_col)} AS cell"]
+    if keep_vec:
+        cols.insert(1, f"{vec_col} AS v")
+    return vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(*cols)
 
 
 def ivf_topk(

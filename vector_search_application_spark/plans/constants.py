@@ -85,3 +85,17 @@ IVF_PROBES = 2
 
 # text analysis
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it", "for", "on")
+
+# passage chunking (overlapping token windows)
+CHUNK_TOKENS = 40          # window size
+CHUNK_STRIDE = 30          # window step (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
+
+# boilerplate detection: a shingle seen in >= this many distinct docs of
+# the same source is boilerplate
+BOILER_MIN_DOCS = 5
+
+# semantic dedup (SemDeDup): cluster count and intra-cluster cosine cut.
+# More clusters than IVF probing uses — SemDeDup's cost is sum of squared
+# cluster sizes, so the cluster count is the scaling knob.
+SEMDEDUP_CENTROIDS = 16
+SEMDEDUP_THRESHOLD = 0.95

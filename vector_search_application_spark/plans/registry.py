@@ -740,6 +740,7 @@ def q_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from . import registry_pipeline  # noqa: E402,F401
+from . import registry_curation  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,270 @@
+"""Registry entries for corpus-preparation operators: passage chunking,
+boilerplate detection, and temperature-scaled mixture weights.
+
+These extend the training-data curation stack (registry_pipeline) with
+the remaining steps a retrieval/training corpus needs between cleaning
+and consumption:
+
+  - doc_chunk_windows: overlapping token-window passage splitting (the
+    unit the reference embeds is the passage, scripts/indexing.py:326;
+    chunking is how documents become passages).
+  - boilerplate_ngrams: per-source frequent-shingle detection (CCNet's
+    line-dedup idea applied to shingles — the synthetic corpus has no
+    line structure, so the repeated unit is the n-gram).
+  - temperature_mixture: temperature-flattened domain sampling weights
+    (the multilingual-training mixture rule: w_i ∝ share_i^τ).
+
+Every plan is declarative (no Python workers) with a DuckDB oracle;
+all floats are rounded through functions/portable so engine and oracle
+hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+from . import corpus
+from .constants import (
+    BOILER_MIN_DOCS,
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    SHINGLE_N,
+)
+from .registry_core import declare
+
+# ---------------------------------------------------------------------------
+# passage chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+# Window starts step by CHUNK_STRIDE; a non-initial window is emitted
+# only if it contributes tokens beyond the previous window's coverage
+# (n - s > CHUNK_TOKENS - CHUNK_STRIDE), so short tails never produce a
+# chunk that is a strict sub-window of its predecessor.
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, {P.tokens_sql('text')} AS toks FROM documents
+),
+starts AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+    FROM toks WHERE len(toks) >= 1
+)
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, n - s) AS BIGINT) AS chunk_tokens,
+       array_to_string(
+           list_slice(toks, s + 1, least(s + {CHUNK_TOKENS}, n)), ' ')
+           AS chunk_text
+FROM starts
+WHERE s = 0 OR n - s > {CHUNK_TOKENS - CHUNK_STRIDE}
+"""
+
+
+@declare("doc_chunk_windows", _CHUNK_SQL, survey_ids="pipeline-chunk,E1")
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: each doc explodes into
+    {CHUNK_TOKENS}-token passages every {CHUNK_STRIDE} tokens — the
+    document->passage step ahead of passage embedding (E1) and any
+    context-length-bounded training. Tokenize once, explode window
+    starts, slice per start: a map-only plan whose output order is
+    (doc_id, chunk_id)-keyed data, so chunking 100 TB is exactly one
+    read with zero shuffles, and the chunk table inherits the corpus
+    partitioning (doc co-location survives into the embed stage)."""
+    docs = corpus.docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", P.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 1)
+    st = toks.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+        ).alias("s"),
+    )
+    return st.filter(
+        (F.col("s") == 0)
+        | (F.col("n") - F.col("s") > CHUNK_TOKENS - CHUNK_STRIDE)
+    ).select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("s"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+        F.array_join(
+            F.expr(f"slice(toks, s + 1, {CHUNK_TOKENS})"), " "
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate shingles: per-source repeated n-grams
+# ---------------------------------------------------------------------------
+# Every even doc gets a synthetic per-source footer appended BEFORE
+# detection, so the detector has true positives to find and the oracle
+# verifies detection fires (the synthetic corpus repeats few n-grams
+# naturally); naturally repeated shingles count too, identically in
+# both engines.
+
+_BOILER_FOOTER = " standard footer notice from "
+
+_BOILER_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 2 = 0
+                THEN text || '{_BOILER_FOOTER}' || source
+                ELSE text END AS text
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, source, sh FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(1, len(toks) - {SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), '_')
+               )) AS sh
+        FROM (SELECT doc_id, source, {P.tokens_sql('text')} AS toks FROM seeded)
+        WHERE len(toks) >= {SHINGLE_N}
+    )
+),
+df AS (
+    SELECT source, sh, count(*)::BIGINT AS n_docs
+    FROM sh GROUP BY source, sh
+),
+boiler AS (SELECT source, sh FROM df WHERE n_docs >= {BOILER_MIN_DOCS})
+SELECT s.doc_id,
+       count(*)::BIGINT AS n_shingles,
+       count(b.sh)::BIGINT AS n_boiler,
+       {P.rounded_sql('count(b.sh)::DOUBLE / count(*)')} AS boiler_frac
+FROM sh s LEFT JOIN boiler b USING (source, sh)
+GROUP BY s.doc_id
+"""
+
+
+@declare("boilerplate_ngrams", _BOILER_SQL, survey_ids="pipeline-boilerplate")
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: shingles repeated across >=
+    {BOILER_MIN_DOCS} distinct docs of the same source (footers,
+    headers, navigation chrome) and each doc's boilerplate fraction —
+    the signal behind CCNet-style template stripping. Per-doc-distinct
+    shingles explode once; ONE map-side-combinable count keyed on
+    (source, shingle) finds the boilerplate set; the membership join is
+    keyed the same way so it reuses the exchange. At 100 TB the
+    boilerplate set is tiny by construction (high-frequency shingles
+    only) — it broadcasts, and the corpus-side shingle table never
+    shuffles for the join, leaving the per-doc rollup as the one
+    corpus-scale exchange."""
+    docs = corpus.docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(_BOILER_FOOTER), F.col("source")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    toks = seeded.select(
+        "doc_id", "source", P.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= SHINGLE_N)
+    sh = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}),"
+                    f" i -> concat_ws('_', slice(toks, i, {SHINGLE_N})))"
+                )
+            )
+        ).alias("sh"),
+    )
+    boiler = (
+        sh.groupBy("source", "sh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("source", "sh", F.lit(True).alias("is_boiler"))
+    )
+    joined = sh.join(F.broadcast(boiler), ["source", "sh"], "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.count("is_boiler").cast("bigint").alias("n_boiler"),
+        P.rounded(
+            F.count("is_boiler").cast("double") / F.count(F.lit(1))
+        ).alias("boiler_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+# τ = 0.5 fixed so the power is sqrt — correctly rounded IEEE in both
+# engines, unlike pow(x, τ) whose libm may differ in the last ulp.
+# Weights are normalized against the LARGEST domain's weight (max over
+# already-rounded values — order-independent), never against a
+# floating-point SUM whose accumulation order differs between engines.
+
+_TEMP_SQL = f"""
+WITH per_source AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum({P.token_count_sql('text')})::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per_source),
+shares AS (
+    SELECT s.source, s.n_docs, s.n_tokens,
+           {P.rounded_sql('s.n_tokens::DOUBLE / t.total_tokens')} AS token_share,
+           {P.rounded_sql(
+               'sqrt(' + P.rounded_sql('s.n_tokens::DOUBLE / t.total_tokens') + ')'
+           )} AS temp_weight
+    FROM per_source s CROSS JOIN tot t
+),
+mx AS (SELECT max(temp_weight) AS max_w FROM shares)
+SELECT source, n_docs, n_tokens, token_share, temp_weight,
+       {P.rounded_sql('temp_weight / m.max_w')} AS sample_rate
+FROM shares CROSS JOIN mx m
+"""
+
+
+@declare("temperature_mixture", _TEMP_SQL, survey_ids="pipeline-mix")
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture: per-source sampling weight
+    w_i ∝ token_share_i^0.5, reported relative to the largest domain
+    (sample_rate = w_i / max w) — the standard rule for boosting
+    low-resource domains without drowning high-resource ones. Token
+    totals are exact BIGINT rollups (one map-side-combinable shuffle on
+    source); every floating-point step after that is per-row over
+    rounded inputs or an order-independent max, so the plan is
+    deterministic at any partition count — the property that lets the
+    same query run on 20 sources or 20,000."""
+    docs = corpus.docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(P.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    share = P.rounded(
+        F.col("n_tokens").cast("double") / F.col("total_tokens")
+    )
+    shares = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        P.rounded(F.sqrt(share)).alias("temp_weight"),
+    )
+    mx = shares.groupBy().agg(F.max("temp_weight").alias("max_w"))
+    return shares.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "token_share",
+        "temp_weight",
+        P.rounded(F.col("temp_weight") / F.col("max_w")).alias("sample_rate"),
+    )

@@ -29,10 +29,14 @@ from .constants import (
     NEARDUP_COSINE_THRESHOLD,
     QUERY_VEC_ID,
     RARE_SHINGLE_DF_CAP,
+    SEMDEDUP_CENTROIDS,
     SHINGLE_N,
     SIMHASH_BITS,
 )
-from .registry import REGISTRY, declare
+# registry_core, not registry: importing this module standalone (tests)
+# must not trigger registry.py's module body mid-cycle — see
+# registry_core's docstring for the circular-import story
+from .registry_core import REGISTRY, declare
 
 NEAR_OFFSET = 10_000_000
 EXACT_OFFSET = 20_000_000
@@ -610,3 +614,104 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs.select(F.col("doc_id").alias("id"))
     )
     return comps.select(F.col("id").alias("doc_id"), "canonical_id")
+
+
+# --- semantic dedup (SemDeDup): cluster, then intra-cluster cosine -------
+# Abbas et al. 2023 ("SemDeDup"): assign embeddings to clusters, keep one
+# representative per intra-cluster ε-ball. A point is a duplicate iff a
+# LOWER-id point in its cluster has cosine >= the threshold; the lowest
+# such id is the representative that keeps it out of the corpus.
+
+_SEMDEDUP_CENTS = f"""
+scents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {SEMDEDUP_CENTROIDS}
+)
+""".strip()
+
+
+@declare(
+    "semantic_dedup",
+    f"""
+WITH {DVECS_CTE},
+{_SEMDEDUP_CENTS},
+sassigned AS (
+    SELECT id, embedding, cell FROM (
+        SELECT v.vec_id AS id, v.embedding, c.centroid_id AS cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('v.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM dvecs v CROSS JOIN scents c
+    ) WHERE rn = 1
+),
+spairs AS (
+    SELECT a.id AS id_a, b.id AS id_b,
+           {P.rounded_sql(P.cosine_sql('a.embedding', 'b.embedding'))} AS cosine
+    FROM sassigned a JOIN sassigned b USING (cell)
+    WHERE a.id < b.id
+),
+sdrops AS (
+    SELECT id_b AS id, min(id_a) AS kept_by, max(cosine) AS dup_cos
+    FROM spairs WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
+    GROUP BY id_b
+)
+SELECT w.id, w.cell,
+       d.id IS NOT NULL AS is_duplicate,
+       d.kept_by, d.dup_cos
+FROM sassigned w LEFT JOIN sdrops d USING (id)
+""",
+    survey_ids="dedup-semantic,dedup-embedding",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the perturbed-copy corpus: nearest-centroid cluster
+    assignment (broadcast argmax — the corpus never shuffles to get its
+    cell), then cosine pairs WITHIN each cell only, then per-point
+    verdict: duplicate iff some lower-id cell-mate clears the cosine
+    threshold. Cost is sum of squared cluster sizes — the cluster count
+    is the scaling knob ({SEMDEDUP_CENTROIDS} fixed seed centroids here;
+    at 100 TB you train ~sqrt(n) centroids with the MLlib KMeans build
+    in ann.kmeans_centroids and the same plan holds: one shuffle on
+    cell, one on id for the verdict join)."""
+    vecs = dedup_vectors(spark, sf_dir)
+    cents = (
+        corpus.vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < SEMDEDUP_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    wb = ann.ivf_assign(vecs, cents, keep_vec=True)
+    a = wb.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = wb.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+        )
+    )
+    drops = (
+        scored.filter(F.col("cosine") >= NEARDUP_COSINE_THRESHOLD)
+        .groupBy("id_b")
+        .agg(
+            F.min("id_a").alias("kept_by"),
+            F.max("cosine").alias("dup_cos"),
+        )
+    )
+    return wb.join(
+        drops, wb["id"] == drops["id_b"], "left"
+    ).select(
+        wb["id"],
+        wb["cell"],
+        drops["id_b"].isNotNull().alias("is_duplicate"),
+        "kept_by",
+        "dup_cos",
+    )
