@@ -72,6 +72,9 @@ HEADLINE = [
     "text_repetition",       # Gopher repetition signals (map-only)
     "domain_mix_weights",    # per-source token shares + mix weights
     "training_manifest",     # full curation chain in one 2-shuffle plan
+    "doc_chunk_windows",     # overlapping token-window passage split
+    "boilerplate_ngrams",    # per-source frequent-shingle detection
+    "semantic_dedup",        # SemDeDup cluster-blocked cosine verdicts
 ]
 
 N_BATCH_QUERIES = 1000

@@ -50,6 +50,9 @@ PROBE_QUERIES = [
     "domain_mix_weights",
     "source_length_quantiles",
     "token_accounting_rollup",
+    "doc_chunk_windows",
+    "boilerplate_ngrams",
+    "temperature_mixture",
 ]
 
 
