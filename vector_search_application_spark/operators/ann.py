@@ -552,3 +552,143 @@ def mllib_lsh_index(
     )
     model = lsh.fit(vec)
     return model, vec
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): deterministic codebooks + ADC scan
+# ---------------------------------------------------------------------------
+# Codebooks are the subvectors of the first PQ_CODEWORDS corpus vectors
+# (same fixed-seed convention as centroid_table); a trained build swaps
+# in MLlib KMeans per subspace, the scan below unchanged.
+
+from ..plans.constants import (  # noqa: E402
+    PQ_CODEWORDS,
+    PQ_OVERSAMPLE,
+    PQ_SUBDIM,
+    PQ_SUBSPACES,
+)
+
+
+def pq_codebook(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(s, j, cw): codeword j of subspace s = subvector s of corpus
+    vector j, for the first PQ_CODEWORDS vectors. Tiny by construction
+    (PQ_SUBSPACES x PQ_CODEWORDS rows) — always broadcast."""
+    subs = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    return (
+        vectors.filter(F.col(id_col) < PQ_CODEWORDS)
+        .select(F.col(id_col).alias("j"), F.col(vec_col).alias("embedding"))
+        .select("j", "embedding", subs)
+        .select(
+            "j",
+            "s",
+            F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("cw"),
+        )
+    )
+
+
+def pq_codes(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes): the PQ index build. Each vector's subspace s
+    codes as the L2-argmin codeword (rounded distance, codeword id
+    breaking ties); codes collect into an s-ordered array — the
+    PQ_SUBSPACES-byte stored representation. One broadcast join + two
+    keyed aggregations on the id; the corpus never shuffles on
+    anything wider than its own id."""
+    subs = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
+    xs = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), subs
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(embedding, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("xv"),
+    )
+    dist = P.rounded(
+        P.dot(F.col("xv"), F.col("xv"))
+        - 2 * P.dot(F.col("xv"), F.col("cw"))
+        + P.dot(F.col("cw"), F.col("cw"))
+    )
+    dists = xs.join(F.broadcast(codebook), "s").select(
+        "vec_id", "s", "j", dist.alias("dist")
+    )
+    codes_tall = (
+        dists.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "j")).alias("m"))
+        .select("vec_id", "s", F.col("m.j").alias("code"))
+    )
+    return codes_tall.groupBy("vec_id").agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(s, code))), e -> e.code)"
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = K,
+    oversample: int = PQ_OVERSAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN scan: asymmetric distance (ADC) ranks candidates from the
+    codes alone — a per-query lookup table dot(q_sub, codeword) folds
+    over each row's code array in-row — then exact cosine rescores the
+    k*oversample survivors. The LUT is one broadcast row; the ADC scan
+    reads PQ_SUBSPACES bytes per vector, which is the 100 TB win."""
+    codebook = pq_codebook(vectors, id_col, vec_col)
+    codes = pq_codes(vectors, codebook, id_col, vec_col)
+    qsub = f"slice(qvec, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    lut_tall = codebook.crossJoin(F.broadcast(query)).select(
+        "s", "j", P.rounded(P.dot(F.expr(qsub), F.col("cw"))).alias("w")
+    )
+    luts = (
+        lut_tall.groupBy("s")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(j, w))), e -> e.w)"
+            ).alias("ws")
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, ws))), e -> e.ws)"
+            ).alias("luts")
+        )
+    )
+    adc = codes.crossJoin(F.broadcast(luts)).select(
+        "vec_id",
+        P.rounded(
+            F.expr(
+                "aggregate(zip_with(codes, luts,"
+                " (c, l) -> element_at(l, cast(c AS INT) + 1)),"
+                " 0.0D, (acc, x) -> acc + x)"
+            )
+        ).alias("adc_score"),
+    )
+    cand = (
+        adc.orderBy(F.desc("adc_score"), F.asc("vec_id"))
+        .limit(k * oversample)
+        .select("vec_id")
+    )
+    rescored = (
+        cand.join(
+            vectors.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ),
+            "vec_id",
+        )
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            P.rounded(P.cosine(F.col("embedding"), F.col("qvec"))).alias("score"),
+        )
+    )
+    return rescored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)

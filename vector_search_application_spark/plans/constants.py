@@ -94,6 +94,15 @@ CHUNK_STRIDE = 30          # window step (overlap = CHUNK_TOKENS - CHUNK_STRIDE)
 # the same source is boilerplate
 BOILER_MIN_DOCS = 5
 
+# product quantization: 64-d vectors split into PQ_SUBSPACES subvectors
+# of PQ_SUBDIM dims; each subvector coded as the nearest of PQ_CODEWORDS
+# deterministic codewords (the subvectors of the first PQ_CODEWORDS
+# corpus vectors — the same fixed-seed convention as IVF_CENTROIDS)
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+PQ_CODEWORDS = 16
+PQ_OVERSAMPLE = 4
+
 # semantic dedup (SemDeDup): cluster count and intra-cluster cosine cut.
 # More clusters than IVF probing uses — SemDeDup's cost is sum of squared
 # cluster sizes, so the cluster count is the scaling knob.

@@ -268,3 +268,171 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "temp_weight",
         P.rounded(F.col("temp_weight") / F.col("max_w")).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle: deterministic per-epoch training order
+# ---------------------------------------------------------------------------
+# Training wants a different document order every epoch, reproducible
+# across runs and resumable mid-epoch. Order is a PROPERTY of
+# (doc_id, epoch): sort key = md5(doc_id || '_ep' || epoch) — no rand(),
+# no global state.
+
+N_EPOCHS = 2
+
+_EPOCH_KEY = P.md5_long_sql(
+    "CAST(doc_id AS VARCHAR) || '_ep' || CAST(epoch AS VARCHAR)"
+)
+
+_EPOCH_SQL = f"""
+WITH assigned AS ({{split_sql}}),
+ep AS (SELECT unnest(range(0, {N_EPOCHS})) AS epoch),
+keyed AS (
+    SELECT a.doc_id, a.split, e.epoch, {_EPOCH_KEY} AS k
+    FROM assigned a CROSS JOIN ep e
+)
+SELECT doc_id, split, CAST(epoch AS BIGINT) AS epoch,
+       CAST(row_number() OVER (
+           PARTITION BY split, epoch ORDER BY k ASC, doc_id ASC
+       ) AS BIGINT) AS pos
+FROM keyed
+"""
+
+
+def _epoch_sql() -> str:
+    from .registry_pipeline import _SPLIT_SQL
+
+    return _EPOCH_SQL.format(split_sql=_SPLIT_SQL)
+
+
+@declare("epoch_shuffle", _epoch_sql(), survey_ids="pipeline-order")
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle per training epoch: within each
+    split, epoch e's order is ascending md5(doc_id, e) — every epoch a
+    fresh permutation, every run the same one, and a resumed run can
+    seek to position p without replaying. One window per (split,
+    epoch); at 100 TB the same key drives repartitionByRange +
+    sortWithinPartitions so the manifest is WRITTEN in epoch order and
+    no reader ever needs the rank materialized corpus-wide (the
+    per-shard story documented on sequence_pack applies unchanged)."""
+    from pyspark.sql import Window
+
+    from .registry_pipeline import TRAIN_CUT, VAL_CUT, _bucket_col
+
+    docs = corpus.docs(spark, sf_dir)
+    b = _bucket_col()
+    assigned = docs.select(
+        "doc_id",
+        F.when(b < TRAIN_CUT, "train")
+        .when(b < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    keyed = assigned.select(
+        "doc_id",
+        "split",
+        F.explode(F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))).alias("epoch"),
+    ).withColumn(
+        "k",
+        P.md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("_ep"),
+                F.col("epoch").cast("string"),
+            )
+        ),
+    )
+    w = Window.partitionBy("split", "epoch").orderBy(
+        F.asc("k"), F.asc("doc_id")
+    )
+    return keyed.select(
+        "doc_id",
+        "split",
+        F.col("epoch").cast("bigint").alias("epoch"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunk -> doc embedding pooling
+# ---------------------------------------------------------------------------
+# The doc-level embedding a retrieval pipeline stores when it embeds at
+# passage granularity: sum-pool every chunk's raw signed-hash term
+# contributions (overlap tokens count once per covering chunk), then
+# L2-normalize once. The pooled sums stay BIGINT until the single
+# normalize step, so the only floating-point in the plan is per-row.
+
+_POOL_SQL = f"""
+WITH chunks AS ({{chunk_sql}}),
+tok AS (
+    SELECT doc_id, unnest({P.tokens_sql('chunk_text')}) AS term
+    FROM chunks
+),
+sums AS (
+    SELECT doc_id, {{hdim}} AS dim,
+           sum(CASE WHEN ({{h}} >> 6) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s
+    FROM tok
+    GROUP BY doc_id, {{hdim}}
+)
+SELECT doc_id, dim,
+       CASE WHEN sqrt((sum(s * s) OVER (PARTITION BY doc_id))::DOUBLE) > 0
+            THEN round(s / sqrt((sum(s * s) OVER (PARTITION BY doc_id))::DOUBLE),
+                       {{rd}})
+            ELSE 0.0 END AS comp
+FROM sums
+"""
+
+
+def _pool_sql() -> str:
+    from ..functions import embedder as E
+    from .constants import ROUND_DIGITS
+
+    h = P.md5_long_sql("term")
+    return _POOL_SQL.format(
+        chunk_sql=_CHUNK_SQL,
+        h=h,
+        hdim=E.hash_dim_sql(h),
+        rd=ROUND_DIGITS,
+    )
+
+
+@declare("chunk_embed_pool", _pool_sql(), survey_ids="pipeline-chunk,E1")
+def q_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling: the chunk table's texts
+    re-embed through the deterministic signed-hash projection and
+    sum-pool into one L2-normalized doc vector in posting form
+    (doc_id, dim, comp) — the store-one-vector-per-doc layout a
+    retrieval index keeps when embedding happens per passage. All
+    pooling arithmetic is exact BIGINT (signed counts); floats appear
+    only in the final per-row normalize, so the plan is deterministic
+    at any partition count. Two keyed aggregations, both
+    map-side-combinable — same scale shape as embed_documents."""
+    from ..functions import embedder as E
+
+    chunks = q_doc_chunk_windows(spark, sf_dir).select("doc_id", "chunk_text")
+    tok = chunks.select(
+        "doc_id", F.explode(P.tokens(F.col("chunk_text"))).alias("term")
+    )
+    h = P.md5_long(F.col("term"))
+    contrib = tok.select(
+        "doc_id",
+        E.hash_dim(h).alias("dim"),
+        F.when(F.shiftright(h, 6) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    sums = contrib.groupBy("doc_id", "dim").agg(
+        F.sum("sign").cast("bigint").alias("s")
+    )
+    norms = sums.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s")).cast("double")).alias("nrm")
+    )
+    return sums.join(norms, "doc_id").select(
+        "doc_id",
+        "dim",
+        F.when(
+            F.col("nrm") > 0, P.rounded(F.col("s") / F.col("nrm"))
+        )
+        .otherwise(F.lit(0.0))
+        .alias("comp"),
+    )

@@ -433,3 +433,96 @@ def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = corpus.vectors(spark, sf_dir)
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
     return mmr_rerank(vecs, q)
+
+
+# ---------------------------------------------------------------------------
+# I2 — PRODUCT quantization + ADC candidate generation + exact rescore
+# ---------------------------------------------------------------------------
+# Completes the quantization trio (scalar INT8, binary sign, PQ — the
+# Faiss family). Codebooks are deterministic (subvectors of the first
+# PQ_CODEWORDS corpus vectors) so the full index build + asymmetric-
+# distance scan is oracle-checkable; a trained-codebook build would
+# swap in MLlib KMeans per subspace exactly like ivf_kmeans_topk.
+
+from .constants import (  # noqa: E402
+    PQ_CODEWORDS,
+    PQ_OVERSAMPLE,
+    PQ_SUBDIM,
+    PQ_SUBSPACES,
+)
+
+_PQ_DIST_DUCK = (
+    f"round(CAST({P.dot_sql('x.xv', 'x.xv')}"
+    f" - 2 * {P.dot_sql('x.xv', 'c.cw')}"
+    f" + {P.dot_sql('c.cw', 'c.cw')} AS DOUBLE), 6)"
+)
+
+_PQ_QSUB_DUCK = "list_slice(q.qvec, c.s*{d}+1, c.s*{d}+{d})".format(d=PQ_SUBDIM)
+
+
+@declare(
+    "pq_topk",
+    f"""
+WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+cb AS (
+    SELECT s, vec_id AS j,
+           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
+    FROM embeddings CROSS JOIN subs
+    WHERE vec_id < {PQ_CODEWORDS}
+),
+xs AS (
+    SELECT vec_id, s,
+           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS xv
+    FROM embeddings CROSS JOIN subs
+),
+dists AS (
+    SELECT x.vec_id, x.s, c.j, {_PQ_DIST_DUCK} AS dist
+    FROM xs x JOIN cb c ON c.s = x.s
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+q AS {corpus.query_vector_cte(QUERY_VEC_ID)},
+lut AS (
+    SELECT c.s, c.j,
+           round(CAST({P.dot_sql(_PQ_QSUB_DUCK, 'c.cw')} AS DOUBLE), 6) AS w
+    FROM cb c CROSS JOIN q
+),
+adc AS (
+    SELECT cd.vec_id, round(CAST(sum(l.w) AS DOUBLE), 6) AS adc_score
+    FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
+    GROUP BY cd.vec_id
+),
+cand AS (
+    SELECT vec_id FROM adc
+    ORDER BY adc_score DESC, vec_id ASC
+    LIMIT {K * PQ_OVERSAMPLE}
+)
+SELECT e.vec_id, {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+    survey_ids="I2,ann-pq,V1",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-coded ANN: vectors stored as {PQ_SUBSPACES} one-byte codes
+    (64x smaller than float32), scanned with asymmetric distance — a
+    per-query {PQ_SUBSPACES}x{PQ_CODEWORDS} lookup table built once,
+    broadcast, and folded over each row's code array (one in-row
+    left-assoc fold, no per-row vector math); the ADC ranking
+    oversamples {PQ_OVERSAMPLE}x and exact cosine rescores only those
+    candidates. The index build (codes) is one broadcast-join + argmin
+    per (vector, subspace) — the corpus never shuffles; at 100 TB the
+    codes array is the stored column and the scan reads {PQ_SUBSPACES}
+    bytes/vector instead of 256."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    from ..operators import ann
+
+    return ann.pq_topk(vecs, q)
