@@ -75,6 +75,9 @@ HEADLINE = [
     "doc_chunk_windows",     # overlapping token-window passage split
     "boilerplate_ngrams",    # per-source frequent-shingle detection
     "semantic_dedup",        # SemDeDup cluster-blocked cosine verdicts
+    "pq_topk",               # product-quantized ADC scan + exact rescore
+    "chunk_embed_pool",      # chunk->doc pooled embedding (posting form)
+    "epoch_shuffle",         # deterministic per-epoch training order
 ]
 
 N_BATCH_QUERIES = 1000

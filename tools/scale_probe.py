@@ -53,6 +53,9 @@ PROBE_QUERIES = [
     "doc_chunk_windows",
     "boilerplate_ngrams",
     "temperature_mixture",
+    "pq_topk",
+    "chunk_embed_pool",
+    "epoch_shuffle",
 ]
 
 

@@ -686,8 +686,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluates a single dot-product HOF per pair instead of three
     # (norms recomputed per pair measured 3x slower at sf0.1); the
     # denominator na*nb is the identical IEEE product P.cosine builds
-    wb = ann.ivf_assign(vecs, cents, keep_vec=True).withColumn(
-        "nrm", F.sqrt(P.dot(F.col("v"), F.col("v")))
+    from ..functions.cache import tracked_persist
+
+    # persist: the assignment + norm table feeds BOTH pair sides and the
+    # final verdict join — without it the broadcast-argmax subtree runs
+    # three times. First execution stays codegen-bound (~3.5s at sf0.1,
+    # the 16-centroid argmax HOF is a large compiled expression); repeat
+    # runs drop to ~1.1s. At scale this table is what an index build
+    # WRITES, partitioned by cell.
+    wb = tracked_persist(
+        ann.ivf_assign(vecs, cents, keep_vec=True).withColumn(
+            "nrm", F.sqrt(P.dot(F.col("v"), F.col("v")))
+        )
     )
     a = wb.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
