@@ -64,6 +64,24 @@ def test_pq_recall(spark):
     assert min(recalls) >= 0.3, f"PQ worst-query recall collapsed: {recalls}"
 
 
+def test_ivfpq_recall(spark):
+    """The stacked IVF->PQ->rescore funnel vs brute force: measured
+    mean 0.75 / min 0.4 over 10 queries (the 2-of-8-cell probe is the
+    binding constraint on this clusterless fixture, same as plain
+    IVF); thresholds just under."""
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    recalls = []
+    for qid in RECALL_QUERY_IDS:
+        exact = _exact_ids_for(spark, vecs, qid, K)
+        q = corpus.query_vector(spark, SF_SMOKE, qid)
+        got = {r.vec_id for r in ann.ivfpq_topk(vecs, q).collect()}
+        assert qid in got
+        recalls.append(len(got & exact) / K)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.65, f"IVF-PQ mean recall@{K} regressed: {mean} ({recalls})"
+    assert min(recalls) >= 0.3, f"IVF-PQ worst-query recall collapsed: {recalls}"
+
+
 def test_pq_codes_shape(spark):
     """Every vector gets exactly PQ_SUBSPACES codes, each a valid
     codeword id, and each codebook vector codes to ITSELF in every

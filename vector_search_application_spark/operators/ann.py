@@ -645,11 +645,21 @@ def pq_topk(
     reads PQ_SUBSPACES bytes per vector, which is the 100 TB win."""
     codebook = pq_codebook(vectors, id_col, vec_col)
     codes = pq_codes(vectors, codebook, id_col, vec_col)
+    luts = _pq_luts(codebook, query)
+    cand = _pq_adc_candidates(codes, luts, k * oversample)
+    return _exact_rescore(cand, vectors, query, k, id_col, vec_col)
+
+
+def _pq_luts(codebook: DataFrame, query: DataFrame) -> DataFrame:
+    """One row: luts array<array<double>> (s-major, j-minor) of
+    dot(query subvector s, codeword j) — the per-query ADC lookup
+    table, built from PQ_SUBSPACES x PQ_CODEWORDS tiny rows and meant
+    to be broadcast."""
     qsub = f"slice(qvec, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
     lut_tall = codebook.crossJoin(F.broadcast(query)).select(
         "s", "j", P.rounded(P.dot(F.expr(qsub), F.col("cw"))).alias("w")
     )
-    luts = (
+    return (
         lut_tall.groupBy("s")
         .agg(
             F.expr(
@@ -663,6 +673,11 @@ def pq_topk(
             ).alias("luts")
         )
     )
+
+
+def _pq_adc_candidates(codes: DataFrame, luts: DataFrame, n: int) -> DataFrame:
+    """Top-n (vec_id) by ADC score: fold the broadcast LUT over each
+    row's code array — one in-row left-assoc fold, no vector math."""
     adc = codes.crossJoin(F.broadcast(luts)).select(
         "vec_id",
         P.rounded(
@@ -673,11 +688,21 @@ def pq_topk(
             )
         ).alias("adc_score"),
     )
-    cand = (
+    return (
         adc.orderBy(F.desc("adc_score"), F.asc("vec_id"))
-        .limit(k * oversample)
+        .limit(n)
         .select("vec_id")
     )
+
+
+def _exact_rescore(
+    cand: DataFrame,
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     rescored = (
         cand.join(
             vectors.select(
@@ -692,3 +717,45 @@ def pq_topk(
         )
     )
     return rescored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = K,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_PROBES,
+    oversample: int = PQ_OVERSAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — coarse cells prune the
+    corpus to the probed fraction, PQ codes ADC-rank what's left, exact
+    cosine rescores the oversampled survivors. Both structures are the
+    deterministic fixed-seed builds, so the full three-stage funnel is
+    oracle-checkable.
+
+    The stored index is (vec_id, cell, codes): at 100 TB it's written
+    partitioned by cell (write_ivf_indexed's layout + PQ_SUBSPACES
+    bytes per vector), making the probe filter partition pruning and
+    the ADC scan a read of codes only — full vectors load just for the
+    k*oversample rescore rows."""
+    cents = [
+        (r[id_col], list(r[vec_col]))
+        for r in vectors.filter(F.col(id_col) < n_centroids).collect()
+    ]
+    qvec = [float(x) for x in query.first()["qvec"]]
+    probe_cells = _rank_probe_cells(cents, qvec, n_probe)
+
+    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    cells = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
+        f"{id_col} AS vec_id", f"{_cell_over_cents_sql(vec_col)} AS cell"
+    )
+    codebook = pq_codebook(vectors, id_col, vec_col)
+    index = pq_codes(vectors, codebook, id_col, vec_col).join(cells, "vec_id")
+    probed = index.filter(F.col("cell").isin(probe_cells)).select(
+        "vec_id", "codes"
+    )
+    luts = _pq_luts(codebook, query)
+    cand = _pq_adc_candidates(probed, luts, k * oversample)
+    return _exact_rescore(cand, vectors, query, k, id_col, vec_col)

@@ -526,3 +526,100 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ann
 
     return ann.pq_topk(vecs, q)
+
+
+# ---------------------------------------------------------------------------
+# I1+I2 — IVF-PQ: coarse cells prune, PQ ADC ranks, exact rescore
+# ---------------------------------------------------------------------------
+
+from .constants import IVF_CENTROIDS, IVF_PROBES  # noqa: E402
+
+
+@declare(
+    "ivfpq_topk",
+    f"""
+WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+),
+cells AS (
+    SELECT id AS vec_id, centroid_id AS cell FROM (
+        SELECT e.vec_id AS id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('e.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+q AS {corpus.query_vector_cte(QUERY_VEC_ID)},
+qcells AS (
+    SELECT centroid_id AS cell FROM (
+        SELECT c.centroid_id,
+               {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} AS cscore
+        FROM cents c CROSS JOIN q
+    )
+    ORDER BY cscore DESC, centroid_id ASC
+    LIMIT {IVF_PROBES}
+),
+cb AS (
+    SELECT s, vec_id AS j,
+           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
+    FROM embeddings CROSS JOIN subs
+    WHERE vec_id < {PQ_CODEWORDS}
+),
+xs AS (
+    SELECT vec_id, s,
+           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS xv
+    FROM embeddings CROSS JOIN subs
+),
+dists AS (
+    SELECT x.vec_id, x.s, c.j, {_PQ_DIST_DUCK} AS dist
+    FROM xs x JOIN cb c ON c.s = x.s
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+lut AS (
+    SELECT c.s, c.j,
+           round(CAST({P.dot_sql(_PQ_QSUB_DUCK, 'c.cw')} AS DOUBLE), 6) AS w
+    FROM cb c CROSS JOIN q
+),
+adc AS (
+    SELECT cd.vec_id, round(CAST(sum(l.w) AS DOUBLE), 6) AS adc_score
+    FROM codes cd
+    JOIN cells ce ON ce.vec_id = cd.vec_id
+    JOIN qcells qc ON qc.cell = ce.cell
+    JOIN lut l ON l.s = cd.s AND l.j = cd.code
+    GROUP BY cd.vec_id
+),
+cand AS (
+    SELECT vec_id FROM adc
+    ORDER BY adc_score DESC, vec_id ASC
+    LIMIT {K * PQ_OVERSAMPLE}
+)
+SELECT e.vec_id, {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+    survey_ids="I1,I2,ann-ivfpq,V1",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/ann.ivfpq_topk): probe the
+    {IVF_PROBES} nearest of {IVF_CENTROIDS} cells, ADC-rank the probed
+    fraction from {PQ_SUBSPACES}-byte codes, exact-rescore the
+    {PQ_OVERSAMPLE}x-oversampled survivors — the three-stage funnel a
+    billion-vector index runs, end-to-end oracle-checked because both
+    the coarse and fine quantizers are deterministic builds."""
+    from ..operators import ann
+
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.ivfpq_topk(vecs, q)
