@@ -102,3 +102,22 @@ def test_semantic_dedup_catches_planted_copies(spark):
     assert len(caught) / len(planted) >= 0.9
     right_rep = [r for r in caught if r.kept_by == r.id - RD.NEAR_OFFSET]
     assert len(right_rep) / len(caught) >= 0.9
+
+
+def test_source_data_card_counts(spark):
+    """Card rows cover every source; counts are internally consistent
+    (rates = counts/docs, PII incidence equals the seeded 1-in-10
+    contact lines, totals reconcile with the corpus)."""
+    rows = RC.q_source_data_card(spark, SF_SMOKE).collect()
+    docs = corpus.docs(spark, SF_SMOKE).collect()
+    assert len(rows) == len({d.source for d in docs})
+    assert sum(r.n_docs for r in rows) == len(docs)
+    seeded = {}
+    for d in docs:
+        if d.doc_id % 10 == 0:
+            seeded[d.source] = seeded.get(d.source, 0) + 1
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert 0.0 <= r.quality_pass_rate <= 1.0
+        assert r.n_dup_docs < r.n_docs
+        assert r.n_pii_docs == seeded.get(r.source, 0)

@@ -436,3 +436,126 @@ def q_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("comp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# source data card: the per-domain report a corpus release ships with
+# ---------------------------------------------------------------------------
+# Every metric is a COUNT or a ratio of counts: integer aggregation is
+# exact in any order, so the card is deterministic at any partition
+# count — no cross-engine float-sum enters any cell. (A mean quality
+# would be an unordered double sum; the pass-rate against the funnel
+# threshold carries the same signal as an integer.)
+
+_CARD_SQL = """
+WITH seeded AS (
+    SELECT doc_id, source, lang, n_chars,
+           CASE WHEN doc_id % 10 = 0
+                THEN text || ' contact user' || doc_id || '@example.com now'
+                ELSE text END AS text
+    FROM documents
+),
+canon AS (
+    SELECT doc_id, source, lang, text, n_chars,
+           min(doc_id) OVER (PARTITION BY source, sha256(text)) AS canonical_id
+    FROM seeded
+),
+per_doc AS (
+    SELECT source, lang, n_chars,
+           CAST(doc_id <> canonical_id AS INTEGER) AS is_dup,
+           CAST({q} >= {minq} AS INTEGER) AS q_pass,
+           CAST(len(regexp_extract_all(text, '{email}')) > 0 AS INTEGER)
+               AS has_pii
+    FROM canon
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(is_dup)::BIGINT AS n_dup_docs,
+       sum(q_pass)::BIGINT AS n_quality_pass,
+       sum(has_pii)::BIGINT AS n_pii_docs,
+       {dup_rate} AS dup_rate,
+       {q_rate} AS quality_pass_rate
+FROM per_doc
+GROUP BY source
+"""
+
+
+def _card_sql() -> str:
+    from ..functions import text as T
+    from .registry_pipeline import _EMAIL_RE, MIN_QUALITY
+
+    return _CARD_SQL.format(
+        q=T.quality_score_sql("text"),
+        minq=MIN_QUALITY,
+        email=_EMAIL_RE,
+        dup_rate=P.rounded_sql("sum(is_dup)::DOUBLE / count(*)"),
+        q_rate=P.rounded_sql("sum(q_pass)::DOUBLE / count(*)"),
+    )
+
+
+@declare("source_data_card", _card_sql(), survey_ids="pipeline-card,§2.11")
+def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data card: per-source doc/char counts, language spread,
+    within-source exact-dup rate, quality-funnel pass rate, and PII
+    incidence (over the same seeded contact lines text_pii_scrub
+    verifies against) — the release-notes table for a training corpus.
+    One window keyed (source, content-hash) for dup detection, then one
+    map-side-combinable rollup on source; every downstream cell derives
+    from exact integer counts."""
+    from ..functions import text as T
+    from .registry_pipeline import _EMAIL_RE, MIN_QUALITY
+
+    docs = corpus.docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("source", F.sha2(F.col("text"), 256))
+    per_doc = seeded.withColumn(
+        "canonical_id", F.min("doc_id").over(wh)
+    ).select(
+        "source",
+        "lang",
+        "n_chars",
+        (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
+        (T.quality_score(F.col("text")) >= MIN_QUALITY)
+        .cast("int")
+        .alias("q_pass"),
+        (F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)) > 0)
+        .cast("int")
+        .alias("has_pii"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("q_pass").cast("bigint").alias("n_quality_pass"),
+        F.sum("has_pii").cast("bigint").alias("n_pii_docs"),
+    )
+    return agg.select(
+        "*",
+        P.rounded(
+            F.col("n_dup_docs").cast("double") / F.col("n_docs")
+        ).alias("dup_rate"),
+        P.rounded(
+            F.col("n_quality_pass").cast("double") / F.col("n_docs")
+        ).alias("quality_pass_rate"),
+    )
