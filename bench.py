@@ -78,6 +78,8 @@ HEADLINE = [
     "pq_topk",               # product-quantized ADC scan + exact rescore
     "chunk_embed_pool",      # chunk->doc pooled embedding (posting form)
     "epoch_shuffle",         # deterministic per-epoch training order
+    "ivfpq_topk",            # IVF cells -> PQ ADC -> exact rescore funnel
+    "source_data_card",      # per-source corpus release report
 ]
 
 N_BATCH_QUERIES = 1000

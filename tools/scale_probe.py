@@ -56,6 +56,8 @@ PROBE_QUERIES = [
     "pq_topk",
     "chunk_embed_pool",
     "epoch_shuffle",
+    "ivfpq_topk",
+    "source_data_card",
 ]
 
 

@@ -759,3 +759,82 @@ def ivfpq_topk(
     luts = _pq_luts(codebook, query)
     cand = _pq_adc_candidates(probed, luts, k * oversample)
     return _exact_rescore(cand, vectors, query, k, id_col, vec_col)
+
+
+def pq_topk_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = K,
+    oversample: int = PQ_OVERSAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched PQ scan: one shared code table, one LUT row per query
+    (built from the broadcast query batch), ADC scored corpus x queries
+    with the same in-row fold, per-query oversampled cut, exact rescore
+    of the surviving (query, candidate) pairs only. The corpus-side
+    pattern matches the dense batch (broadcast queries, map-side
+    scoring, per-query window) but each scored row folds over
+    PQ_SUBSPACES bytes instead of the full vector."""
+    from .topk import topk_per_group
+
+    codebook = pq_codebook(vectors, id_col, vec_col)
+    codes = pq_codes(vectors, codebook, id_col, vec_col)
+    qsub = f"slice({qvec_col}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    lut_tall = codebook.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col).alias("query_id"),
+        "s",
+        "j",
+        P.rounded(P.dot(F.expr(qsub), F.col("cw"))).alias("w"),
+    )
+    luts_q = (
+        lut_tall.groupBy("query_id", "s")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(j, w))), e -> e.w)"
+            ).alias("ws")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, ws))), e -> e.ws)"
+            ).alias("luts")
+        )
+    )
+    adc = codes.crossJoin(F.broadcast(luts_q)).select(
+        "query_id",
+        "vec_id",
+        P.rounded(
+            F.expr(
+                "aggregate(zip_with(codes, luts,"
+                " (c, l) -> element_at(l, cast(c AS INT) + 1)),"
+                " 0.0D, (acc, x) -> acc + x)"
+            )
+        ).alias("score"),
+    )
+    cand = topk_per_group(adc, "query_id", k * oversample).select(
+        "query_id", "vec_id"
+    )
+    rescored = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        )
+        .join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(qvec_col).alias("qvec"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            P.rounded(P.cosine(F.col("embedding"), F.col("qvec"))).alias("score"),
+        )
+    )
+    return topk_per_group(rescored, "query_id", k)

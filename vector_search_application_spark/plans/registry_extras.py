@@ -623,3 +623,95 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = corpus.vectors(spark, sf_dir)
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
     return ann.ivfpq_topk(vecs, q)
+
+
+# ---------------------------------------------------------------------------
+# I2 batched — PQ over a query batch (shared codes, per-query LUT)
+# ---------------------------------------------------------------------------
+
+PQ_BATCH_NQ = 5
+
+
+@declare(
+    "pq_topk_batch",
+    f"""
+WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+cb AS (
+    SELECT s, vec_id AS j,
+           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
+    FROM embeddings CROSS JOIN subs
+    WHERE vec_id < {PQ_CODEWORDS}
+),
+xs AS (
+    SELECT vec_id, s,
+           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS xv
+    FROM embeddings CROSS JOIN subs
+),
+dists AS (
+    SELECT x.vec_id, x.s, c.j, {_PQ_DIST_DUCK} AS dist
+    FROM xs x JOIN cb c ON c.s = x.s
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (
+                   PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+qs AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id < {PQ_BATCH_NQ}
+),
+lut AS (
+    SELECT q.query_id, c.s, c.j,
+           round(CAST({P.dot_sql(
+               'list_slice(q.qvec, c.s*' + str(PQ_SUBDIM) + '+1, c.s*'
+               + str(PQ_SUBDIM) + '+' + str(PQ_SUBDIM) + ')', 'c.cw')}
+               AS DOUBLE), 6) AS w
+    FROM cb c CROSS JOIN qs q
+),
+adc AS (
+    SELECT l.query_id, cd.vec_id, round(CAST(sum(l.w) AS DOUBLE), 6) AS score
+    FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
+    GROUP BY l.query_id, cd.vec_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {K * PQ_OVERSAMPLE}
+),
+rescored AS (
+    SELECT c.query_id, e.vec_id,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+    FROM cand c
+    JOIN embeddings e USING (vec_id)
+    JOIN qs q USING (query_id)
+)
+SELECT query_id, vec_id, score FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM rescored
+) WHERE rn <= {K}
+""",
+    survey_ids="I2,ann-pq,V1",
+)
+def q_pq_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched PQ ({PQ_BATCH_NQ} queries, one plan): the code table
+    builds once and is scanned once; each query contributes one
+    broadcast LUT row; ADC scoring is the same in-row fold per
+    (vector, query); the per-query oversample cut and exact rescore
+    touch only survivors — the dense batch's scale story with
+    {PQ_SUBSPACES}-byte reads in the scoring loop."""
+    from ..operators import ann
+
+    vecs = corpus.vectors(spark, sf_dir)
+    qs = (
+        vecs.filter(F.col("vec_id") < PQ_BATCH_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    return ann.pq_topk_batch(vecs, qs)
