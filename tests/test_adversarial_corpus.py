@@ -45,6 +45,13 @@ DOC_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "corpus_counts",
+    # round-4 curation family (documents-only plans)
+    "doc_chunk_windows",
+    "boilerplate_ngrams",
+    "temperature_mixture",
+    "epoch_shuffle",
+    "chunk_embed_pool",
+    "source_data_card",
 ]
 
 
@@ -79,7 +86,11 @@ def test_adversarial_documents_parity(spark, adversarial_dir, name):
 
 DIM = 64
 VEC_QUERIES = ["dense_topk", "dense_topk_batch", "dense_topk_batch_salted",
-               "quantized_topk", "embedding_neardup", "dense_threshold"]
+               "quantized_topk", "embedding_neardup", "dense_threshold",
+               # round-4: PQ family (the zero vector becomes a codeword —
+               # distances to it and from it must agree cross-engine) and
+               # SemDeDup (zero-norm centroid scores 0.0 everywhere)
+               "pq_topk", "pq_topk_batch", "ivfpq_topk", "semantic_dedup"]
 
 
 def _vec(seed: float) -> list[float]:

@@ -574,13 +574,21 @@ def pq_codebook(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(s, j, cw): codeword j of subspace s = subvector s of corpus
-    vector j, for the first PQ_CODEWORDS vectors. Tiny by construction
-    (PQ_SUBSPACES x PQ_CODEWORDS rows) — always broadcast."""
+    """(s, j, cw): codeword j of subspace s = subvector s of one of the
+    first PQ_CODEWORDS corpus vectors. j is the DENSE rank of the
+    source vector's id, not the id itself — the ADC lookup table is
+    indexed by position, so codeword ids must stay contiguous even
+    when the corpus ids are sparse (the adversarial fixture). Tiny by
+    construction (PQ_SUBSPACES x PQ_CODEWORDS rows) — always
+    broadcast; the rank window runs over at most PQ_CODEWORDS rows."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.asc(id_col))
     subs = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))).alias("s")
     return (
         vectors.filter(F.col(id_col) < PQ_CODEWORDS)
-        .select(F.col(id_col).alias("j"), F.col(vec_col).alias("embedding"))
+        .select(F.col(id_col).alias(id_col), F.col(vec_col).alias("embedding"))
+        .withColumn("j", F.row_number().over(w).cast("bigint") - 1)
         .select("j", "embedding", subs)
         .select(
             "j",

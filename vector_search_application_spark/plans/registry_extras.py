@@ -464,11 +464,14 @@ _PQ_QSUB_DUCK = "list_slice(q.qvec, c.s*{d}+1, c.s*{d}+{d})".format(d=PQ_SUBDIM)
     "pq_topk",
     f"""
 WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+cbsrc AS (
+    SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS j
+    FROM embeddings WHERE vec_id < {PQ_CODEWORDS}
+),
 cb AS (
-    SELECT s, vec_id AS j,
+    SELECT s, j,
            list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
-    FROM embeddings CROSS JOIN subs
-    WHERE vec_id < {PQ_CODEWORDS}
+    FROM cbsrc CROSS JOIN subs
 ),
 xs AS (
     SELECT vec_id, s,
@@ -563,11 +566,14 @@ qcells AS (
     ORDER BY cscore DESC, centroid_id ASC
     LIMIT {IVF_PROBES}
 ),
+cbsrc AS (
+    SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS j
+    FROM embeddings WHERE vec_id < {PQ_CODEWORDS}
+),
 cb AS (
-    SELECT s, vec_id AS j,
+    SELECT s, j,
            list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
-    FROM embeddings CROSS JOIN subs
-    WHERE vec_id < {PQ_CODEWORDS}
+    FROM cbsrc CROSS JOIN subs
 ),
 xs AS (
     SELECT vec_id, s,
@@ -636,11 +642,14 @@ PQ_BATCH_NQ = 5
     "pq_topk_batch",
     f"""
 WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+cbsrc AS (
+    SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS j
+    FROM embeddings WHERE vec_id < {PQ_CODEWORDS}
+),
 cb AS (
-    SELECT s, vec_id AS j,
+    SELECT s, j,
            list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
-    FROM embeddings CROSS JOIN subs
-    WHERE vec_id < {PQ_CODEWORDS}
+    FROM cbsrc CROSS JOIN subs
 ),
 xs AS (
     SELECT vec_id, s,
