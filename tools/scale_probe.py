@@ -196,11 +196,14 @@ multiple means the plan is still overhead-bound at x{kmax} — the search
 family (dense/bm25/hybrid/IVF) and the keyed event plans all land at
 1-7x for 100x the rows, i.e. the data-dependent stages are scan-shaped
 map work plus bounded shuffles, exactly what survives adding executors.
-quality_filter_funnel and text_repetition are the compute-bound rows:
-both run per-document featurization (tokenize + fold) over every row,
-so they scale linearly with corpus size and parallelize by partition —
-the expected asymptote for per-document work, addressed with executors,
-not plan shape.
+The per-document featurization family (quality_filter_funnel,
+text_repetition, source_data_card, boilerplate_ngrams) is the
+compute-bound tail: each runs tokenize/hash/fold work over every row,
+so it scales linearly with corpus size and parallelizes by partition —
+the expected asymptote for per-document work, addressed with
+executors, not plan shape. The ANN rows (pq/ivfpq/ivf) stay bounded
+because their scored representation is the broadcast-LUT fold or the
+probed fraction, not the full vector scan.
 Queries are forced via a one-row xxhash64 aggregate over every output
 column, so timings measure the distributed plan, not a driver collect.
 """.replace("{kmax}", str(kmax)))

@@ -297,6 +297,7 @@ def ivf_topk(
     n_probe: int = IVF_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    payload_filter=None,
 ) -> DataFrame:
     """IVF search: probe the n_probe cells nearest the query, exact
     cosine top-k within them. Deterministic (centroids = the first
@@ -308,7 +309,15 @@ def ivf_topk(
     no persist; probe-cell ranking happens driver-side on the collected
     centroid set (index metadata, small by construction). The previous
     formulation windowed the corpus x centroids cross join on id — a
-    full-corpus shuffle that exists only to pick a per-row max."""
+    full-corpus shuffle that exists only to pick a per-row max.
+
+    payload_filter (optional Column) is filtered-ANN: the predicate
+    applies to the searched rows BEFORE scoring — Catalyst pushes it
+    into the scan alongside the cell prune, so a selective payload
+    predicate shrinks the scored set instead of post-filtering the
+    top-k (the oversample-and-hope shape). Centroids still come from
+    the UNFILTERED corpus: the index is built once, filters arrive per
+    query."""
     cents = [
         (r[id_col], list(r[vec_col]))
         for r in vectors.filter(F.col(id_col) < n_centroids).collect()
@@ -317,10 +326,13 @@ def ivf_topk(
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
 
     cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    searched = (
+        vectors if payload_filter is None else vectors.filter(payload_filter)
+    )
     cell = _cell_over_cents_sql(vec_col)
     score = _cos_lit_sql(vec_col, qvec)
     return (
-        vectors.crossJoin(F.broadcast(cent_tbl))
+        searched.crossJoin(F.broadcast(cent_tbl))
         .selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
         .filter(F.col("cell").isin(probe_cells))
         .select("id", "score")

@@ -739,3 +739,65 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_by",
         "dup_cos",
     )
+
+
+# --- filtered ANN: payload predicate inside the cell-pruned scan ---------
+
+FILTER_LABEL = 3
+
+
+@declare(
+    "ivf_topk_filtered",
+    f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+    SELECT id, centroid_id AS cell FROM (
+        SELECT e.vec_id AS id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('e.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.label = {FILTER_LABEL}
+    ) WHERE rn = 1
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+qcells AS (
+    SELECT centroid_id AS cell FROM (
+        SELECT c.centroid_id,
+               {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} AS cscore
+        FROM cents c CROSS JOIN q
+    )
+    ORDER BY cscore DESC, centroid_id ASC
+    LIMIT {IVF_PROBES}
+),
+probed AS (
+    SELECT e.vec_id AS id, e.embedding
+    FROM embeddings e
+    JOIN assigned a ON a.id = e.vec_id
+    JOIN qcells qc ON qc.cell = a.cell
+    WHERE e.label = {FILTER_LABEL}
+)
+SELECT id, {P.rounded_sql(P.cosine_sql('p.embedding', 'q.qvec'))} AS score
+FROM probed p CROSS JOIN q
+ORDER BY score DESC, id ASC
+LIMIT {K}
+""",
+    survey_ids="I1,Q2,V6,ann-ivf",
+)
+def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (the shape Qdrant calls filtered search, I4+I1
+    combined): the payload predicate (label = {FILTER_LABEL}) applies
+    BEFORE scoring, pushed into the same scan as the cell prune — the
+    scored set is the intersection of the probed cells and the
+    predicate, not an oversampled top-k post-filtered after the fact.
+    Centroids come from the unfiltered corpus: the index is built once,
+    predicates arrive per query."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.ivf_topk(
+        vecs, q, payload_filter=F.col("label") == FILTER_LABEL
+    )
