@@ -175,6 +175,34 @@ def q_dense_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "dense_prefilter",
+    f"""
+WITH q AS {corpus.query_vector_cte(QUERY_VEC_ID)}
+SELECT vec_id, label,
+       {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+FROM embeddings e CROSS JOIN q
+WHERE label = 1
+ORDER BY score DESC, vec_id ASC
+LIMIT {K}
+""",
+    survey_ids="Q2,V6,K2",
+)
+def q_dense_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct twin of dense_postfilter: the equality
+    predicate filters BEFORE scoring — pushed into the parquet scan —
+    so only matching rows pay the cosine, a guaranteed-full top-k comes
+    back (no inflate-and-hope), and at 100 TB a selective predicate
+    shrinks the scan itself (partition/row-group pruning) instead of
+    the result. Post-hoc (Q2) reproduces the reference's semantics;
+    this is the plan you actually run when the filter is yours to
+    push."""
+    vecs = corpus.vectors(spark, sf_dir).filter(F.col("label") == 1)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    scored = topk.score_against_query(vecs, q, extra_cols=["label"])
+    return topk.topk(scored.select("vec_id", "label", "score"), K)
+
+
 # ---------------------------------------------------------------------------
 # V2 — BM25 sparse top-k
 # ---------------------------------------------------------------------------
