@@ -42,9 +42,11 @@ from .registry_core import declare
 # (n - s > CHUNK_TOKENS - CHUNK_STRIDE), so short tails never produce a
 # chunk that is a strict sub-window of its predecessor.
 
-_CHUNK_SQL = f"""
+def _chunk_sql_from(src: str) -> str:
+    """The chunk derivation as SQL over any (doc_id, text) relation."""
+    return f"""
 WITH toks AS (
-    SELECT doc_id, {P.tokens_sql('text')} AS toks FROM documents
+    SELECT doc_id, {P.tokens_sql('text')} AS toks FROM {src}
 ),
 starts AS (
     SELECT doc_id, toks, len(toks) AS n,
@@ -63,17 +65,12 @@ WHERE s = 0 OR n - s > {CHUNK_TOKENS - CHUNK_STRIDE}
 """
 
 
-@declare("doc_chunk_windows", _CHUNK_SQL, survey_ids="pipeline-chunk,E1")
-def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking: each doc explodes into
-    {CHUNK_TOKENS}-token passages every {CHUNK_STRIDE} tokens — the
-    document->passage step ahead of passage embedding (E1) and any
-    context-length-bounded training. Tokenize once, explode window
-    starts, slice per start: a map-only plan whose output order is
-    (doc_id, chunk_id)-keyed data, so chunking 100 TB is exactly one
-    read with zero shuffles, and the chunk table inherits the corpus
-    partitioning (doc co-location survives into the embed stage)."""
-    docs = corpus.docs(spark, sf_dir)
+_CHUNK_SQL = _chunk_sql_from("documents")
+
+
+def chunk_windows(docs: DataFrame) -> DataFrame:
+    """The chunk derivation over any (doc_id, text) DataFrame — the
+    engine-side twin of _chunk_sql_from."""
     toks = docs.select(
         "doc_id", P.tokens(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= 1)
@@ -99,6 +96,19 @@ def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"slice(toks, s + 1, {CHUNK_TOKENS})"), " "
         ).alias("chunk_text"),
     )
+
+
+@declare("doc_chunk_windows", _CHUNK_SQL, survey_ids="pipeline-chunk,E1")
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking: each doc explodes into
+    {CHUNK_TOKENS}-token passages every {CHUNK_STRIDE} tokens — the
+    document->passage step ahead of passage embedding (E1) and any
+    context-length-bounded training. Tokenize once, explode window
+    starts, slice per start: a map-only plan whose output order is
+    (doc_id, chunk_id)-keyed data, so chunking 100 TB is exactly one
+    read with zero shuffles, and the chunk table inherits the corpus
+    partitioning (doc co-location survives into the embed stage)."""
+    return chunk_windows(corpus.docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -558,4 +568,168 @@ def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         P.rounded(
             F.col("n_quality_pass").cast("double") / F.col("n_docs")
         ).alias("quality_pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retrieval manifest: the retrieval-side capstone composition
+# ---------------------------------------------------------------------------
+# training_manifest composes the TRAINING chain; this composes the
+# RETRIEVAL chain: quality-keep -> chunk -> pool into one doc vector
+# (posting form, exact BIGINT core) -> hyperplane-LSH bucket computed
+# DIRECTLY on the postings (dot with each plane = one keyed sum — the
+# embed stack never assembles a dense array). Output: each kept doc's
+# index placement (bucket), chunk count, and active dimension count.
+
+
+def _retrieval_sql() -> str:
+    from ..functions import embedder as E
+    from ..functions import text as T
+    from .constants import LSH_PLANES, ROUND_DIGITS
+    from .registry_pipeline import MIN_QUALITY, MIN_STOPWORD, MIN_TOKENS
+
+    h = P.md5_long_sql("term")
+    return f"""
+WITH kept AS (
+    SELECT doc_id, text FROM documents
+    WHERE {P.token_count_sql('text')} >= {MIN_TOKENS}
+      AND {T.stopword_ratio_sql('text')} >= {MIN_STOPWORD}
+      AND {T.quality_score_sql('text')} >= {MIN_QUALITY}
+),
+chunks AS ({_chunk_sql_from('kept')}),
+tok AS (
+    SELECT doc_id, unnest({P.tokens_sql('chunk_text')}) AS term
+    FROM chunks
+),
+sums AS (
+    SELECT doc_id, {E.hash_dim_sql(h)} AS dim,
+           sum(CASE WHEN ({h} >> 6) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS s
+    FROM tok
+    GROUP BY doc_id, {E.hash_dim_sql(h)}
+),
+comps AS (
+    SELECT doc_id, dim,
+           CASE WHEN sqrt((sum(s * s) OVER (PARTITION BY doc_id))::DOUBLE) > 0
+                THEN round(
+                    s / sqrt((sum(s * s) OVER (PARTITION BY doc_id))::DOUBLE),
+                    {ROUND_DIGITS})
+                ELSE 0.0 END AS comp,
+           s
+    FROM sums
+),
+pw AS (
+    SELECT plane, d,
+           ('0x' || substr(md5(plane::VARCHAR || '_' || d::VARCHAR), 1, 4))::INT::DOUBLE
+               - 32767.5 AS w
+    FROM (SELECT unnest(range(0, {LSH_PLANES})) AS plane)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+),
+dots AS (
+    SELECT c.doc_id, p.plane, round(sum(c.comp * p.w), {ROUND_DIGITS}) AS dot
+    FROM comps c JOIN pw p ON p.d = c.dim + 1
+    GROUP BY c.doc_id, p.plane
+),
+buckets AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY doc_id
+),
+nchunks AS (SELECT doc_id, count(*)::BIGINT AS n_chunks FROM chunks GROUP BY doc_id),
+ndims AS (
+    SELECT doc_id, count(*) FILTER (WHERE s <> 0)::BIGINT AS n_dims
+    FROM sums GROUP BY doc_id
+)
+SELECT b.doc_id, b.bucket, nc.n_chunks, nd.n_dims
+FROM buckets b
+JOIN nchunks nc USING (doc_id)
+JOIN ndims nd USING (doc_id)
+"""
+
+
+@declare("retrieval_manifest", _retrieval_sql(), survey_ids="pipeline-manifest,E1,I1")
+def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval chain as ONE declared plan: quality-keep (funnel
+    rules in the scan) -> chunk -> pool chunk term contributions into
+    the doc vector (exact BIGINT core) -> hyperplane-LSH bucket
+    computed directly on the posting rows — each plane's dot is one
+    (doc, plane)-keyed sum against the broadcast 8x64 weight table, so
+    the index placement of every doc materializes without ever
+    assembling a dense array. Signs are decided on ROUNDED dots (both
+    engines group-sum in arbitrary order — same discipline as the
+    embedding_neardup bucket). Four keyed aggregations, all on doc_id
+    or its subkeys: the chain partitions by document end to end, which
+    is what makes it a per-shard no-coordination plan at 100 TB."""
+    from pyspark.sql import Window
+
+    from ..functions import embedder as E
+    from ..functions import text as T
+    from ..operators import ann
+    from .constants import LSH_PLANES
+    from .registry_pipeline import MIN_QUALITY, MIN_STOPWORD, MIN_TOKENS
+
+    docs = corpus.docs(spark, sf_dir)
+    feat = docs.select(
+        "doc_id", "text", F.explode(T.quality_features(F.col("text"))).alias("qf")
+    )
+    kept = feat.filter(
+        (F.col("qf.n_tokens") >= MIN_TOKENS)
+        & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
+        & (F.col("qf.quality") >= MIN_QUALITY)
+    ).select("doc_id", "text")
+    chunks = chunk_windows(kept)
+    tok = chunks.select(
+        "doc_id", F.explode(P.tokens(F.col("chunk_text"))).alias("term")
+    )
+    h = P.md5_long(F.col("term"))
+    contrib = tok.select(
+        "doc_id",
+        E.hash_dim(h).alias("dim"),
+        F.when(F.shiftright(h, 6) % 2 == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+    )
+    sums = contrib.groupBy("doc_id", "dim").agg(
+        F.sum("sign").cast("bigint").alias("s")
+    )
+    wn = Window.partitionBy("doc_id")
+    comps = sums.select(
+        "doc_id",
+        "dim",
+        "s",
+        F.sqrt(F.sum(F.col("s") * F.col("s")).over(wn).cast("double")).alias(
+            "nrm"
+        ),
+    ).select(
+        "doc_id",
+        "dim",
+        "s",
+        F.when(F.col("nrm") > 0, P.rounded(F.col("s") / F.col("nrm")))
+        .otherwise(F.lit(0.0))
+        .alias("comp"),
+    )
+    pw = ann.plane_weights(spark, n_planes=LSH_PLANES, dim=64)
+    dots = (
+        comps.join(F.broadcast(pw), pw["d"] == comps["dim"] + 1)
+        .groupBy("doc_id", "plane")
+        .agg(P.rounded(F.sum(F.col("comp") * F.col("w"))).alias("dot"))
+    )
+    buckets = dots.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("dot") > 0,
+                F.expr("shiftleft(1L, CAST(plane AS INT))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+    nchunks = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    ndims = sums.filter(F.col("s") != 0).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims")
+    )
+    return buckets.join(nchunks, "doc_id").join(ndims, "doc_id").select(
+        "doc_id", "bucket", "n_chunks", "n_dims"
     )
