@@ -80,6 +80,7 @@ HEADLINE = [
     "epoch_shuffle",         # deterministic per-epoch training order
     "ivfpq_topk",            # IVF cells -> PQ ADC -> exact rescore funnel
     "source_data_card",      # per-source corpus release report
+    "retrieval_manifest",    # quality->chunk->pool->LSH placement chain
 ]
 
 N_BATCH_QUERIES = 1000

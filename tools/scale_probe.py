@@ -58,6 +58,7 @@ PROBE_QUERIES = [
     "epoch_shuffle",
     "ivfpq_topk",
     "source_data_card",
+    "retrieval_manifest",
 ]
 
 

@@ -194,6 +194,13 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
+    from ..functions.cache import tracked_persist
+
+    # persist: the exploded shingle table feeds both the frequency
+    # count and the membership join — one tokenize+explode pass instead
+    # of two (at scale this table is the materialized intermediate a
+    # pipeline would write anyway)
+    sh = tracked_persist(sh)
     boiler = (
         sh.groupBy("source", "sh")
         .agg(F.count(F.lit(1)).alias("n_docs"))
