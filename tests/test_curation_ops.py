@@ -121,3 +121,37 @@ def test_source_data_card_counts(spark):
         assert 0.0 <= r.quality_pass_rate <= 1.0
         assert r.n_dup_docs < r.n_docs
         assert r.n_pii_docs == seeded.get(r.source, 0)
+
+
+def test_partition_count_invariance(spark):
+    """The determinism claims are partition-count claims: the same
+    query at 32 vs 3 shuffle partitions must return identical rows
+    (hash splits, rounded-before-compare floats, integer-exact
+    aggregation — no unordered float sum may leak into a value).
+    Persisted-plan queries are excluded (their cache would span the
+    conf change and mask nothing)."""
+    from vector_search_application_spark.plans.registry import REGISTRY
+
+    names = [
+        "epoch_shuffle",
+        "temperature_mixture",
+        "chunk_embed_pool",
+        "source_data_card",
+        "retrieval_manifest",
+    ]
+    by = {d.name: d.spark for d in REGISTRY}
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        at_default = {
+            n: sorted(map(tuple, by[n](spark, SF_SMOKE).collect()))
+            for n in names
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        at_three = {
+            n: sorted(map(tuple, by[n](spark, SF_SMOKE).collect()))
+            for n in names
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for n in names:
+        assert at_default[n] == at_three[n], n

@@ -127,3 +127,43 @@ SELECT id, m_id FROM filled WHERE tag = 1
         cand = [(rt, ri) for ri, ru, rt in rights if ru == u and rt <= t]
         want = max(cand)[1] if cand else None
         assert got[i] == want, (i, got[i], want)
+
+
+def py_chunks(text: str):
+    """Independent model of the chunk layout: starts step by the
+    stride; a non-initial window is kept only if it contributes tokens
+    beyond the previous window's coverage."""
+    from vector_search_application_spark.plans.constants import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    toks = py_tokens(text)
+    n = len(toks)
+    out = []
+    for s in range(0, n, CHUNK_STRIDE):
+        if s == 0 or n - s > CHUNK_TOKENS - CHUNK_STRIDE:
+            out.append(
+                (
+                    s // CHUNK_STRIDE,
+                    s,
+                    min(CHUNK_TOKENS, n - s),
+                    " ".join(toks[s : s + CHUNK_TOKENS]),
+                )
+            )
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_chunk_sql_matches_python_model(text):
+    from vector_search_application_spark.plans.registry_curation import (
+        _chunk_sql_from,
+    )
+
+    con = duckdb.connect()
+    sql = _chunk_sql_from("(SELECT 0 AS doc_id, ? AS text)")
+    rows = con.execute(sql, [text]).fetchall()
+    got = sorted((r[1], r[2], r[3], r[4]) for r in rows)
+    want = sorted(py_chunks(text))
+    assert got == want
