@@ -740,3 +740,112 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.join(nchunks, "doc_id").join(ndims, "doc_id").select(
         "doc_id", "bucket", "n_chunks", "n_dims"
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture sample: EXECUTE the temperature weights as a hash sample
+# ---------------------------------------------------------------------------
+# temperature_mixture computes the rates; this applies them — doc kept
+# iff md5(doc_id, seed) mod 1e6 < round(rate * 1e6). The cut is an
+# integer derived from the rounded rate, so the kept set is exact and
+# identical in both engines, and re-running with a higher rate keeps a
+# SUPERSET (the deterministic_sample composability property, per
+# source).
+
+MIX_SAMPLE_SEED = "mix-v1"
+_MIX_CUT_SCALE = 1_000_000
+
+_MIX_SAMPLE_SQL = f"""
+WITH per_source AS (
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum({P.token_count_sql('text')})::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per_source),
+shares AS (
+    SELECT s.source, s.n_docs,
+           {P.rounded_sql(
+               'sqrt(' + P.rounded_sql('s.n_tokens::DOUBLE / t.total_tokens') + ')'
+           )} AS temp_weight
+    FROM per_source s CROSS JOIN tot t
+),
+mx AS (SELECT max(temp_weight) AS max_w FROM shares),
+rates AS (
+    SELECT source, n_docs,
+           CAST(round({P.rounded_sql('temp_weight / m.max_w')}
+                      * {_MIX_CUT_SCALE}) AS BIGINT) AS cut
+    FROM shares CROSS JOIN mx m
+),
+tagged AS (
+    SELECT d.doc_id, d.source, r.n_docs, r.cut,
+           {P.md5_long_sql("CAST(doc_id AS VARCHAR)", MIX_SAMPLE_SEED)}
+               % {_MIX_CUT_SCALE} AS bucket
+    FROM documents d JOIN rates r USING (source)
+)
+SELECT source,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
+       sum(CASE WHEN bucket < cut THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       {P.rounded_sql('max(cut)::DOUBLE / ' + str(_MIX_CUT_SCALE))} AS target_rate,
+       {P.rounded_sql(
+           'sum(CASE WHEN bucket < cut THEN 1 ELSE 0 END)::DOUBLE / max(n_docs)'
+       )} AS achieved_rate
+FROM tagged
+GROUP BY source
+"""
+
+
+@declare("mixture_sample", _MIX_SAMPLE_SQL, survey_ids="pipeline-mix,pipeline-sample")
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture EXECUTED: each source's τ=0.5 sample rate
+    becomes an integer hash cut (round(rate x 1e6)), each doc keeps or
+    drops on md5(doc_id) mod 1e6 < cut — a reproducible, composable
+    corpus-level sample whose per-source audit (target vs achieved
+    rate) is this query's output. The rate table is 20 rows riding a
+    broadcast; the corpus side is one scan + one map-side-combinable
+    rollup — sampling 100 TB reads everything once and shuffles only
+    pre-aggregated source rows."""
+    docs = corpus.docs(spark, sf_dir)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(P.token_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    tot = per_source.groupBy().agg(F.sum("n_tokens").alias("total_tokens"))
+    share = P.rounded(F.col("n_tokens").cast("double") / F.col("total_tokens"))
+    shares = per_source.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", P.rounded(F.sqrt(share)).alias("temp_weight")
+    )
+    mx = shares.groupBy().agg(F.max("temp_weight").alias("max_w"))
+    rates = shares.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        F.round(
+            P.rounded(F.col("temp_weight") / F.col("max_w")) * _MIX_CUT_SCALE
+        )
+        .cast("bigint")
+        .alias("cut"),
+    )
+    tagged = docs.select("doc_id", "source").join(
+        F.broadcast(rates), "source"
+    ).select(
+        "source",
+        "n_docs",
+        "cut",
+        (
+            P.md5_long(F.col("doc_id").cast("string"), MIX_SAMPLE_SEED)
+            % _MIX_CUT_SCALE
+        ).alias("bucket"),
+    )
+    return tagged.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.sum((F.col("bucket") < F.col("cut")).cast("int"))
+        .cast("bigint")
+        .alias("n_sampled"),
+        P.rounded(
+            F.max("cut").cast("double") / F.lit(_MIX_CUT_SCALE)
+        ).alias("target_rate"),
+        P.rounded(
+            F.sum((F.col("bucket") < F.col("cut")).cast("int")).cast("double")
+            / F.max("n_docs")
+        ).alias("achieved_rate"),
+    )
