@@ -81,6 +81,7 @@ HEADLINE = [
     "ivfpq_topk",            # IVF cells -> PQ ADC -> exact rescore funnel
     "source_data_card",      # per-source corpus release report
     "retrieval_manifest",    # quality->chunk->pool->LSH placement chain
+    "mixture_sample",        # temperature rates executed as hash cuts
 ]
 
 N_BATCH_QUERIES = 1000

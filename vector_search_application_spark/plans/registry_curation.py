@@ -1,5 +1,4 @@
-"""Registry entries for corpus-preparation operators: passage chunking,
-boilerplate detection, and temperature-scaled mixture weights.
+"""Registry entries for corpus-preparation operators.
 
 These extend the training-data curation stack (registry_pipeline) with
 the remaining steps a retrieval/training corpus needs between cleaning
@@ -12,11 +11,22 @@ and consumption:
     line-dedup idea applied to shingles — the synthetic corpus has no
     line structure, so the repeated unit is the n-gram).
   - temperature_mixture: temperature-flattened domain sampling weights
-    (the multilingual-training mixture rule: w_i ∝ share_i^τ).
+    (the multilingual-training mixture rule: w_i ∝ share_i^τ), and
+    mixture_sample, which EXECUTES those weights as integer hash cuts.
+  - epoch_shuffle: deterministic per-epoch training order (position is
+    a property of (doc_id, epoch); resumable without replay).
+  - chunk_embed_pool: chunk-level term contributions sum-pooled into
+    one L2-normalized doc vector in posting form (exact BIGINT core).
+  - source_data_card: the per-domain release report — every cell a
+    ratio of exact integer counts.
+  - retrieval_manifest: the retrieval-side capstone — quality-keep ->
+    chunk -> pool -> posting-form hyperplane-LSH bucket in ONE plan.
 
 Every plan is declarative (no Python workers) with a DuckDB oracle;
 all floats are rounded through functions/portable so engine and oracle
-hash identically.
+hash identically, and anything that feeds a comparison is either a
+per-row expression over rounded inputs, an order-independent max, or
+exact integer arithmetic (see test_partition_count_invariance).
 """
 
 from __future__ import annotations

@@ -30,6 +30,7 @@ from .constants import (
     QUERY_VEC_ID,
     RARE_SHINGLE_DF_CAP,
     SEMDEDUP_CENTROIDS,
+    SEMDEDUP_THRESHOLD,
     SHINGLE_N,
     SIMHASH_BITS,
 )
@@ -653,7 +654,7 @@ spairs AS (
 ),
 sdrops AS (
     SELECT id_b AS id, min(id_a) AS kept_by, max(cosine) AS dup_cos
-    FROM spairs WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
+    FROM spairs WHERE cosine >= {SEMDEDUP_THRESHOLD}
     GROUP BY id_b
 )
 SELECT w.id, w.cell,
@@ -723,7 +724,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     drops = (
-        scored.filter(F.col("cosine") >= NEARDUP_COSINE_THRESHOLD)
+        scored.filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
         .groupBy("id_b")
         .agg(
             F.min("id_a").alias("kept_by"),
