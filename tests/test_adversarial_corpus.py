@@ -135,3 +135,106 @@ def test_adversarial_embeddings_parity(spark, adversarial_vec_dir, name):
     )
     sdf = decl.spark(spark, adversarial_vec_dir)
     compare_spark_duckdb(sdf, con, decl.sql)
+
+
+# --- events: timestamp ties, boundary gaps, reversed id order, epoch 0 ---
+
+from datetime import datetime, timedelta
+
+_T0 = datetime(2024, 3, 1, 12, 0, 0)
+_MIN = timedelta(minutes=1)
+_US = timedelta(microseconds=1)
+
+ADVERSARIAL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    # user 1: three events with IDENTICAL timestamps — every ordering
+    # falls to the event_id tie-break (sessionize, sliding frame, asof)
+    (100, _T0, 1, "view", 1.0, '{"k": 1}'),
+    (101, _T0, 1, "view", 2.0, '{"k": 2}'),
+    (102, _T0, 1, "purchase", 3.0, '{"k": -5}'),
+    # user 2: gap exactly == the 30-min session gap (stays in session:
+    # the split condition is strict >), then gap+1us (new session)
+    (200, _T0, 2, "click", -1.5, "{}"),
+    (201, _T0 + 30 * _MIN, 2, "view", 0.0, '{"k": 0}'),
+    (202, _T0 + 60 * _MIN + _US, 2, "view", 4.25, None),
+    # user 3: single event (1-event session, window frames of size 1)
+    (300, _T0, 3, "signup", 10.0, '{"k": 7}'),
+    # user 4: purchase EXACTLY the funnel window after the first click
+    # (boundary is inclusive -> converts)
+    (400, _T0, 4, "click", 1.0, '{"k": 3}'),
+    (401, _T0 + 60 * _MIN, 4, "purchase", 2.0, '{"k": 4}'),
+    # user 5: purchase one microsecond past the window (no conversion)
+    (500, _T0, 5, "click", 1.0, '{"k": 1}'),
+    (501, _T0 + 60 * _MIN + _US, 5, "purchase", 2.0, '{"k": 1}'),
+    # user 6: purchase with no preceding view (asof NULL branch)
+    (600, _T0, 6, "purchase", 5.0, '{"k": 9}'),
+    # user 7: event_id order OPPOSES time order
+    (702, _T0, 7, "view", 1.0, '{"k": 2}'),
+    (701, _T0 + _MIN, 7, "view", 2.0, '{"k": 2}'),
+    (700, _T0 + 2 * _MIN, 7, "purchase", 3.0, '{"k": 2}'),
+    # user 8: the epoch itself as an event time
+    (800, datetime(1970, 1, 1, 0, 0, 0), 8, "error", -3.25, '{"k": 0}'),
+]
+
+EVENT_QUERIES = [
+    "event_sessionize",
+    "event_funnel",
+    "event_asof_join",
+    "event_value_median",
+    "event_props_agg",
+    "event_sliding_avg",
+    "version_current",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_event_dir(tmp_path_factory):
+    from vector_search_application_spark.session import get_spark
+
+    spark = get_spark("tests")
+    d = str(tmp_path_factory.mktemp("adversarial_ev_sf"))
+    spark.createDataFrame(
+        ADVERSARIAL_EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_parity(spark, adversarial_event_dir, name):
+    decl = next((d for d in REGISTRY if d.name == name), None)
+    if decl is None:
+        pytest.skip(f"{name} not in registry")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{adversarial_event_dir}/events.parquet/*.parquet')"
+    )
+    sdf = decl.spark(spark, adversarial_event_dir)
+    compare_spark_duckdb(sdf, con, decl.sql)
+
+
+def test_adversarial_events_semantics(spark, adversarial_event_dir):
+    """Direct assertions on the planted edges (parity alone would pass
+    if both engines were wrong the same way on OUR formulations)."""
+    from vector_search_application_spark.plans.registry import REGISTRY as R
+
+    by = {d.name: d.spark for d in R}
+    sess = by["event_sessionize"](spark, adversarial_event_dir).collect()
+    per_user = {}
+    for r in sess:
+        per_user.setdefault(r.user_id, []).append(r)
+    # user 2: the exactly-30min gap stays in one session; +1us splits
+    assert len(per_user[2]) == 2
+    # user 1: identical timestamps collapse into one session
+    assert len(per_user[1]) == 1 and per_user[1][0].n_events == 3
+    fun = {r.user_id: r.converted
+           for r in by["event_funnel"](spark, adversarial_event_dir).collect()}
+    assert fun[4] is True    # boundary-inclusive conversion
+    assert fun[5] is False   # one microsecond late
+    asof = {r.event_id: r.view_event_id
+            for r in by["event_asof_join"](spark, adversarial_event_dir).collect()}
+    assert asof[102] == 101  # same-ts view visible, highest event_id wins
+    assert asof[600] is None  # no preceding view
+    assert asof[700] == 701   # time order beats id order
