@@ -694,9 +694,35 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
         & (F.col("qf.quality") >= MIN_QUALITY)
     ).select("doc_id", "text")
-    chunks = chunk_windows(kept)
-    tok = chunks.select(
-        "doc_id", F.explode(P.tokens(F.col("chunk_text"))).alias("term")
+    # chunk in TOKEN space: the oracle's chunk_text is array_to_string
+    # over the same token slices, and re-tokenizing a space-joined
+    # [a-z0-9]+ token list returns the slice verbatim — so the engine
+    # explodes the slices directly and skips the string rebuild + third
+    # tokenize pass (the probe's heaviest per-doc row, ~2x at x100).
+    # Persisted: the tokenized keep-set feeds both the term explode and
+    # the analytic chunk count (one quality+tokenize pass total; at
+    # scale this table is the materialized stage a pipeline writes).
+    from ..functions.cache import tracked_persist
+
+    kept_toks = tracked_persist(
+        kept.select("doc_id", P.tokens(F.col("text")).alias("toks")).filter(
+            F.size("toks") >= 1
+        )
+    )
+    st = kept_toks.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+        ).alias("s"),
+    ).filter(
+        (F.col("s") == 0)
+        | (F.col("n") - F.col("s") > CHUNK_TOKENS - CHUNK_STRIDE)
+    )
+    tok = st.select(
+        "doc_id",
+        F.explode(F.expr(f"slice(toks, s + 1, {CHUNK_TOKENS})")).alias("term"),
     )
     h = P.md5_long(F.col("term"))
     contrib = tok.select(
@@ -741,8 +767,24 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bucket")
     )
-    nchunks = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    # chunk count derived analytically from the token count: 1 initial
+    # window + one per full stride that still contributes new tokens
+    # (greatest(0, ...) because Spark's DIV truncates while DuckDB's //
+    # floors — they differ below zero)
+    nchunks = kept_toks.select(
+        "doc_id",
+        (
+            F.lit(1)
+            + F.greatest(
+                F.lit(0),
+                F.expr(
+                    f"CAST((size(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+                    f" DIV {CHUNK_STRIDE} AS BIGINT)"
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("n_chunks"),
     )
     ndims = sums.filter(F.col("s") != 0).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dims")
