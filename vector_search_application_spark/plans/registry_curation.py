@@ -528,46 +528,46 @@ def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-source exact-dup rate, quality-funnel pass rate, and PII
     incidence (over the same seeded contact lines text_pii_scrub
     verifies against) — the release-notes table for a training corpus.
-    One window keyed (source, content-hash) for dup detection, then one
-    map-side-combinable rollup on source; every downstream cell derives
-    from exact integer counts."""
+    Every per-document feature (content hash, quality verdict, PII
+    flag) computes in the SCAN, so the dup-detection window's exchange
+    carries ~60-byte feature tuples, never the document text — at
+    100 TB the shuffle volume is the feature table, not the corpus.
+    Then one map-side-combinable rollup on source; every downstream
+    cell derives from exact integer counts."""
     from ..functions import text as T
     from .registry_pipeline import _EMAIL_RE, MIN_QUALITY
 
     docs = corpus.docs(spark, sf_dir)
-    seeded = docs.select(
+    text = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    featured = docs.select(
         "doc_id",
         "source",
         "lang",
         "n_chars",
-        F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com now"),
-            ),
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
+        F.sha2(text, 256).alias("h"),
+        (T.quality_score(text) >= MIN_QUALITY).cast("int").alias("q_pass"),
+        (F.regexp_count(text, F.lit(_EMAIL_RE)) > 0).cast("int").alias("has_pii"),
     )
     from pyspark.sql import Window
 
-    wh = Window.partitionBy("source", F.sha2(F.col("text"), 256))
-    per_doc = seeded.withColumn(
+    wh = Window.partitionBy("source", "h")
+    per_doc = featured.withColumn(
         "canonical_id", F.min("doc_id").over(wh)
     ).select(
         "source",
         "lang",
         "n_chars",
         (F.col("doc_id") != F.col("canonical_id")).cast("int").alias("is_dup"),
-        (T.quality_score(F.col("text")) >= MIN_QUALITY)
-        .cast("int")
-        .alias("q_pass"),
-        (F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)) > 0)
-        .cast("int")
-        .alias("has_pii"),
+        "q_pass",
+        "has_pii",
     )
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
