@@ -199,7 +199,7 @@ family (dense/bm25/hybrid/IVF) and the keyed event plans all land at
 1-7x for 100x the rows, i.e. the data-dependent stages are scan-shaped
 map work plus bounded shuffles, exactly what survives adding executors.
 The per-document featurization family (quality_filter_funnel,
-text_repetition, source_data_card, retrieval_manifest) is the
+text_repetition, source_data_card) is the
 compute-bound tail: each runs tokenize/hash/fold work over every row,
 so it scales linearly with corpus size and parallelizes by partition —
 the expected asymptote for per-document work, addressed with

@@ -858,3 +858,59 @@ def pq_topk_batch(
         )
     )
     return topk_per_group(rescored, "query_id", k)
+
+
+def pq_kmeans_codebook(
+    spark,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """TRAINED PQ codebook: MLlib KMeans per subspace (the real Faiss
+    build — each 8-dim subvector space gets its own PQ_CODEWORDS
+    centers), returned in the same (s, j, cw) shape pq_codes consumes,
+    so the trained build swaps in under the identical ADC scan.
+    Trained centers are float-iteration artifacts: queries over them
+    are rows-only + recall-tested, never golden-matched (same policy
+    as kmeans_centroids)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    rows = []
+    for s in range(PQ_SUBSPACES):
+        sub = vectors.select(
+            array_to_vector(
+                F.expr(
+                    f"CAST(slice({vec_col}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+                    " AS array<double>)"
+                )
+            ).alias("features")
+        )
+        model = KMeans(
+            k=PQ_CODEWORDS, seed=seed + s, maxIter=max_iter,
+            initMode="k-means||",
+        ).fit(sub)
+        for j, center in enumerate(model.clusterCenters()):
+            rows.append((s, j, [float(x) for x in center]))
+    return spark.createDataFrame(rows, "s int, j bigint, cw array<double>")
+
+
+def pq_kmeans_topk(
+    spark,
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = K,
+    oversample: int = PQ_OVERSAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search over the TRAINED codebook — identical scan plan to
+    pq_topk (codes via broadcast-argmin, per-query LUT fold, exact
+    rescore); only the codebook provenance differs."""
+    codebook = pq_kmeans_codebook(spark, vectors, id_col, vec_col)
+    codes = pq_codes(vectors, codebook, id_col, vec_col)
+    luts = _pq_luts(codebook, query)
+    cand = _pq_adc_candidates(codes, luts, k * oversample)
+    return _exact_rescore(cand, vectors, query, k, id_col, vec_col)

@@ -802,3 +802,20 @@ def q_ivf_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(
         vecs, q, payload_filter=F.col("label") == FILTER_LABEL
     )
+
+
+@declare(
+    "pq_kmeans_topk",
+    None,  # trained codebooks are float-iteration artifacts: rows-only
+    # check; recall vs the exact operator is asserted in tests/test_ann.py
+    survey_ids="I2,ann-pq",
+)
+def q_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ over TRAINED per-subspace codebooks: MLlib KMeans as the
+    codebook build (one fit per subspace — the Faiss training step),
+    then the identical ADC scan + exact rescore as pq_topk. The
+    fixed-seed pq_topk carries the oracle; this carries the recall
+    test and the build-path parity."""
+    vecs = corpus.vectors(spark, sf_dir)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.pq_kmeans_topk(spark, vecs, q)
