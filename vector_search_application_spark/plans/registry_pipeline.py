@@ -628,3 +628,172 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_before") / PACK_BUDGET).cast("bigint").alias("pack_id"),
         (F.col("cum_before") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# the capstone, completed: curation INCLUDING decontamination, one plan
+# ---------------------------------------------------------------------------
+# training_manifest (above) chains quality -> dedup -> split -> pack;
+# production pipelines run one more stage before packing: drop TRAIN
+# docs that collide with the held-out test split (the removal side of
+# benchmark_decontaminate's report). Same shingle blocking, composed
+# into the same single declared plan.
+
+
+def _manifest_full_sql() -> str:
+    from ..functions import text as T
+
+    return f"""
+WITH feat AS (
+    SELECT doc_id, text,
+           {P.token_count_sql('text')}::BIGINT AS n_tokens,
+           {T.stopword_ratio_sql('text')} AS sw,
+           {T.quality_score_sql('text')} AS q
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, text, n_tokens FROM feat
+    WHERE n_tokens >= {MIN_TOKENS} AND sw >= {MIN_STOPWORD}
+          AND q >= {MIN_QUALITY}
+),
+canon AS (
+    SELECT doc_id, text, n_tokens,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+    FROM kept
+),
+uniq AS (
+    SELECT doc_id, text, n_tokens FROM canon WHERE doc_id = canonical_id
+),
+assigned AS (
+    SELECT doc_id, text, n_tokens,
+           CASE WHEN {_BUCKET} < {TRAIN_CUT} THEN 'train'
+                WHEN {_BUCKET} < {VAL_CUT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM uniq
+),
+mshing AS (
+    SELECT DISTINCT doc_id, split, sh FROM (
+        SELECT doc_id, split,
+               unnest(list_transform(
+                   range(1, len(toks) - {DECON_N - 2}),
+                   i -> array_to_string(list_slice(toks, i, i + {DECON_N - 1}), '_')
+               )) AS sh
+        FROM (SELECT doc_id, split, {P.tokens_sql('text')} AS toks FROM assigned)
+        WHERE len(toks) >= {DECON_N}
+    )
+),
+mhits AS (
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           count(*)::BIGINT AS n_shared
+    FROM mshing t JOIN mshing e USING (sh)
+    WHERE t.split = 'train' AND e.split = 'test'
+    GROUP BY t.doc_id, e.doc_id
+),
+contaminated AS (
+    SELECT DISTINCT train_id AS doc_id FROM mhits
+    WHERE n_shared >= {DECON_MIN_OVERLAP}
+),
+clean AS (
+    SELECT a.doc_id, a.split, a.n_tokens
+    FROM assigned a LEFT JOIN contaminated c USING (doc_id)
+    WHERE c.doc_id IS NULL
+),
+mruns AS (
+    SELECT doc_id, split, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY split ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS cum_before
+    FROM clean
+)
+SELECT doc_id, split, n_tokens,
+       CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM mruns
+"""
+
+
+@declare(
+    "training_manifest_full",
+    _manifest_full_sql(),
+    survey_ids="pipeline-manifest,pipeline-decontaminate",
+)
+def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete curation chain in ONE plan: quality-keep ->
+    exact-dedup canonical -> hash split -> DROP train docs sharing >=
+    {DECON_MIN_OVERLAP} distinct {DECON_N}-gram shingles with any
+    test-split doc (the removal half of benchmark_decontaminate) ->
+    per-split sequence packing. The decontamination join is blocked on
+    the shingle like the report query, and the test side is tiny at
+    scale, so the added stage costs one broadcast-able equi-join over
+    the shingle table plus the anti-join back — the chain stays keyed
+    on doc_id/split end to end."""
+    from pyspark.sql import Window
+
+    from ..functions import text as T
+    from ..operators.dedup import shingles
+
+    docs = corpus.docs(spark, sf_dir)
+    feat = docs.select(
+        "doc_id",
+        "text",
+        F.explode(T.quality_features(F.col("text"))).alias("qf"),
+    )
+    kept = feat.filter(
+        (F.col("qf.n_tokens") >= MIN_TOKENS)
+        & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
+        & (F.col("qf.quality") >= MIN_QUALITY)
+    ).select(
+        "doc_id", "text", F.col("qf.n_tokens").cast("bigint").alias("n_tokens")
+    )
+    wh = Window.partitionBy(F.sha2(F.col("text"), 256))
+    uniq = (
+        kept.withColumn("canonical_id", F.min("doc_id").over(wh))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "text", "n_tokens")
+    )
+    b = _bucket_col()
+    assigned = uniq.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        F.when(b < TRAIN_CUT, "train")
+        .when(b < VAL_CUT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sh = shingles(assigned, "doc_id", "text", n=DECON_N).join(
+        assigned.select(F.col("doc_id").alias("id"), "split"), "id"
+    )
+    tr = sh.filter(F.col("split") == "train").select(
+        F.col("id").alias("train_id"), "sh"
+    )
+    ev = sh.filter(F.col("split") == "test").select(
+        F.col("id").alias("eval_id"), "sh"
+    )
+    contaminated = (
+        tr.join(ev, "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_OVERLAP)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    clean = assigned.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "split", "n_tokens"
+    )
+    wp = (
+        Window.partitionBy("split")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = clean.withColumn(
+        "cum_before", F.sum("n_tokens").over(wp) - F.col("n_tokens")
+    )
+    return runs.select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        (F.col("cum_before") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
+    )
