@@ -157,3 +157,50 @@ def test_partition_count_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for n in names:
         assert at_default[n] == at_three[n], n
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """The declared BPE trainer vs an independent textbook
+    implementation (pair counting with overlaps, greedy left-to-right
+    merge, freq-then-lexical tie-break) over the same corpus — guards
+    the algorithm itself, beyond cross-engine parity."""
+    from collections import Counter
+
+    import re
+
+    docs = corpus.docs(spark, SF_SMOKE).select("text").collect()
+    words = Counter()
+    for r in docs:
+        for w in re.split(r"[^a-z0-9]+", r.text.lower()):
+            if w:
+                words[w] += 1
+
+    state = {w: list(w) for w in words}
+    expected = []
+    for _ in range(RC.BPE_MERGES):
+        freqs = Counter()
+        for w, syms in state.items():
+            cnt = words[w]
+            for i in range(len(syms) - 1):
+                freqs[(syms[i], syms[i + 1])] += cnt
+        (a, b), f = min(
+            freqs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((a, b, f))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+
+    got = sorted(
+        (r.rank, r.left_sym, r.right_sym, r.freq)
+        for r in RC.q_bpe_train_merges(spark, SF_SMOKE).collect()
+    )
+    want = [(k + 1, a, b, f) for k, (a, b, f) in enumerate(expected)]
+    assert got == want

@@ -901,3 +901,142 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max("n_docs")
         ).alias("achieved_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training: learn the tokenizer from the corpus
+# ---------------------------------------------------------------------------
+# Byte-pair encoding training IS the iterative algorithm: count
+# adjacent symbol pairs across the weighted vocab, merge the most
+# frequent pair everywhere, repeat. Both engines share one trick that
+# keeps every step declarative: the symbol sequence lives as a
+# dot-wrapped space-joined string ('.a. .b. .c.'), so "merge pair
+# (A, B) greedily left-to-right" is EXACTLY one replace() call —
+# replace scans left-to-right over non-overlapping matches, which is
+# the greedy BPE merge order, and the dots prevent partial-symbol
+# matches. The engine never collects state: each round's top pair is a
+# one-row broadcast; the oracle unrolls the same rounds as chained
+# CTEs with scalar subqueries.
+
+BPE_MERGES = 5
+
+
+def _bpe_sql() -> str:
+    stages = [
+        f"""
+words AS (
+    SELECT w, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest({P.tokens_sql('text')}) AS w FROM documents)
+    GROUP BY w
+),
+st0 AS (
+    SELECT w, cnt,
+           array_to_string(list_transform(
+               range(1, len(w) + 1), i -> '.' || substr(w, i, 1) || '.'), ' ')
+               AS s
+    FROM words
+)"""
+    ]
+    for k in range(1, BPE_MERGES + 1):
+        stages.append(f"""
+p{k} AS (
+    SELECT a, b, sum(cnt)::BIGINT AS freq FROM (
+        SELECT cnt, syms[i] AS a, syms[i + 1] AS b FROM (
+            SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+            FROM (SELECT cnt, string_split(s, ' ') AS syms FROM st{k - 1})
+        )
+    ) GROUP BY a, b
+),
+t{k} AS (SELECT a, b, freq FROM p{k} ORDER BY freq DESC, a ASC, b ASC LIMIT 1),
+st{k} AS (
+    SELECT w, cnt,
+           replace(s, (SELECT a || ' ' || b FROM t{k}),
+                   (SELECT substr(a, 1, len(a) - 1) || substr(b, 2) FROM t{k}))
+               AS s
+    FROM st{k - 1}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rank, a, b, freq FROM t{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    return f"""
+WITH {','.join(stages)}
+SELECT CAST(rank AS BIGINT) AS rank,
+       replace(a, '.', '') AS left_sym,
+       replace(b, '.', '') AS right_sym,
+       replace(a, '.', '') || replace(b, '.', '') AS merged,
+       freq
+FROM ({union})
+"""
+
+
+@declare("bpe_train_merges", _bpe_sql(), survey_ids="pipeline-vocab,text-tokens")
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus: the first {BPE_MERGES}
+    merge rules, each the globally most frequent adjacent symbol pair
+    (ties broken lexically) over the count-weighted vocabulary, merged
+    greedily everywhere before the next round. Scale shape: training
+    operates on the DISTINCT-WORD table with counts — one corpus pass
+    builds it, and every round after that touches only the vocab
+    (millions of rows at 100 TB, not billions): a pair count keyed on
+    the pair, a one-row top-1 broadcast, and a map-only replace. No
+    driver-side state; the whole computation is {BPE_MERGES} chained
+    declarative rounds in both engines."""
+    from ..functions.cache import tracked_persist
+
+    docs = corpus.docs(spark, sf_dir)
+    words = (
+        docs.select(F.explode(P.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    state = tracked_persist(
+        words.select(
+            "cnt",
+            F.expr(
+                "array_join(transform(sequence(1, length(w)),"
+                " i -> concat('.', substring(w, i, 1), '.')), ' ')"
+            ).alias("s"),
+        )
+    )
+    merges = None
+    for k in range(1, BPE_MERGES + 1):
+        # guard: a fully-merged (or 1-char) word has ONE symbol, and
+        # Spark's sequence(1, 0) counts DOWN instead of being empty
+        pairs = state.filter(F.expr("size(split(s, ' ')) >= 2")).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(s, ' ')) - 1),"
+                    " i -> struct(element_at(split(s, ' '), i) AS a,"
+                    "             element_at(split(s, ' '), i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        top = tracked_persist(
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").cast("bigint").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .select(F.lit(k).cast("bigint").alias("rank"), "a", "b", "freq")
+        )
+        merges = top if merges is None else merges.unionByName(top)
+        state = tracked_persist(
+            state.crossJoin(F.broadcast(top.select("a", "b")))
+            .select(
+                "cnt",
+                F.expr(
+                    "replace(s, concat(a, ' ', b),"
+                    " concat(substring(a, 1, length(a) - 1), substring(b, 2)))"
+                ).alias("s"),
+            )
+        )
+    return merges.select(
+        "rank",
+        F.expr("replace(a, '.', '')").alias("left_sym"),
+        F.expr("replace(b, '.', '')").alias("right_sym"),
+        F.expr("concat(replace(a, '.', ''), replace(b, '.', ''))").alias(
+            "merged"
+        ),
+        "freq",
+    )
