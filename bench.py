@@ -82,6 +82,8 @@ HEADLINE = [
     "source_data_card",      # per-source corpus release report
     "retrieval_manifest",    # quality->chunk->pool->LSH placement chain
     "mixture_sample",        # temperature rates executed as hash cuts
+    "training_manifest_full",  # capstone chain incl. decontamination
+    "bpe_train_merges",      # declarative BPE tokenizer training
 ]
 
 N_BATCH_QUERIES = 1000

@@ -60,6 +60,8 @@ PROBE_QUERIES = [
     "source_data_card",
     "retrieval_manifest",
     "mixture_sample",
+    "training_manifest_full",
+    "bpe_train_merges",
 ]
 
 
