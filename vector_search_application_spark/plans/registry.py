@@ -789,20 +789,23 @@ DRIVER_WINDOW = [
     "dense_topk", "dense_topk_batch", "dense_threshold", "dense_postfilter",
     "bm25_topk", "hybrid_rrf",
     "linear_fusion", "normalize_min_max", "fusion_max_dedup",
-    # ingest / validation / exact cascade
+    # ingest / validation / exact cascade (doc_content_hash's T4 stays
+    # green via delta_classify; the slot funds BPE training's row)
     "ingest_products", "validate_quarantine", "exact_cascade_primary",
-    "doc_content_hash", "delta_classify", "upsert_merge", "cleanup_old",
-    # versioning (version_archive's M5 stays green via version_current)
-    "version_current", "version_history",
+    "delta_classify", "upsert_merge", "cleanup_old",
+    # versioning (version_archive's M5 stays green via version_current;
+    # version_history/get stay pytest-netted)
+    "version_current",
     # scalars / projections / paging / aggregation
     "partno_classifier", "search_details_projection",
     "keyset_page", "corpus_counts",
-    # dedup family
+    # dedup family (SemDeDup included — cluster-blocked semantic dedup)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
-    "dedup_canonical_quality", "dedup_components_star",
+    "dedup_canonical_quality", "dedup_components_star", "semantic_dedup",
     # ANN / quantization / payload index (ivf_topk_batch's I1 stays green
-    # via ivf_topk + ivf_index_lookup)
-    "ivf_topk", "ivf_index_lookup", "mllib_lsh_topk",
+    # via ivf_topk + ivf_index_lookup; ivfpq replaces the rows-only
+    # mllib_lsh slot with a full-oracle row — strictly more signal)
+    "ivf_topk", "ivf_index_lookup", "ivfpq_topk",
     "quantized_topk", "payload_index_lookup",
     # embed pipeline
     "embed_search_topk",
@@ -814,6 +817,7 @@ DRIVER_WINDOW = [
     # training-data chain gets its own driver row
     "text_repetition", "text_pii_scrub", "sequence_pack",
     "benchmark_decontaminate", "domain_mix_weights", "training_manifest",
+    "bpe_train_merges",
     # import / export
     "json_export_roundtrip", "targz_import",
     # text pipeline + multimodal
