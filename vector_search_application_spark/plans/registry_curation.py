@@ -921,7 +921,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 5
 
 
-def _bpe_sql() -> str:
+def _bpe_stage_ctes() -> str:
     stages = [
         f"""
 words AS (
@@ -955,12 +955,16 @@ st{k} AS (
                AS s
     FROM st{k - 1}
 )""")
+    return ",".join(stages)
+
+
+def _bpe_sql() -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS rank, a, b, freq FROM t{k}"
         for k in range(1, BPE_MERGES + 1)
     )
     return f"""
-WITH {','.join(stages)}
+WITH {_bpe_stage_ctes()}
 SELECT CAST(rank AS BIGINT) AS rank,
        replace(a, '.', '') AS left_sym,
        replace(b, '.', '') AS right_sym,
@@ -970,18 +974,10 @@ FROM ({union})
 """
 
 
-@declare("bpe_train_merges", _bpe_sql(), survey_ids="pipeline-vocab,text-tokens")
-def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING on the corpus: the first {BPE_MERGES}
-    merge rules, each the globally most frequent adjacent symbol pair
-    (ties broken lexically) over the count-weighted vocabulary, merged
-    greedily everywhere before the next round. Scale shape: training
-    operates on the DISTINCT-WORD table with counts — one corpus pass
-    builds it, and every round after that touches only the vocab
-    (millions of rows at 100 TB, not billions): a pair count keyed on
-    the pair, a one-row top-1 broadcast, and a map-only replace. No
-    driver-side state; the whole computation is {BPE_MERGES} chained
-    declarative rounds in both engines."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge rounds; returns (merges DF, final state DF). The
+    final state maps each distinct word to its fully-merged symbol
+    string — the ENCODED vocab under the learned tokenizer."""
     from ..functions.cache import tracked_persist
 
     docs = corpus.docs(spark, sf_dir)
@@ -992,6 +988,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = tracked_persist(
         words.select(
+            "w",
             "cnt",
             F.expr(
                 "array_join(transform(sequence(1, length(w)),"
@@ -1024,6 +1021,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = tracked_persist(
             state.crossJoin(F.broadcast(top.select("a", "b")))
             .select(
+                "w",
                 "cnt",
                 F.expr(
                     "replace(s, concat(a, ' ', b),"
@@ -1031,6 +1029,22 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
             )
         )
+    return merges, state
+
+
+@declare("bpe_train_merges", _bpe_sql(), survey_ids="pipeline-vocab,text-tokens")
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the corpus: the first {BPE_MERGES}
+    merge rules, each the globally most frequent adjacent symbol pair
+    (ties broken lexically) over the count-weighted vocabulary, merged
+    greedily everywhere before the next round. Scale shape: training
+    operates on the DISTINCT-WORD table with counts — one corpus pass
+    builds it, and every round after that touches only the vocab
+    (millions of rows at 100 TB, not billions): a pair count keyed on
+    the pair, a one-row top-1 broadcast, and a map-only replace. No
+    driver-side state; the whole computation is {BPE_MERGES} chained
+    declarative rounds in both engines."""
+    merges, _ = _bpe_train(spark, sf_dir)
     return merges.select(
         "rank",
         F.expr("replace(a, '.', '')").alias("left_sym"),
@@ -1039,4 +1053,55 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged"
         ),
         "freq",
+    )
+
+
+def _bpe_encode_sql() -> str:
+    return f"""
+WITH {_bpe_stage_ctes()},
+tokd AS (
+    SELECT doc_id, unnest({P.tokens_sql('text')}) AS w FROM documents
+),
+enc AS (
+    SELECT t.doc_id, len(t.w)::BIGINT AS n_chars_w,
+           len(string_split(f.s, ' '))::BIGINT AS n_syms_w
+    FROM tokd t JOIN st{BPE_MERGES} f ON f.w = t.w
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(n_chars_w)::BIGINT AS n_chars,
+       sum(n_syms_w)::BIGINT AS n_symbols,
+       {P.rounded_sql('sum(n_chars_w)::DOUBLE / sum(n_syms_w)')} AS compression
+FROM enc
+GROUP BY doc_id
+"""
+
+
+@declare("bpe_encode_stats", _bpe_encode_sql(), survey_ids="pipeline-vocab,text-tokens")
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE with the learned tokenizer: the training rounds' final
+    state maps every distinct word to its merged symbol sequence, so
+    encoding the corpus is one broadcast-able join from the exploded
+    token stream to that vocab table — per doc: token, character, and
+    post-merge symbol counts plus the chars-per-symbol compression
+    ratio the merges bought. The corpus-side cost is the same one
+    tokenize+explode pass any counting query pays; all sums are exact
+    BIGINT."""
+    _, state = _bpe_train(spark, sf_dir)
+    docs = corpus.docs(spark, sf_dir)
+    tokd = docs.select(
+        "doc_id", F.explode(P.tokens(F.col("text"))).alias("w")
+    )
+    enc = tokd.join(F.broadcast(state.select("w", "s")), "w").select(
+        "doc_id",
+        F.length("w").cast("bigint").alias("n_chars_w"),
+        F.expr("CAST(size(split(s, ' ')) AS BIGINT)").alias("n_syms_w"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars_w").cast("bigint").alias("n_chars"),
+        F.sum("n_syms_w").cast("bigint").alias("n_symbols"),
+        P.rounded(
+            F.sum("n_chars_w").cast("double") / F.sum("n_syms_w")
+        ).alias("compression"),
     )
