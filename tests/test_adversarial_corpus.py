@@ -52,6 +52,11 @@ DOC_QUERIES = [
     "epoch_shuffle",
     "chunk_embed_pool",
     "source_data_card",
+    "mixture_sample",
+    "retrieval_manifest",
+    "training_manifest_full",
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 
