@@ -16,7 +16,7 @@ nondeterministic; documented deviation per SURVEY.md §7).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.constants import EXACT_PRIMARY_SCORE, EXACT_SECONDARY_SCORE
@@ -67,5 +67,61 @@ def exact_cascade(
         secondary.crossJoin(F.broadcast(primary_count))
         .filter(F.col("__n_primary") == 0)
         .drop("__n_primary")
+    )
+    return primary.unionByName(gated_secondary)
+
+
+def exact_cascade_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    primary_field: str,
+    secondary_field: str,
+    limit: int = 10,
+    id_col: str = "id",
+    qid_col: str = "query_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """Q1/F5 cascade over a BATCH of query strings in one plan.
+
+    Per query the semantics match exact_cascade (reference
+    app/services/search_service.py:207-256, one query per request):
+    primary-field equality at score 1.0, else secondary-field equality
+    at 0.9, limit per query, deterministic id order.
+
+    Scale shape: the query table (small — user requests) broadcasts
+    into BOTH branch joins, so the corpus is probed by hash equi-join
+    and never shuffles; at 100 TB with a partition/Z-order layout on
+    the payload fields these joins prune to the touched files. The
+    per-query limit is one window keyed on the query id (its input is
+    only the matched rows, not the corpus), and the primary-hit gate is
+    a broadcast left-anti join on the query id — the batch twin of the
+    single query's broadcast 1-row count gate.
+    """
+    qs = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.upper(F.trim(F.col(q_col))).alias("__q"),
+    )
+
+    def branch(field: str, score: float) -> DataFrame:
+        matched = df.join(
+            F.broadcast(qs), F.col(field) == F.col("__q"), "inner"
+        ).select(
+            "query_id",
+            F.col(id_col),
+            F.lit(score).alias("score"),
+            F.lit(field).alias("matched_field"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc(id_col))
+        return (
+            matched.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= limit)
+            .drop("__rn")
+        )
+
+    primary = branch(primary_field, EXACT_PRIMARY_SCORE)
+    secondary = branch(secondary_field, EXACT_SECONDARY_SCORE)
+    primary_hit_qids = primary.select("query_id").distinct()
+    gated_secondary = secondary.join(
+        F.broadcast(primary_hit_qids), "query_id", "left_anti"
     )
     return primary.unionByName(gated_secondary)

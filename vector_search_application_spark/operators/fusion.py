@@ -227,3 +227,50 @@ def rrf_fuse_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def max_dedup_fuse_batch(
+    exact: DataFrame,
+    vector: DataFrame,
+    k: int = K,
+    id_col: str = "id",
+    group_col: str = "query_id",
+) -> DataFrame:
+    """F3 max-score dedup fusion over a BATCH of queries.
+
+    Per query the semantics match max_dedup_fuse (reference
+    app/services/search_service.py:301-342): on duplicate id keep the
+    higher score, concatenate search_type labels exact-first. Branch
+    inputs carry (query_id, id, score, search_type) and are already
+    per-query bounded lists (cascade limit / top-k), so the groupBy and
+    the final rank window key on (query_id, id) / query_id over tens of
+    rows per query — fusing N queries is the same one-shuffle plan as
+    fusing one, with N-way partition parallelism instead of 1.
+    """
+    cols = [group_col, id_col, "score", "search_type"]
+    unioned = exact.select(*cols).unionByName(vector.select(*cols))
+    grouped = unioned.groupBy(group_col, id_col).agg(
+        F.max("score").alias("score"),
+        F.max(F.when(F.col("search_type") == "exact", F.lit(1)))
+        .isNotNull()
+        .alias("_has_exact"),
+        F.max(F.when(F.col("search_type") == "vector", F.lit(1)))
+        .isNotNull()
+        .alias("_has_vector"),
+    )
+    labeled = grouped.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col("score"),
+        F.concat_ws(
+            "+",
+            F.when(F.col("_has_exact"), F.lit("exact")),
+            F.when(F.col("_has_vector"), F.lit("vector")),
+        ).alias("search_type"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

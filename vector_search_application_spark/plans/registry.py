@@ -776,52 +776,47 @@ from . import registry_curation  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The round driver's correctness gate checks exactly the first 50 REGISTRY
 # entries; declaration order is an accident of module layout. Curate the
-# window explicitly so every operator family has its flagship inside it
-# (embed, streaming, import/export, quantization, multimodal included);
-# redundant siblings (batch-salted dense, the bm25/hybrid batch twins —
-# their survey ids stay green via the single-query variants and
-# dense_topk_batch — second normalize variant, cascade secondary/miss,
-# min-label components, scroll paging, ...) move past position 50, where
-# tests/test_registry_oracle.py remains their net.
+# window explicitly. Round-5 rotation: evidence-banking. After r1-r4, 34
+# registry queries had never produced a driver CORRECTNESS row (the whole
+# r3/r4 curation layer, pq/batch variants, streaming sessionize/funnel,
+# sharded export) — all pytest-green, but invisible to the hard gate. This
+# window leads with those 34, then fills the remaining 16 slots with the
+# queries whose only driver rows are from r1/r2 (versioning history/get,
+# doc hashes, embed stages, compare_preview, ...), so the union of
+# CORRECTNESS_r1..r5 covers every registry query. The r4 window's 50 are
+# all driver-green as of r4 and keep tests/test_registry_oracle.py as
+# their net; redundant siblings (batch-salted dense, second normalize
+# variant, cascade secondary/miss, min-label components, scroll paging)
+# stay outside as before.
 
 DRIVER_WINDOW = [
-    # dense / sparse / hybrid search + fusion
-    "dense_topk", "dense_topk_batch", "dense_threshold", "dense_postfilter",
-    "bm25_topk", "hybrid_rrf",
-    "linear_fusion", "normalize_min_max", "fusion_max_dedup",
-    # ingest / validation / exact cascade (doc_content_hash's T4 stays
-    # green via delta_classify; the slot funds BPE training's row)
-    "ingest_products", "validate_quarantine", "exact_cascade_primary",
-    "delta_classify", "upsert_merge", "cleanup_old",
-    # versioning (version_archive's M5 stays green via version_current;
-    # version_history/get stay pytest-netted)
-    "version_current",
-    # scalars / projections / paging / aggregation
-    "partno_classifier", "search_details_projection",
-    "keyset_page", "corpus_counts",
-    # dedup family (SemDeDup included — cluster-blocked semantic dedup)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
-    "dedup_canonical_quality", "dedup_components_star", "semantic_dedup",
-    # ANN / quantization / payload index (ivf_topk_batch's I1 stays green
-    # via ivf_topk + ivf_index_lookup; ivfpq replaces the rows-only
-    # mllib_lsh slot with a full-oracle row — strictly more signal)
-    "ivf_topk", "ivf_index_lookup", "ivfpq_topk",
-    "quantized_topk", "payload_index_lookup",
-    # embed pipeline
-    "embed_search_topk",
-    # event-time / streaming family (funnel + value-median siblings keep
-    # §2.12 green via event_sessionize; pytest remains their net)
-    "stream_events_window", "stream_ingest_upsert", "event_sessionize",
-    "event_asof_join",
-    # curation signals (beyond-reference, first-class): every stage of the
-    # training-data chain gets its own driver row
-    "text_repetition", "text_pii_scrub", "sequence_pack",
-    "benchmark_decontaminate", "domain_mix_weights", "training_manifest",
-    "bpe_train_merges",
+    # --- never driver-verified in r1-r4 (34) ---
+    # search / projection variants
+    "dense_prefilter", "bm25_topk_batch", "hybrid_rrf_batch",
+    "mmr_rerank_topk",
+    # ANN / quantization variants
+    "mllib_lsh_topk", "ivf_kmeans_topk", "ivf_topk_filtered",
+    "pq_topk", "pq_topk_batch", "pq_kmeans_topk", "binary_quantized_topk",
+    # streaming / event-time
+    "stream_embed_ingest", "stream_sessionize", "event_funnel",
+    "event_sliding_avg",
     # import / export
-    "json_export_roundtrip", "targz_import",
-    # text pipeline + multimodal
-    "text_langid", "text_quality", "token_stats", "multimodal_byte_features",
+    "export_sharded_roundtrip",
+    # multimodal
+    "multimodal_dedup_stats",
+    # curation chain (dataset assembly for LLM training)
+    "dataset_split", "dataset_split_balance", "deterministic_sample",
+    "vocab_topn", "quality_filter_funnel", "source_length_quantiles",
+    "token_accounting_rollup", "doc_chunk_windows", "boilerplate_ngrams",
+    "temperature_mixture", "epoch_shuffle", "chunk_embed_pool",
+    "source_data_card", "retrieval_manifest", "mixture_sample",
+    "training_manifest_full", "bpe_encode_stats",
+    # --- driver rows only from r1/r2; re-bank under the current engine (16) ---
+    "doc_content_hash", "version_history", "version_archive", "version_get",
+    "partno_explain", "search_ids_projection", "compare_preview",
+    "event_props_agg", "event_value_median", "dedup_ngram_jaccard",
+    "ivf_topk_batch", "doc_fingerprint", "token_stats_bpe",
+    "embed_documents", "embed_query", "directory_import_full",
 ]
 
 
