@@ -30,6 +30,8 @@ import time
 from pyspark.sql import functions as F
 
 from vector_search_application_spark.session import get_spark
+from vector_search_application_spark.functions import portable as P
+from vector_search_application_spark.operators import bm25, exact, fusion
 from vector_search_application_spark.operators import topk as topk_ops
 from vector_search_application_spark.plans import corpus
 from vector_search_application_spark.plans.registry import REGISTRY
@@ -157,6 +159,142 @@ def bench_dense_batch(spark, sf_dir: str) -> float:
     return best
 
 
+def _time_batch(result, n_queries: int, reps: int = 3) -> tuple[float, float]:
+    """(best, median) wall seconds over reps for a batch plan."""
+    secs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = result.count()
+        secs.append(time.perf_counter() - t0)
+        assert n == 0 or n >= 1
+    secs.sort()
+    return secs[0], secs[len(secs) // 2]
+
+
+def bench_batch_throughput(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Amortized per-query throughput for every headline search family.
+
+    BASELINE.md declares batch q/s as THE comparison metric (its 3-15 ms
+    BM25 / 15-50 ms hybrid / 1-5 ms exact / 10-30 ms fusion claims are
+    steady-state service latencies); a single query at sf0.1 is
+    dominated by ~0.3 s fixed Spark job cost, so single-query wall says
+    nothing about throughput. Each batch here is ONE declarative plan —
+    query tables broadcast, the corpus never shuffles per query, every
+    per-query rank is a window keyed on query_id — so N queries amortize
+    the job cost exactly the way a serving tier amortizes it across
+    concurrent requests.
+    """
+    secs: dict[str, tuple[float, int]] = {}
+
+    # --- BM25: short keyword queries (first 8 tokens of a doc) over the
+    # documents postings — the corpus is probed once by the batch's
+    # distinct-term broadcast, per-query fan-out via a second broadcast.
+    n_bm25 = 500
+    docs = corpus.docs(spark, sf_dir)
+    bm25_queries = docs.filter(F.col("doc_id") < n_bm25).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(P.tokens(F.col("text")), 1, 8)).alias("qtext"),
+    )
+    postings = bm25.build_postings(docs, id_col="doc_id", text_col="text")
+    bm25_res = topk_ops.topk_per_group(
+        bm25.bm25_score_terms_batch(postings, bm25.query_terms_batch(bm25_queries)),
+        "query_id",
+        BATCH_K,
+        id_col="id",
+    )
+    secs["bm25_batch"] = (bm25_res, n_bm25)
+
+    # --- Hybrid RRF: dense brute-force branch + sparse postings branch,
+    # one RRF fusion window per query id.
+    n_hybrid = 200
+    vecs = corpus.vectors(spark, sf_dir)
+    hq = vecs.filter(F.col("vec_id") < n_hybrid).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dense_top = topk_ops.topk_per_group(
+        topk_ops.score_pairs(vecs, hq, query_keep=["query_id"]).select(
+            "query_id", F.col("vec_id").alias("id"), "score"
+        ),
+        "query_id",
+        BATCH_K,
+        id_col="id",
+    )
+    sparse_top = topk_ops.topk_per_group(
+        bm25.bm25_score_terms_batch(
+            postings,
+            bm25.query_terms_batch(
+                docs.filter(F.col("doc_id") < n_hybrid).select(
+                    F.col("doc_id").alias("query_id"),
+                    F.concat_ws(" ", F.slice(P.tokens(F.col("text")), 1, 8)).alias(
+                        "qtext"
+                    ),
+                )
+            ),
+        ),
+        "query_id",
+        BATCH_K,
+        id_col="id",
+    )
+    hybrid_res = fusion.rrf_fuse_batch(
+        {"dense": dense_top, "sparse": sparse_top}, BATCH_K, id_col="id"
+    )
+    secs["hybrid_batch"] = (hybrid_res, n_hybrid)
+
+    # --- Exact cascade: part-number lookups built IN the plan (no
+    # driver-side literals) — primary field at 1.0, anti-join-gated
+    # secondary at 0.9, per-query limit window.
+    n_exact = 1000
+    prods = corpus.products(spark, sf_dir)
+    part = corpus._read(spark, sf_dir, "part")
+    exact_queries = part.filter(F.col("p_partkey") <= n_exact).select(
+        F.col("p_partkey").alias("query_id"),
+        F.concat(
+            F.upper(F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))),
+            F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+        ).alias("q"),
+    )
+    exact_res = exact.exact_cascade_batch(
+        prods, exact_queries, "partNumber_airgas_text", "manufacturerPartNumber_text"
+    )
+    secs["exact_batch"] = (exact_res, n_exact)
+
+    # --- Fusion (exact + ranked branch, max-score dedup): the full
+    # reference fusion search per part-number query.
+    n_fusion = 200
+    fusion_qs = exact_queries.filter(F.col("query_id") <= n_fusion)
+    exact_br = exact.exact_cascade_batch(
+        prods, fusion_qs, "partNumber_airgas_text", "manufacturerPartNumber_text"
+    ).select("query_id", "id", "score", F.lit("exact").alias("search_type"))
+    prod_postings = bm25.build_postings(prods, id_col="id", text_col="sparse_text")
+    fusion_qterms = part.filter(F.col("p_partkey") <= n_fusion).select(
+        F.col("p_partkey").alias("query_id"),
+        F.explode(F.array_distinct(P.tokens(F.col("p_name")))).alias("term"),
+    )
+    ranked_br = topk_ops.topk_per_group(
+        bm25.bm25_score_terms_batch(prod_postings, fusion_qterms),
+        "query_id",
+        BATCH_K,
+        id_col="id",
+    ).select("query_id", "id", "score", F.lit("vector").alias("search_type"))
+    fusion_res = fusion.max_dedup_fuse_batch(exact_br, ranked_br, BATCH_K, "id")
+    secs["fusion_batch"] = (fusion_res, n_fusion)
+
+    timings: dict[str, float] = {}
+    qps: dict[str, float] = {}
+    for name, (result, n_queries) in secs.items():
+        best, med = _time_batch(result, n_queries)
+        timings[f"{name}_{n_queries}"] = round(best, 3)
+        timings[f"{name}_{n_queries}_median"] = round(med, 3)
+        qps[f"qps_{name}_{n_queries}"] = round(n_queries / best, 1) if best > 0 else 0.0
+        print(
+            f"  {name}_{n_queries}: {best:.3f}s best / {med:.3f}s median "
+            f"-> {qps[f'qps_{name}_{n_queries}']} q/s",
+            file=sys.stderr,
+            flush=True,
+        )
+    return timings, qps
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -199,26 +337,38 @@ def main() -> None:
 
     by_name = {d.name: d.spark for d in REGISTRY}
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = by_name.get(name)
         if fn is None:
             continue
-        # Best-of-2: the first execution of a plan in a session pays
-        # one-time costs (AQE replan compilation, broadcast/persist
-        # setup) that the sf0.001 warmup tier cannot fully absorb; the
-        # BASELINE.md numbers we compare against are steady-state
-        # service latencies, so steady-state is the honest measurement.
-        best = float("inf")
-        for _ in range(2):
+        # Best-of-3 with median: the first execution of a plan in a
+        # session pays one-time costs (AQE replan compilation,
+        # broadcast/persist setup) that the sf0.001 warmup tier cannot
+        # fully absorb; the BASELINE.md numbers we compare against are
+        # steady-state service latencies, so best is the honest
+        # steady-state measurement and best-vs-median is the spread
+        # that separates contention noise from a real regression.
+        secs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr, flush=True)
+            secs.append(time.perf_counter() - t0)
+        secs.sort()
+        timings[name] = round(secs[0], 3)
+        medians[name] = round(secs[1], 3)
+        print(
+            f"  {name}: {timings[name]}s (median {medians[name]}s)",
+            file=sys.stderr,
+            flush=True,
+        )
 
     batch_sec = bench_dense_batch(spark, sf_dir)
     timings["dense_batch_1000"] = round(batch_sec, 3)
     qps = N_BATCH_QUERIES / batch_sec if batch_sec > 0 else float("inf")
+
+    batch_timings, batch_qps = bench_batch_throughput(spark, sf_dir)
+    timings.update(batch_timings)
 
     # index builds LAST: each rep clears the whole plan cache, which
     # would otherwise re-cold the persisted indexes mid-bench
@@ -232,8 +382,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": sf,
                 "qps_dense_batch_1000": round(qps, 1),
+                **batch_qps,
             }
         )
     )

@@ -226,3 +226,65 @@ def test_connected_components_star_matches_union_find(spark):
     # the min-label variant refuses the same chain under a small cap
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(pairs_df, nodes_df, max_iters=5)
+
+
+def test_exact_cascade_batch_matches_single(spark):
+    """The batched cascade equals N independent exact_cascade runs —
+    including a query that hits primary, one that only hits secondary,
+    and one that misses both (present in the batch, absent from the
+    output)."""
+    from vector_search_application_spark.operators import exact
+
+    rows = [
+        (1, "PN1", "M1"),
+        (2, "PN1", "M2"),   # duplicate primary value
+        (3, "PN3", "PN9"),
+        (4, "XX", "PN9"),   # secondary-only hit for PN9
+        (5, "XX", "PN1"),   # secondary for PN1 must be gated off (primary hit)
+    ]
+    df = spark.createDataFrame(rows, ["id", "p", "s"])
+    queries = [("PN1",), ("PN9",), ("NOPE",)]
+    qdf = spark.createDataFrame(
+        [(i, q[0]) for i, q in enumerate(queries)], ["query_id", "q"]
+    )
+    got = {
+        (r.query_id, r.id): (r.score, r.matched_field)
+        for r in exact.exact_cascade_batch(df, qdf, "p", "s").collect()
+    }
+    expected = {}
+    for qid, (q,) in enumerate(queries):
+        for r in exact.exact_cascade(df, q, "p", "s").collect():
+            expected[(qid, r.id)] = (r.score, r.matched_field)
+    assert got == expected
+    assert not [k for k in got if k[0] == 2]  # NOPE returns no rows
+
+
+def test_max_dedup_fuse_batch_matches_single(spark):
+    """Per query, the batched max-dedup fusion equals max_dedup_fuse:
+    max score on duplicate ids, 'exact+vector' labels, same top-k
+    cut with the same tie order."""
+    from vector_search_application_spark.operators import fusion as FU
+
+    exact_rows = [
+        (0, 1, 1.0, "exact"), (0, 2, 1.0, "exact"),
+        (1, 7, 0.9, "exact"),
+    ]
+    vector_rows = [
+        (0, 1, 0.5, "vector"), (0, 3, 0.8, "vector"), (0, 4, 0.8, "vector"),
+        (1, 7, 0.95, "vector"), (1, 8, 0.2, "vector"),
+    ]
+    cols = ["query_id", "id", "score", "search_type"]
+    e = spark.createDataFrame(exact_rows, cols)
+    v = spark.createDataFrame(vector_rows, cols)
+    got = {
+        (r.query_id, r.id): (r.score, r.search_type)
+        for r in FU.max_dedup_fuse_batch(e, v, k=3).collect()
+    }
+    expected = {}
+    for qid in (0, 1):
+        eq = e.filter(F.col("query_id") == qid).drop("query_id")
+        vq = v.filter(F.col("query_id") == qid).drop("query_id")
+        for r in FU.max_dedup_fuse(eq, vq, k=3).collect():
+            expected[(qid, r.id)] = (r.score, r.search_type)
+    assert got == expected
+    assert got[(1, 7)] == (0.95, "exact+vector")

@@ -2,6 +2,8 @@
 invariants that make them usable in a pipeline, beyond oracle parity
 (tests/test_registry_oracle.py checks value equality)."""
 
+import hashlib
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
@@ -60,19 +62,33 @@ def test_sample_is_subset_composable(spark):
 
 
 def test_sequence_pack_layout_invariants(spark):
-    """Packs are dense and ordered: offsets are the exclusive running
-    sum, every pack boundary falls at a multiple of the budget, and a
-    doc longer than the budget still gets exactly one slot (spanning
-    packs) rather than being dropped."""
-    rows = sorted(
-        RP.q_sequence_pack(spark, SF_SMOKE).collect(), key=lambda r: r.doc_id
-    )
-    cum = 0
+    """Packs are dense and ordered within every shard: offsets are the
+    exclusive running sum over the shard's docs in id order, every pack
+    boundary falls at a multiple of the budget, and a doc longer than
+    the budget still gets exactly one slot (spanning packs) rather than
+    being dropped. Shards are a deterministic hash of doc_id, so the
+    layout is reproducible across runs and partitionings."""
+    rows = RP.q_sequence_pack(spark, SF_SMOKE).collect()
+    by_shard = {}
     for r in rows:
-        assert r.pack_id == cum // RP.PACK_BUDGET
-        assert r.pack_offset == cum % RP.PACK_BUDGET
-        cum += r.n_tokens
-    assert rows[-1].pack_id >= 1  # fixture corpus spans multiple packs
+        assert r.pack_shard == (
+            int(
+                hashlib.md5(f"{RP.PACK_SEED}|{r.doc_id}".encode()).hexdigest()[:15],
+                16,
+            )
+            % RP.PACK_SHARDS
+        )
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    assert len(by_shard) > 1  # fixture corpus spreads across shards
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in shard_rows:
+            assert r.pack_id == cum // RP.PACK_BUDGET
+            assert r.pack_offset == cum % RP.PACK_BUDGET
+            cum += r.n_tokens
+    # fixture corpus spans multiple packs in at least one shard
+    assert max(r.pack_id for r in rows) >= 1
 
 
 def test_pii_scrub_redacts_seeded_emails(spark):

@@ -974,10 +974,32 @@ FROM ({union})
 """
 
 
+# (session, sf_dir) -> (merges, state): training is deterministic, so
+# q_bpe_train_merges and q_bpe_encode_stats running in one session share
+# one build instead of each re-running every merge round (and each
+# tracked_persist-ing ~2*BPE_MERGES+2 intermediates). Weak session keys:
+# a stopped session's entries die with it, and release_all() only drops
+# the JVM cache blocks — the memoized plans recompute, still correctly.
+_BPE_MEMO: "weakref.WeakKeyDictionary" = None  # initialized below
+
+
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the merge rounds; returns (merges DF, final state DF). The
     final state maps each distinct word to its fully-merged symbol
     string — the ENCODED vocab under the learned tokenizer."""
+    global _BPE_MEMO
+    if _BPE_MEMO is None:
+        import weakref
+
+        _BPE_MEMO = weakref.WeakKeyDictionary()
+    per_session = _BPE_MEMO.setdefault(spark, {})
+    if sf_dir in per_session:
+        return per_session[sf_dir]
+    per_session[sf_dir] = out = _bpe_train_uncached(spark, sf_dir)
+    return out
+
+
+def _bpe_train_uncached(spark: SparkSession, sf_dir: str):
     from ..functions.cache import tracked_persist
 
     docs = corpus.docs(spark, sf_dir)

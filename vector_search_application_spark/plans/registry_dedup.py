@@ -18,6 +18,7 @@ from ..functions import text as T
 from ..operators import ann, dedup
 from . import corpus
 from .constants import (
+    IVF_CENTROIDS,
     IVF_PROBES,
     JACCARD_THRESHOLD,
     K,
@@ -329,7 +330,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH cents AS (
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < 8
+    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
 ),
 assigned AS (
     SELECT id, centroid_id AS cell FROM (
@@ -456,7 +457,7 @@ IVF_BATCH_NQ = 20
     f"""
 WITH cents AS (
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < 8
+    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
 ),
 assigned AS (
     SELECT id, centroid_id AS cell FROM (
@@ -752,7 +753,7 @@ FILTER_LABEL = 3
     f"""
 WITH cents AS (
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < 8
+    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
 ),
 assigned AS (
     SELECT id, centroid_id AS cell FROM (

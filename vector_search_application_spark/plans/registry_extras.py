@@ -497,7 +497,11 @@ lut AS (
     FROM cb c CROSS JOIN q
 ),
 adc AS (
-    SELECT cd.vec_id, round(CAST(sum(l.w) AS DOUBLE), 6) AS adc_score
+    SELECT cd.vec_id,
+           -- ordered left fold, NOT sum(): Spark's ADC folds the LUT
+           -- in s-order in-row; an arbitrary-order GROUP BY sum could
+           -- round differently at a 0.5e-6 boundary
+           round(CAST(list_aggregate(list(l.w ORDER BY cd.s), 'sum') AS DOUBLE), 6) AS adc_score
     FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
     GROUP BY cd.vec_id
 ),
@@ -598,7 +602,11 @@ lut AS (
     FROM cb c CROSS JOIN q
 ),
 adc AS (
-    SELECT cd.vec_id, round(CAST(sum(l.w) AS DOUBLE), 6) AS adc_score
+    SELECT cd.vec_id,
+           -- ordered left fold, NOT sum(): Spark's ADC folds the LUT
+           -- in s-order in-row; an arbitrary-order GROUP BY sum could
+           -- round differently at a 0.5e-6 boundary
+           round(CAST(list_aggregate(list(l.w ORDER BY cd.s), 'sum') AS DOUBLE), 6) AS adc_score
     FROM codes cd
     JOIN cells ce ON ce.vec_id = cd.vec_id
     JOIN qcells qc ON qc.cell = ce.cell

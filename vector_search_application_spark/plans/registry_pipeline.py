@@ -118,21 +118,28 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 2048  # tokens per packed sequence
+PACK_SHARDS = 16    # independent packing streams (one window partition each)
+PACK_SEED = "pack-shard-v1"
+
+_PACK_SHARD = f"{P.md5_long_sql('CAST(doc_id AS VARCHAR)', PACK_SEED)} % {PACK_SHARDS}"
 
 _PACK_SQL = f"""
 WITH toks AS (
-    SELECT doc_id, {P.token_count_sql('text')}::BIGINT AS n_tokens
+    SELECT doc_id,
+           CAST({_PACK_SHARD} AS BIGINT) AS pack_shard,
+           {P.token_count_sql('text')}::BIGINT AS n_tokens
     FROM documents
 ),
 runs AS (
-    SELECT doc_id, n_tokens,
+    SELECT doc_id, pack_shard, n_tokens,
            sum(n_tokens) OVER (
+               PARTITION BY pack_shard
                ORDER BY doc_id ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) - n_tokens AS cum_before
     FROM toks
 )
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_tokens, pack_shard,
        CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
        CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM runs
@@ -141,23 +148,29 @@ FROM runs
 
 @declare("sequence_pack", _PACK_SQL, survey_ids="pipeline-pack")
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contiguous sequence packing for LLM training: docs in stable id
-    order are laid end-to-end into {PACK_BUDGET}-token sequences; each
-    doc gets (pack_id, pack_offset) from an exclusive running token
-    sum. One window pass defines the whole layout.
-
-    Scale shape: the global running sum is the one operation here that
-    doesn't scale as written (a single ordered window). At 100 TB you
-    run the identical plan PER SHARD (partitionBy(shard) in the window
-    spec) and make pack_id globally unique as (shard, local pack_id) —
-    packing never needs cross-shard order, only stable within-shard
-    order. The fixture corpus is one shard of that plan."""
+    """Contiguous sequence packing for LLM training: within each of
+    {PACK_SHARDS} deterministic hash shards, docs in stable id order
+    are laid end-to-end into {PACK_BUDGET}-token sequences; each doc
+    gets (pack_shard, pack_id, pack_offset) from an exclusive running
+    token sum, with (pack_shard, pack_id) the globally unique sequence
+    key. Packing never needs cross-shard order — only a stable order
+    within each shard — so the running-sum window partitions by shard:
+    {PACK_SHARDS}-way reducer parallelism here, and at 100 TB you raise
+    PACK_SHARDS to the cluster width and the per-reducer input stays
+    bounded (corpus/PACK_SHARDS rows of two longs). The earlier global
+    form (ORDER BY with no partition) funneled the whole corpus through
+    one reducer — the exact plan Spark's WindowExec warns about."""
     docs = corpus.docs(spark, sf_dir)
     toks = docs.select(
-        "doc_id", P.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+        "doc_id",
+        (P.md5_long(F.col("doc_id").cast("string"), PACK_SEED) % PACK_SHARDS)
+        .cast("bigint")
+        .alias("pack_shard"),
+        P.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
     )
     w = (
-        Window.orderBy(F.asc("doc_id"))
+        Window.partitionBy("pack_shard")
+        .orderBy(F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     runs = toks.withColumn(
@@ -166,6 +179,7 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.select(
         "doc_id",
         "n_tokens",
+        "pack_shard",
         (F.col("cum_before") / PACK_BUDGET).cast("bigint").alias("pack_id"),
         (F.col("cum_before") % PACK_BUDGET).cast("bigint").alias("pack_offset"),
     )
