@@ -414,10 +414,57 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.rerank import MMR_CANDIDATES, MMR_LAMBDA  # noqa: E402
+from .constants import QUERY_VEC_ID as _MMR_QID  # noqa: E402
+
+# exact double literals: Spark's greedy computes lam*score - (1-lam)*sim
+# with (1.0 - 0.7) == 0.30000000000000004; writing 0.3 in the SQL would
+# diverge at the rounding grain
+_MMR_LAM = repr(MMR_LAMBDA)
+_MMR_ONE_MINUS = repr(1.0 - MMR_LAMBDA)
+
+_MMR_SQL = f"""
+WITH RECURSIVE q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {_MMR_QID}),
+cand AS (
+    SELECT e.vec_id AS id,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score,
+           e.embedding AS vec
+    FROM embeddings e CROSS JOIN q
+    ORDER BY score DESC, id ASC
+    LIMIT {MMR_CANDIDATES}
+),
+sel AS (
+    (SELECT 1 AS rank, id, score, score AS mmr, [vec] AS vecs, [id] AS ids
+     FROM cand ORDER BY score DESC, id ASC LIMIT 1)
+    UNION ALL
+    (SELECT s.rank + 1, p.id, p.score, p.mmr,
+            list_append(s.vecs, p.vec), list_append(s.ids, p.id)
+     FROM sel s, LATERAL (
+         SELECT c.id, c.score, c.vec,
+                round(({_MMR_LAM} * c.score - {_MMR_ONE_MINUS} *
+                    max({P.rounded_sql(P.cosine_sql('c.vec', 'u.v'))})
+                )::DOUBLE, 6) AS mmr
+         FROM cand c CROSS JOIN unnest(s.vecs) AS u(v)
+         WHERE NOT list_contains(s.ids, c.id)
+         GROUP BY c.id, c.score, c.vec
+         ORDER BY mmr DESC, c.id ASC LIMIT 1
+     ) p
+     WHERE s.rank < {K})
+)
+SELECT CAST(rank AS INT) AS rank, id AS vec_id,
+       score::DOUBLE AS score, mmr::DOUBLE AS mmr
+FROM sel ORDER BY rank
+"""
+
+
 @declare(
     "mmr_rerank_topk",
-    None,  # inherently sequential greedy selection: no closed-form SQL
-    # oracle; exact python-model equality asserted in tests/test_rerank.py
+    # the greedy selection IS expressible as a recursive CTE: each
+    # iteration's argmax over (rounded) scores is one LATERAL row, and
+    # per-pair sims round BEFORE the max, so the max is order-independent
+    # (the module's float-comparison discipline). Exact python-model
+    # equality additionally asserted in tests/test_rerank.py.
+    _MMR_SQL,
     survey_ids="V5,rerank-mmr",
 )
 def q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
