@@ -767,6 +767,204 @@ def q_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q1/F5 batched: exact cascade over a query-string batch
+# ---------------------------------------------------------------------------
+# The batch mixes all three cascade outcomes: partkeys 1-10 query by part
+# number (primary hit at 1.0), 11-15 by bare manufacturer number
+# (secondary-only hit at 0.9, gated per query), 16 queries a string that
+# matches nothing (present in the batch, absent from the output).
+
+CASCADE_BATCH_PRIMARY_N = 10
+CASCADE_BATCH_N = 15
+
+_CASCADE_BATCH_QS = f"""
+qs AS (
+    SELECT p_partkey AS query_id,
+           CASE WHEN p_partkey <= {CASCADE_BATCH_PRIMARY_N}
+                THEN upper(replace(p_brand, '#', ''))
+                     || lpad(p_partkey::VARCHAR, 7, '0')
+                ELSE lpad(p_partkey::VARCHAR, 7, '0') END AS q
+    FROM part WHERE p_partkey <= {CASCADE_BATCH_N}
+    UNION ALL
+    SELECT {CASCADE_BATCH_N + 1} AS query_id, 'NONEXISTENT123' AS q
+)"""
+
+
+@declare(
+    "exact_cascade_batch",
+    f"""
+WITH {corpus.PRODUCTS_CTE},
+{_CASCADE_BATCH_QS},
+prim AS (
+    SELECT query_id, id, 1.0::DOUBLE AS score,
+           'partNumber_airgas_text' AS matched_field
+    FROM (
+        SELECT qs.query_id, p.id,
+               row_number() OVER (
+                   PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
+        FROM products p JOIN qs
+          ON p.partNumber_airgas_text = upper(trim(qs.q))
+    ) WHERE rn <= 10
+),
+sec AS (
+    SELECT query_id, id, 0.9::DOUBLE AS score,
+           'manufacturerPartNumber_text' AS matched_field
+    FROM (
+        SELECT qs.query_id, p.id,
+               row_number() OVER (
+                   PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
+        FROM products p JOIN qs
+          ON p.manufacturerPartNumber_text = upper(trim(qs.q))
+    ) WHERE rn <= 10
+)
+SELECT * FROM prim
+UNION ALL
+SELECT * FROM sec WHERE query_id NOT IN (SELECT query_id FROM prim)
+""",
+    survey_ids="Q1,F5,C2",
+)
+def q_exact_cascade_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact cascade (operators/exact.exact_cascade_batch): the
+    broadcast query table probes the corpus by hash equi-join on each
+    payload field — never one job per query — with a per-query limit
+    window over matched rows only and a broadcast anti-join standing in
+    for the single query's 1-row count gate. The serving shape the
+    amortized exact_batch bench row measures."""
+    prods = corpus.products(spark, sf_dir)
+    part = corpus._read(spark, sf_dir, "part")
+    base = part.filter(F.col("p_partkey") <= CASCADE_BATCH_N).select(
+        F.col("p_partkey").alias("query_id"),
+        F.when(
+            F.col("p_partkey") <= CASCADE_BATCH_PRIMARY_N,
+            F.concat(
+                F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
+                F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+            ),
+        )
+        .otherwise(F.lpad(F.col("p_partkey").cast("string"), 7, "0"))
+        .alias("q"),
+    )
+    miss = part.filter(F.col("p_partkey") == 1).select(
+        F.lit(CASCADE_BATCH_N + 1).cast("bigint").alias("query_id"),
+        F.lit("NONEXISTENT123").alias("q"),
+    )
+    return exact.exact_cascade_batch(
+        prods,
+        base.unionByName(miss),
+        "partNumber_airgas_text",
+        "manufacturerPartNumber_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4/F3 batched: fusion search (exact + ranked branch) per query
+# ---------------------------------------------------------------------------
+
+FUSION_BATCH_NQ = 8
+
+
+@declare(
+    "fusion_max_dedup_batch",
+    f"""
+WITH {corpus.PRODUCTS_CTE},
+{sqlfrag.postings_ctes("products", "id", "sparse_text")},
+qs AS (
+    SELECT p_partkey AS query_id,
+           upper(replace(p_brand, '#', ''))
+               || lpad(p_partkey::VARCHAR, 7, '0') AS q
+    FROM part WHERE p_partkey <= {FUSION_BATCH_NQ}
+),
+exact_b AS (
+    SELECT query_id, id, 1.0::DOUBLE AS score, 'exact' AS search_type
+    FROM (
+        SELECT qs.query_id, p.id,
+               row_number() OVER (
+                   PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
+        FROM products p JOIN qs
+          ON p.partNumber_airgas_text = upper(trim(qs.q))
+    ) WHERE rn <= 10
+),
+qterms_b AS (
+    SELECT p_partkey AS query_id,
+           unnest(list_distinct({P.tokens_sql('p_name')})) AS term
+    FROM part WHERE p_partkey <= {FUSION_BATCH_NQ}
+),
+bm25_matched_f AS (
+    SELECT qb.query_id, p.id,
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf::DOUBLE * {BM25_K1 + 1.0})
+             / (p.tf::DOUBLE + {BM25_K1}
+                * ({1.0 - BM25_B} + {BM25_B} * p.doc_len::DOUBLE / s.avgdl))
+               AS w
+    FROM postings p
+    JOIN qterms_b qb USING (term)
+    JOIN dfreq d USING (term)
+    CROSS JOIN stats s
+),
+vector_b AS (
+    SELECT query_id, id, score, 'vector' AS search_type FROM (
+        SELECT query_id, id, {P.rounded_sql('sum(w)')} AS score,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {P.rounded_sql('sum(w)')} DESC, id ASC) AS rn
+        FROM bm25_matched_f GROUP BY query_id, id
+    ) WHERE rn <= {K}
+),
+unioned AS (
+    SELECT * FROM exact_b UNION ALL SELECT * FROM vector_b
+),
+fused AS (
+    SELECT query_id, id, max(score) AS score,
+           concat_ws('+',
+               CASE WHEN max(CASE WHEN search_type = 'exact' THEN 1 END)
+                    IS NOT NULL THEN 'exact' END,
+               CASE WHEN max(CASE WHEN search_type = 'vector' THEN 1 END)
+                    IS NOT NULL THEN 'vector' END) AS search_type
+    FROM unioned GROUP BY query_id, id
+)
+SELECT query_id, id, score, search_type FROM (
+    SELECT query_id, id, score, search_type,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, id ASC) AS rn
+    FROM fused
+) WHERE rn <= {K}
+""",
+    survey_ids="V4,F3",
+)
+def q_fusion_max_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched fusion search (operators/fusion.max_dedup_fuse_batch):
+    per part-number query an exact branch and a BM25-ranked branch over
+    the product postings, fused by per-(query_id, id) max-score dedup
+    with exact-first labels — the whole batch one plan, every per-query
+    rank a window keyed on query_id."""
+    prods = corpus.products(spark, sf_dir)
+    part = corpus._read(spark, sf_dir, "part")
+    qs = part.filter(F.col("p_partkey") <= FUSION_BATCH_NQ).select(
+        F.col("p_partkey").alias("query_id"),
+        F.concat(
+            F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
+            F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+        ).alias("q"),
+    )
+    exact_br = (
+        exact.exact_cascade_batch(
+            prods, qs, "partNumber_airgas_text", "manufacturerPartNumber_text"
+        )
+        .filter(F.col("matched_field") == "partNumber_airgas_text")
+        .select("query_id", "id", "score", F.lit("exact").alias("search_type"))
+    )
+    qterms = part.filter(F.col("p_partkey") <= FUSION_BATCH_NQ).select(
+        F.col("p_partkey").alias("query_id"),
+        F.explode(F.array_distinct(P.tokens(F.col("p_name")))).alias("term"),
+    )
+    postings = bm25.build_postings(prods, id_col="id", text_col="sparse_text")
+    vector_br = topk.topk_per_group(
+        bm25.bm25_score_terms_batch(postings, qterms), "query_id", K, id_col="id"
+    ).select("query_id", "id", "score", F.lit("vector").alias("search_type"))
+    return fusion.max_dedup_fuse_batch(exact_br, vector_br, K, "id")
+
+
 from . import registry_pipeline  # noqa: E402,F401
 from . import registry_curation  # noqa: E402,F401
 
