@@ -62,6 +62,10 @@ PROBE_QUERIES = [
     "mixture_sample",
     "training_manifest_full",
     "bpe_train_merges",
+    "bm25_topk_batch",
+    "hybrid_rrf_batch",
+    "exact_cascade_batch",
+    "fusion_max_dedup_batch",
 ]
 
 
