@@ -370,6 +370,26 @@ def main() -> None:
     batch_timings, batch_qps = bench_batch_throughput(spark, sf_dir)
     timings.update(batch_timings)
 
+    # BASELINE.md gate: amortized per-query time within 2x the reference's
+    # WORST-case claimed latency per family (gate q/s = 1 / (2 * worst)).
+    worst_ms = {"dense": 40.0, "bm25": 15.0, "hybrid": 50.0, "exact": 5.0,
+                "fusion": 30.0}
+    fam_qps = {
+        "dense": qps,
+        "bm25": batch_qps.get("qps_bm25_batch_500", 0.0),
+        "hybrid": batch_qps.get("qps_hybrid_batch_200", 0.0),
+        "exact": batch_qps.get("qps_exact_batch_1000", 0.0),
+        "fusion": batch_qps.get("qps_fusion_batch_200", 0.0),
+    }
+    gates = {
+        fam: {
+            "qps": round(fam_qps[fam], 1),
+            "gate_qps": round(1000.0 / (2.0 * worst_ms[fam]), 1),
+            "pass": fam_qps[fam] >= 1000.0 / (2.0 * worst_ms[fam]),
+        }
+        for fam in worst_ms
+    }
+
     # index builds LAST: each rep clears the whole plan cache, which
     # would otherwise re-cold the persisted indexes mid-bench
     timings.update(bench_index_builds(spark, sf_dir))
@@ -386,6 +406,7 @@ def main() -> None:
                 "sf": sf,
                 "qps_dense_batch_1000": round(qps, 1),
                 **batch_qps,
+                "baseline_gates": gates,
             }
         )
     )
