@@ -167,3 +167,37 @@ def test_load_data_route(served, tmp_path):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "Invalid JSON" in json.loads(e.read())["error"]
+
+
+def test_really_fast_optimize_and_stats_routes(served):
+    """The three remaining §2.16 routes: really-fast (alias of
+    ultra-fast — same rows), POST optimize (per-service warmup report),
+    and per-collection stats (real counts where the reference hardcodes
+    zeros)."""
+    engine, base = served
+    status, body = _get(f"{base}/api/search/really-fast?q=large+widget&count=5")
+    assert status == 200
+    want = [r.asDict() for r in engine.search_ultra_fast("large widget", 5).collect()]
+    assert body["results"] == want
+
+    req = urllib.request.Request(f"{base}/api/search/optimize", method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        opt = json.loads(r.read())
+    assert opt["status"] == "completed"
+    assert set(opt["optimization_results"]) == {
+        "search_service", "ultra_search_service",
+        "lean_search_service", "really_fast_service",
+    }
+    for svc in opt["optimization_results"].values():
+        assert svc["status"] == "optimized" and svc["rows_resident"] > 0
+
+    _, stats = _get(f"{base}/api/collections/products/stats")
+    assert stats["points_count"] == engine.products.count()
+    assert stats["segments_count"] >= 1
+    _, other = _get(f"{base}/api/collections/nope/stats")
+    assert other["points_count"] == 0
+
+    # really-fast gets its own perf-stats bucket, like the reference's
+    # per-service tracking
+    _, perf = _get(f"{base}/api/search/performance-stats")
+    assert "really_fast" in perf

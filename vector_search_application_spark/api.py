@@ -170,6 +170,59 @@ class Engine:
         self._track("lean", (time.perf_counter() - t0) * 1000)
         return out
 
+    def search_really_fast(self, q: str, count: int = 10) -> DataFrame:
+        """GET /api/search/really-fast: the reference keeps this as a
+        backward-compatibility alias of ultra-fast (its own docstring,
+        app/api/endpoints/search.py:257-262) — same dense path, its own
+        perf-stats bucket."""
+        t0 = time.perf_counter()
+        out = self._dense_branch(q, count).localCheckpoint(eager=True)
+        self._track("really_fast", (time.perf_counter() - t0) * 1000)
+        return out
+
+    def optimize(self) -> dict:
+        """POST /api/search/optimize (reference
+        app/api/endpoints/search.py:376-406): warm every search service
+        for steady-state latency. Spark-first warmup = force the
+        persisted index tables to materialize their cache blocks (the
+        reference's per-service optimize_for_collection is an HNSW/ef
+        warmup; ours is the cache-residency equivalent)."""
+        out = {}
+        for name, df in (
+            ("search_service", self.products),
+            ("ultra_search_service", self.dense_index),
+            ("lean_search_service", self.sparse_postings),
+            ("really_fast_service", self.dense_index),
+        ):
+            t0 = time.perf_counter()
+            n = df.count()  # touches every cached block
+            out[name] = {
+                "status": "optimized",
+                "rows_resident": n,
+                "warmup_ms": round((time.perf_counter() - t0) * 1000, 1),
+            }
+        return {"status": "completed", "optimization_results": out}
+
+    def collection_stats(self, collection_name: str) -> dict:
+        """GET /api/collections/{name}/stats: the reference returns
+        hardcoded zero placeholders (app/main.py:172-187); returning
+        real counts is a documented fidelity improvement (same shape,
+        honest values)."""
+        if collection_name != "products":
+            return {
+                "collection": collection_name,
+                "vectors_count": 0,
+                "points_count": 0,
+                "segments_count": 0,
+            }
+        n = self.products.count()
+        return {
+            "collection": collection_name,
+            "vectors_count": n,
+            "points_count": n,
+            "segments_count": self.products.rdd.getNumPartitions(),
+        }
+
     def search_fusion(self, q: str, count: int = 10) -> DataFrame:
         """V4: exact(k) + vector(2k) -> max-score dedup (F3)."""
         t0 = time.perf_counter()

@@ -22,6 +22,9 @@ paths:
                                       -> Engine.search()     (V5 + Q2)
   GET  /api/search/ultra-fast?q=      -> Engine.search_ultra_fast()
   GET  /api/search/lean?q=            -> Engine.search_lean()
+  GET  /api/search/really-fast?q=     -> Engine.search_really_fast() (alias)
+  POST /api/search/optimize           -> Engine.optimize()  (service warmup)
+  GET  /api/collections/{c}/stats     -> Engine.collection_stats()
   GET  /api/search/fusion?q=          -> Engine.search_fusion()  (V4)
   GET  /api/search/compare?q=         -> Engine.compare()        (V7)
   GET  /api/search/performance-stats  -> Engine.performance_stats()
@@ -163,6 +166,13 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     )
                 elif parsed.path == "/api/search/lean":
                     self._send(200, self._envelope(q, engine.search_lean(q, count)))
+                elif parsed.path == "/api/search/really-fast":
+                    # reference: backward-compat alias of ultra-fast
+                    # (app/api/endpoints/search.py:257-262)
+                    self._send(
+                        200,
+                        self._envelope(q, engine.search_really_fast(q, count)),
+                    )
                 elif parsed.path == "/api/search/fusion":
                     self._send(
                         200, self._envelope(q, engine.search_fusion(q, count))
@@ -214,6 +224,12 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                 elif parsed.path == "/api/reset":
                     engine.reset()
                     self._send(200, {"status": "reset"})
+                elif (
+                    parsed.path.startswith("/api/collections/")
+                    and parsed.path.endswith("/stats")
+                ):
+                    name = parsed.path[len("/api/collections/"):-len("/stats")]
+                    self._send(200, engine.collection_stats(name))
                 else:
                     self._send(404, {"error": f"unknown route {parsed.path}"})
             except KeyError as e:  # missing required query param
@@ -228,6 +244,14 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
             qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            if parsed.path == "/api/search/optimize":
+                # reference: warm every search service
+                # (app/api/endpoints/search.py:376-406)
+                try:
+                    self._send(200, engine.optimize())
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"[:2000]})
+                return
             if parsed.path != "/api/load-data":
                 self._send(404, {"error": f"unknown route {parsed.path}"})
                 return
