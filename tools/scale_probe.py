@@ -204,12 +204,17 @@ multiple means the plan is still overhead-bound at x{kmax} — the search
 family (dense/bm25/hybrid/IVF) and the keyed event plans all land at
 1-7x for 100x the rows, i.e. the data-dependent stages are scan-shaped
 map work plus bounded shuffles, exactly what survives adding executors.
-The per-document featurization family (quality_filter_funnel,
-text_repetition, source_data_card, training_manifest_full) is the
-compute-bound tail: each runs tokenize/hash/fold work over every row,
-so it scales linearly with corpus size and parallelizes by partition —
-the expected asymptote for per-document work, addressed with
-executors, not plan shape. bpe_train_merges is the counterpoint: FLAT at 100x (1.0x) — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
+The per-document featurization family (text_repetition,
+source_data_card, training_manifest_full) is the compute-bound tail:
+each runs tokenize/regex/fold work over every row, so it scales
+linearly with corpus size and parallelizes by partition — the expected
+asymptote for per-document work, addressed with executors, not plan
+shape. quality_filter_funnel used to lead this tail (56x) until the
+punct-strip regexp_replace was replaced by a translate() char map —
+now 2-3x, i.e. overhead-bound; what remains of the tail is the PII
+email regex (source_data_card) and the n-gram construction + sorted
+run-fold (text_repetition), both irreducibly per-row.
+bpe_train_merges is the counterpoint: FLAT at 100x (1.0x) — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
 Queries are forced via a one-row xxhash64 aggregate over every output
