@@ -204,3 +204,26 @@ def test_bpe_merges_match_python_reference(spark):
     )
     want = [(k + 1, a, b, f) for k, (a, b, f) in enumerate(expected)]
     assert got == want
+
+
+def test_quality_score_delegation_parity(spark):
+    """quality_score delegates to the bind-once quality_features barrier;
+    this pins it exactly equal to the direct inline formulation on the
+    real corpus (same rounding, same zero-token branch)."""
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+    from vector_search_application_spark.functions import text as T
+    from vector_search_application_spark.plans import corpus
+
+    docs = corpus.docs(spark, SF_SMOKE)
+    n = (
+        docs.select(
+            (
+                T.quality_score(F.col("text"))
+                != T._quality_score_inline(F.col("text"))
+            ).cast("int").alias("d")
+        )
+        .agg(F.sum("d").alias("n"))
+        .first()["n"]
+    )
+    assert n == 0
