@@ -396,3 +396,22 @@ def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
     # hour-8 window finalized with ONE event; the late row was dropped
     # (batch semantics would count 2)
     assert got[8 * 3600 * 1000] == 1
+
+
+def test_stream_dedup_ingest_drops_across_batches(spark):
+    """The settled table equals the batch exact-dedup canonical set:
+    one survivor (doc 0) for the seeded 50-doc duplicate clique that
+    spans every micro-batch shard, all other docs untouched — proving
+    the anti-join dropped rows in LATER batches, not just within the
+    first one."""
+    from vector_search_application_spark.plans.registry_streaming import (
+        q_stream_dedup_ingest,
+    )
+
+    rows = {r.doc_id: r for r in q_stream_dedup_ingest(spark, SF_SMOKE).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    n_seeded = len([i for i in range(0, n_docs, 1) if i % 10 == 0])
+    assert len(rows) == n_docs - (n_seeded - 1)
+    assert 0 in rows and rows[0].text == "duplicate seed block"
+    # every later clique member (each lands in a different shard) is gone
+    assert all(doc_id not in rows for doc_id in range(10, n_docs, 10) if doc_id != 0)

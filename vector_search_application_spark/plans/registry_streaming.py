@@ -325,3 +325,43 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_a_us",
         F.coalesce(F.col("__conv"), F.lit(False)).alias("converted"),
     )
+
+
+# --- streaming dedup-at-ingest --------------------------------------------
+
+# first occurrence per content hash in doc_id order == the batch
+# exact-dedup canonical set: shards stream in ascending doc_id ranges,
+# so "first batch that saw the hash, min doc_id within it" is the
+# global min doc_id per hash. Every 10th doc is seeded as an identical
+# boilerplate block before ingest (the corpus has no exact dups at the
+# gate SFs), so the clique spans every shard and the oracle proves rows
+# were actually dropped within AND across batches.
+_STREAM_DEDUP_SQL = """
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'duplicate seed block'
+                ELSE text END AS text,
+           lang, source, n_chars
+    FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS __cid
+    FROM seeded
+) WHERE doc_id = __cid
+""".strip()
+
+
+@declare(
+    "stream_dedup_ingest",
+    _STREAM_DEDUP_SQL,
+    survey_ids="dedup-exact,S5,streaming-ingest",
+)
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AT INGEST as a real streaming query: doc_id-range
+    shards arrive one micro-batch each; every batch dedups within
+    itself and anti-joins its content hashes against the accumulated
+    sink table (the table IS the seen-hash state — checkpointed restart
+    resumes with exactly the hashes already written). Duplicates never
+    reach the corpus table; the settled table equals the batch
+    exact-dedup canonical set."""
+    return ingest.stream_dedup_ingest(spark, sf_dir)

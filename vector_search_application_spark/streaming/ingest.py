@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -379,3 +379,95 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out).withColumnRenamed("id", "doc_id")
+
+
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup AT INGEST: each micro-batch keeps only
+    docs whose content hash was not seen in any earlier batch (first
+    occurrence wins), composing the dedup family (operators/dedup
+    exact_dedup semantics) with the incremental ingest path — the shape
+    a production corpus pipeline runs so duplicates never reach the
+    training table at all.
+
+    Mechanics: the corpus is split into doc_id-range shards streamed
+    one file per micro-batch (maxFilesPerTrigger=1; mtimes + paths make
+    the order deterministic and ascending). foreachBatch dedups within
+    the batch (min doc_id per sha256), then drops any doc whose hash
+    already exists in the SINK TABLE — the accumulated table IS the
+    seen-hash state, so there is no separate state store and a
+    checkpointed restart resumes with exactly the hashes it already
+    wrote. At scale the anti-join probes only the batch's hashes
+    against a hash-bucketed table, not corpus x corpus.
+
+    Settled table = first occurrence per hash in doc_id order, i.e.
+    exactly the batch exact-dedup canonical set (the oracle).
+    """
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src_dir = os.path.join(work, "source")
+    out = os.path.join(work, "table")
+    ckpt = os.path.join(work, "checkpoint")
+    os.makedirs(src_dir)
+
+    # every 10th doc becomes an identical boilerplate block BEFORE
+    # ingest (the testdata corpus has no exact duplicates at the gate
+    # SFs — text_pii_scrub's seeding convention): one clique spanning
+    # every shard, so BOTH the within-batch min-per-hash and the
+    # cross-batch anti-join provably drop rows; doc 0 survives for it.
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.lit("duplicate seed block")
+        ).otherwise(F.col("text")),
+    )
+    hi = docs.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+    n_shards = 4
+    step = hi // n_shards + 1
+    import glob as _glob
+    import shutil as _shutil
+
+    for i in range(n_shards):
+        shard_dir = os.path.join(work, f"shard{i}")
+        (
+            docs.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(shard_dir)
+        )
+        part = _glob.glob(os.path.join(shard_dir, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"{i:02d}.parquet")
+        _shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = docs.schema
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        hashed = batch.withColumn("__h", F.sha2(F.col("text"), 256))
+        w_min = F.min("doc_id").over(Window.partitionBy("__h"))
+        in_batch = hashed.withColumn("__cid", w_min).filter(
+            F.col("doc_id") == F.col("__cid")
+        ).drop("__cid")
+        from ..sources import layout as _layout
+
+        if _layout.table_has_data(s, out):
+            seen = s.read.parquet(out).select("__h").distinct()
+            in_batch = in_batch.join(seen, "__h", "left_anti")
+        in_batch.write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).drop("__h")
+
