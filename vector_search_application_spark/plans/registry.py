@@ -1009,12 +1009,15 @@ DRIVER_WINDOW = [
     "temperature_mixture", "epoch_shuffle", "chunk_embed_pool",
     "source_data_card", "retrieval_manifest", "mixture_sample",
     "training_manifest_full", "bpe_encode_stats",
-    # --- driver rows only from r1/r2; re-bank under the current engine (16) ---
+    # --- driver rows only from r1/r2; re-bank under the current engine (13) ---
     "doc_content_hash", "version_history", "version_archive", "version_get",
     "partno_explain", "search_ids_projection", "compare_preview",
     "event_props_agg", "event_value_median", "dedup_ngram_jaccard",
     "ivf_topk_batch", "doc_fingerprint", "token_stats_bpe",
-    "embed_documents", "embed_query", "directory_import_full",
+    # --- new in round 5, no prior row anywhere (3); the three r1/r2-green
+    # queries they displace (embed_documents, embed_query,
+    # directory_import_full) keep their banked rows + the pytest net ---
+    "exact_cascade_batch", "fusion_max_dedup_batch", "stream_dedup_ingest",
 ]
 
 
