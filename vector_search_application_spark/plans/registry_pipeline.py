@@ -278,6 +278,13 @@ def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECON_N = 5        # n-gram size (13 in prod pipelines; 5 fits fixture docs)
 DECON_MIN_OVERLAP = 3  # shared shingles before an eval doc counts as hit
+# shingles appearing in more docs than this are boilerplate, not
+# contamination evidence — dropping them bounds the collision join's
+# fan-out at cap^2 rows per shingle (without it, one hot shingle in t
+# train and e test docs makes t*e pairs — the term that explodes at
+# 1000x corpus scale). Far above the fixture's max df (3 at sf0.01),
+# so gate-SF results are unchanged.
+DECON_DF_CAP = 100
 
 _DECON_SQL = f"""
 WITH assigned AS ({_SPLIT_SQL}),
@@ -285,7 +292,7 @@ toks AS (
     SELECT d.doc_id, a.split, {P.tokens_sql('d.text')} AS toks
     FROM documents d JOIN assigned a USING (doc_id)
 ),
-shing AS (
+shing_all AS (
     SELECT DISTINCT doc_id, split, sh FROM (
         SELECT doc_id, split,
                unnest(list_transform(
@@ -294,6 +301,11 @@ shing AS (
                )) AS sh
         FROM toks WHERE len(toks) >= {DECON_N}
     )
+),
+shing AS (
+    SELECT s.* FROM shing_all s
+    JOIN (SELECT sh FROM shing_all GROUP BY sh
+          HAVING count(*) <= {DECON_DF_CAP}) r USING (sh)
 ),
 hits AS (
     SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
@@ -320,9 +332,11 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= {DECON_MIN_OVERLAP} distinct {DECON_N}-gram shingles with any
     train-split doc — the check a training pipeline runs before
     trusting held-out numbers. The collision join is BLOCKED on the
-    shingle (an equi-join, never eval x train pairs); both aggregations
-    are map-side-combinable. At 100 TB the eval side is tiny, so the
-    join broadcasts it and the train corpus never shuffles."""
+    shingle (an equi-join, never eval x train pairs) and boilerplate
+    shingles (df > {DECON_DF_CAP}) are dropped first, bounding per-
+    shingle join fan-out at cap^2; both aggregations are map-side-
+    combinable. At 100 TB the eval side is tiny, so the join broadcasts
+    it and the train corpus never shuffles."""
     from ..operators.dedup import shingles
 
     docs = corpus.docs(spark, sf_dir)
@@ -338,6 +352,13 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(assigned, "doc_id", "text", n=DECON_N).join(
         assigned.select(F.col("doc_id").alias("id"), "split"), "id"
     )
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= DECON_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(rare, "sh")
     ev = sh.filter(F.col("split") == "test").select(
         F.col("id").alias("eval_id"), "sh"
     )
@@ -685,7 +706,7 @@ assigned AS (
                 ELSE 'test' END AS split
     FROM uniq
 ),
-mshing AS (
+mshing_all AS (
     SELECT DISTINCT doc_id, split, sh FROM (
         SELECT doc_id, split,
                unnest(list_transform(
@@ -695,6 +716,11 @@ mshing AS (
         FROM (SELECT doc_id, split, {P.tokens_sql('text')} AS toks FROM assigned)
         WHERE len(toks) >= {DECON_N}
     )
+),
+mshing AS (
+    SELECT s.* FROM mshing_all s
+    JOIN (SELECT sh FROM mshing_all GROUP BY sh
+          HAVING count(*) <= {DECON_DF_CAP}) r USING (sh)
 ),
 mhits AS (
     SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
@@ -786,6 +812,15 @@ def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(assigned, "doc_id", "text", n=DECON_N).join(
         assigned.select(F.col("doc_id").alias("id"), "split"), "id"
     )
+    # boilerplate-shingle cap: bounds the train x test collision join's
+    # per-shingle fan-out at cap^2 (see benchmark_decontaminate)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= DECON_DF_CAP)
+        .select("sh")
+    )
+    sh = sh.join(rare, "sh")
     tr = sh.filter(F.col("split") == "train").select(
         F.col("id").alias("train_id"), "sh"
     )
