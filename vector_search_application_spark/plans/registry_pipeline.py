@@ -349,8 +349,14 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
-    sh = shingles(assigned, "doc_id", "text", n=DECON_N).join(
-        assigned.select(F.col("doc_id").alias("id"), "split"), "id"
+    from ..functions.cache import tracked_persist
+
+    # persist: the shingle lineage feeds the df count AND both join
+    # sides — see training_manifest_full's identical note
+    sh = tracked_persist(
+        shingles(assigned, "doc_id", "text", n=DECON_N).join(
+            assigned.select(F.col("doc_id").alias("id"), "split"), "id"
+        )
     )
     rare = (
         sh.groupBy("sh")
@@ -809,8 +815,15 @@ def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
-    sh = shingles(assigned, "doc_id", "text", n=DECON_N).join(
-        assigned.select(F.col("doc_id").alias("id"), "split"), "id"
+    # persist: the shingle construction (tokenize + per-row ngram
+    # transform) is the expensive lineage here, and it feeds the df
+    # count, the train side, and the test side — without the persist
+    # the cap's semi-join re-runs it per consumer (measured 2x at the
+    # 100x probe)
+    sh = tracked_persist(
+        shingles(assigned, "doc_id", "text", n=DECON_N).join(
+            assigned.select(F.col("doc_id").alias("id"), "split"), "id"
+        )
     )
     # boilerplate-shingle cap: bounds the train x test collision join's
     # per-shingle fan-out at cap^2 (see benchmark_decontaminate)
