@@ -205,15 +205,17 @@ family (dense/bm25/hybrid/IVF) and the keyed event plans all land at
 1-7x for 100x the rows, i.e. the data-dependent stages are scan-shaped
 map work plus bounded shuffles, exactly what survives adding executors.
 The per-document featurization family (text_repetition,
-source_data_card, training_manifest_full) is the compute-bound tail:
-each runs tokenize/regex/fold work over every row, so it scales
-linearly with corpus size and parallelizes by partition — the expected
-asymptote for per-document work, addressed with executors, not plan
-shape. quality_filter_funnel used to lead this tail (56x) until the
-punct-strip regexp_replace was replaced by a translate() char map —
-now 2-3x, i.e. overhead-bound; what remains of the tail is the PII
-email regex (source_data_card) and the n-gram construction + sorted
-run-fold (text_repetition), both irreducibly per-row.
+source_data_card) is the compute-bound tail: each runs
+tokenize/regex/fold work over every row, so it scales linearly with
+corpus size and parallelizes by partition — the expected asymptote for
+per-document work, addressed with executors, not plan shape.
+quality_filter_funnel used to lead this tail (56x) until the
+punct-strip regexp_replace was replaced by a translate() char map (now
+2-3x, overhead-bound), and training_manifest_full came down from 29x
+to ~5x via the same fix plus persisting the decontamination shingle
+table across its three consumers; what remains is the PII email regex
+(source_data_card) and the n-gram construction + sorted run-fold
+(text_repetition), both irreducibly per-row.
 bpe_train_merges is the counterpoint: FLAT at 100x (1.0x) — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
