@@ -57,6 +57,23 @@ DOC_QUERIES = [
     "training_manifest_full",
     "bpe_train_merges",
     "bpe_encode_stats",
+    # round-5 sweep: every remaining documents-only plan, including the
+    # streaming dedup-at-ingest (the corpus's real dup pair exercises
+    # the anti-join alongside the seeded clique)
+    "text_repetition",
+    "text_pii_scrub",
+    "dataset_split",
+    "dataset_split_balance",
+    "deterministic_sample",
+    "vocab_topn",
+    "sequence_pack",
+    "quality_filter_funnel",
+    "source_length_quantiles",
+    "token_accounting_rollup",
+    "domain_mix_weights",
+    "benchmark_decontaminate",
+    "training_manifest",
+    "stream_dedup_ingest",
 ]
 
 

@@ -75,15 +75,19 @@ def shingle_arrays(
     toks = docs.select(
         F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
-    return toks.select(
-        "id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, size(toks) - {n - 1}),"
-                f" i -> concat_ws('_', slice(toks, i, {n})))"
-            )
-        ).alias("shs"),
+    # the transform must be TOTAL despite the filter above: when this
+    # feeds explode(), InferFiltersFromGenerate derives a non-empty
+    # predicate CONTAINING this expression and pushes it into the scan
+    # ahead of the size guard — on a doc shorter than n tokens the
+    # unguarded sequence(1, size-n+1) DESCENDS through 0 and slice
+    # throws START=0 (functions/text.ngrams documents the same trap)
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws('_', slice(toks, i, {n})))"
+        f" ELSE array() END"
     )
+    return toks.select("id", F.array_distinct(grams).alias("shs"))
 
 
 def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
