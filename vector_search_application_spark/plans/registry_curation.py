@@ -192,14 +192,20 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = seeded.select(
         "doc_id", "source", P.tokens(F.col("text")).alias("toks")
     ).filter(F.size("toks") >= SHINGLE_N)
+    # CASE-guarded despite the filter above: explode() lets
+    # InferFiltersFromGenerate push this expression below the size
+    # guard, where sequence(1, size-k) descends through 0 on short docs
+    # (operators/dedup.shingle_arrays documents the trap)
     sh = toks.select(
         "doc_id",
         "source",
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}),"
+                    f"CASE WHEN size(toks) >= {SHINGLE_N} THEN"
+                    f" transform(sequence(1, size(toks) - {SHINGLE_N - 1}),"
                     f" i -> concat_ws('_', slice(toks, i, {SHINGLE_N})))"
+                    f" ELSE array() END"
                 )
             )
         ).alias("sh"),
@@ -1021,14 +1027,19 @@ def _bpe_train_uncached(spark: SparkSession, sf_dir: str):
     merges = None
     for k in range(1, BPE_MERGES + 1):
         # guard: a fully-merged (or 1-char) word has ONE symbol, and
-        # Spark's sequence(1, 0) counts DOWN instead of being empty
+        # Spark's sequence(1, 0) counts DOWN instead of being empty;
+        # the CASE keeps the expression total even when explode()'s
+        # inferred non-empty predicate is pushed below the filter
+        # (operators/dedup.shingle_arrays documents the trap)
         pairs = state.filter(F.expr("size(split(s, ' ')) >= 2")).select(
             "cnt",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(s, ' ')) - 1),"
+                    "CASE WHEN size(split(s, ' ')) >= 2 THEN"
+                    " transform(sequence(1, size(split(s, ' ')) - 1),"
                     " i -> struct(element_at(split(s, ' '), i) AS a,"
                     "             element_at(split(s, ' '), i + 1) AS b))"
+                    " ELSE array() END"
                 )
             ).alias("p"),
         )

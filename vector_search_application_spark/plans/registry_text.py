@@ -110,10 +110,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's unordered SUM exactly in int64 (every term < FP_MOD,
     |tokens| * FP_MOD << 2^63 — no overflow, no FP)."""
     docs = corpus.docs(spark, sf_dir)
+    # CASE keeps the fold total on empty token arrays even if a rule
+    # reorders it ahead of the size filter: sequence(1, 0) descends to
+    # [1, 0] and toks[-1] errors under ANSI
+    # (operators/dedup.shingle_arrays documents the trap family)
     fold = (
+        "CASE WHEN size(toks) > 0 THEN "
         "aggregate(sequence(1, size(toks)), 0L, (acc, i) -> acc + "
         "cast(conv(substring(md5(concat(cast(i as string), '_', toks[i - 1])),"
         f" 1, 15), 16, 10) as bigint) % {T.FP_MOD}L)"
+        " ELSE 0L END"
     )
     return (
         docs.select("doc_id", P.tokens(F.col("text")).alias("toks"))
