@@ -260,3 +260,68 @@ def test_adversarial_events_semantics(spark, adversarial_event_dir):
     assert asof[102] == 101  # same-ts view visible, highest event_id wins
     assert asof[600] is None  # no preceding view
     assert asof[700] == 701   # time order beats id order
+
+
+# --- part/products: NULL brands, unicode, empties, extreme prices ---------
+
+# partNumber derives from p_brand + p_partkey, so a NULL brand NULLs the
+# primary payload key (and the md5-derived id); NULL/empty names empty
+# the sparse/dense text; unicode brands exercise the upper()/replace()
+# cleanup on both engines. Every modulo-NULL the synthesis defines also
+# fires (partkey 20 -> mfr NULL, 57 -> desc NULL, 3 -> img NULL).
+ADVERSARIAL_PARTS = [
+    # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    (1, "plain widget", "Brand#1", "ECONOMY", 1, 10.0),
+    (2, None, "Brand#2", "STANDARD", 2, 20.0),          # NULL name
+    (3, "", "Brand#3", "STANDARD", 3, 30.0),            # empty name (img-null mod)
+    (4, "unicode nameé straße", "Bränd#4", "DELUXE", 4, 40.0),
+    (5, "no brand part", None, "ECONOMY", 5, 50.0),     # NULL brand -> NULL pn/id
+    (6, "a", "Brand#6", "ECONOMY", 6, 0.0),             # zero price
+    (7, "negative price", "Brand#7", "ECONOMY", 7, -1.5),
+    (20, "mfr null mod", "Brand#20", "STANDARD", 8, 60.004),  # partkey%20==0
+    (57, "desc null mod", "Brand#57", "STANDARD", 9, 1e9),    # partkey%50==7
+    (123, "shared brand", "Brand#1", "ECONOMY", 10, 70.0),
+]
+
+PART_QUERIES = [
+    "ingest_products",
+    "validate_quarantine",
+    "partno_classifier",
+    "partno_explain",
+    "exact_cascade_primary",
+    "exact_cascade_secondary",
+    "exact_cascade_miss",
+    "exact_cascade_batch",
+    "fusion_max_dedup",
+    "fusion_max_dedup_batch",
+    "search_details_projection",
+    "search_ids_projection",
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_part_dir(tmp_path_factory):
+    from vector_search_application_spark.session import get_spark
+
+    spark = get_spark("tests")
+    d = str(tmp_path_factory.mktemp("adversarial_part_sf"))
+    spark.createDataFrame(
+        ADVERSARIAL_PARTS,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", PART_QUERIES)
+def test_adversarial_parts_parity(spark, adversarial_part_dir, name):
+    decl = next((d for d in REGISTRY if d.name == name), None)
+    if decl is None:
+        pytest.skip(f"{name} not in registry")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM read_parquet("
+        f"'{adversarial_part_dir}/part.parquet/*.parquet')"
+    )
+    sdf = decl.spark(spark, adversarial_part_dir)
+    compare_spark_duckdb(sdf, con, decl.sql)

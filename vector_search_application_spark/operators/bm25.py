@@ -51,10 +51,17 @@ def build_postings(
     build calls over the same corpus share one materialization.
     """
     # doc_len = size(tokens) rides along from the scan, so the build is
-    # ONE shuffle (groupBy id,term) — no second agg + join-back
-    toks = docs.select(
-        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
-    ).select("id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    # ONE shuffle (groupBy id,term) — no second agg + join-back.
+    # NULL ids are excluded EXPLICITLY: a doc without an id cannot be
+    # indexed (the reference requires _id at upload — T5 validation);
+    # without the filter Spark's NULL-safe groupBy would keep such rows
+    # while any SQL equi-join on id drops them — a silent cross-engine
+    # divergence the adversarial NULL-brand part exposed.
+    toks = (
+        docs.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks"))
+        .select("id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    )
     out = toks.groupBy("id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
     )

@@ -105,7 +105,14 @@ def products(spark: SparkSession, sf_dir: str) -> DataFrame:
         pn.alias("partNumber_airgas_text"),
         mfr.alias("manufacturerPartNumber_text"),
         desc.alias("shortDescription_airgas_text"),
-        F.round(F.col("p_retailprice"), 2).cast("string").alias("onlinePrice_string"),
+        # DECIMAL(18,2) before the string cast: double->string rendering
+        # diverges cross-engine at magnitude (Spark "1.0E9" vs DuckDB
+        # "1000000000.0"); a fixed-point price format is identical in
+        # both and more faithful for a price field anyway
+        F.round(F.col("p_retailprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("string")
+        .alias("onlinePrice_string"),
         F.when(
             F.col("p_partkey") % IMG_NULL_MOD != 3,
             F.concat(F.lit("/images/"), pn, F.lit(".jpg")),
@@ -139,7 +146,7 @@ products_stage AS (
             AS manufacturerPartNumber_text,
         CASE WHEN p_partkey % {DESC_NULL_MOD} <> 7 THEN p_name END
             AS shortDescription_airgas_text,
-        round(p_retailprice, 2)::VARCHAR AS onlinePrice_string,
+        round(p_retailprice, 2)::DECIMAL(18,2)::VARCHAR AS onlinePrice_string,
         CASE WHEN p_partkey % {IMG_NULL_MOD} <> 3
              THEN '/images/' || upper(replace(p_brand, '#', ''))
                   || lpad(p_partkey::VARCHAR, 7, '0') || '.jpg' END

@@ -16,9 +16,13 @@ def postings_ctes(src: str = "documents", id_col: str = "doc_id",
     """CTEs: toks, tf, dl, postings, stats, dfreq over a text corpus."""
     return f"""
 toks AS (
+    -- NULL ids are unindexable (T5: the reference requires _id at
+    -- upload); explicit here so the oracle matches the engine even
+    -- though the dl equi-join below would drop them anyway
     SELECT {id_col} AS id,
            unnest({P.tokens_sql(text_col)}) AS term
     FROM {src}
+    WHERE {id_col} IS NOT NULL
 ),
 tf AS (SELECT id, term, count(*)::BIGINT AS tf FROM toks GROUP BY id, term),
 dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS doc_len FROM tf GROUP BY id),
