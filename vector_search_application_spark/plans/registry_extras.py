@@ -779,3 +779,152 @@ def q_pq_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     )
     return ann.pq_topk_batch(vecs, qs)
+
+
+# ---------------------------------------------------------------------------
+# §2.11 aggregations at testdata scale: the TPC-H-shaped side tables
+# ---------------------------------------------------------------------------
+# lineitem (600k rows at sf0.1) is the largest driver table and nothing
+# else reads it — these two queries are the aggregation/join showcase at
+# that scale. Float discipline: all money math runs in EXACT integer
+# cents/basis-points (prices have 2 decimals, discount/tax are integer
+# percents), summed as BIGINT — order-independent by construction — and
+# divided back to dollars only at output, one rounding of an exact
+# integer per cell.
+
+_LI_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_LI_DISC_BP = "CAST(round(l_discount * 100) AS BIGINT)"
+_LI_TAX_BP = "CAST(round(l_tax * 100) AS BIGINT)"
+_PRICING_CUTOFF = "1998-09-02"
+
+
+@declare(
+    "lineitem_pricing_summary",
+    f"""
+WITH src AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(l_quantity AS BIGINT) AS qty,
+           {_LI_CENTS} AS price_c,
+           {_LI_DISC_BP} AS disc_bp,
+           {_LI_TAX_BP} AS tax_bp
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_PRICING_CUTOFF} 00:00:00'
+)
+SELECT l_returnflag, l_linestatus,
+       sum(qty)::BIGINT AS sum_qty,
+       {P.rounded_sql('sum(price_c)::DOUBLE / 100')} AS sum_base_price,
+       {P.rounded_sql('sum(price_c * (100 - disc_bp))::DOUBLE / 10000')}
+           AS sum_disc_price,
+       {P.rounded_sql(
+           'sum(price_c * (100 - disc_bp) * (100 + tax_bp))::DOUBLE / 1000000'
+       )} AS sum_charge,
+       {P.rounded_sql('sum(qty)::DOUBLE / count(*)')} AS avg_qty,
+       {P.rounded_sql('sum(price_c)::DOUBLE / 100 / count(*)')} AS avg_price,
+       {P.rounded_sql('sum(disc_bp)::DOUBLE / 100 / count(*)')} AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM src
+GROUP BY l_returnflag, l_linestatus
+""",
+    survey_ids="§2.11",
+)
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary over the largest testdata table (TPC-H Q1
+    shape): one scan with the shipdate filter pushed into it, one
+    map-side-combinable aggregation on a 6-group key. All sums are
+    exact BIGINT cent/basis-point arithmetic (order-independent; the
+    per-row cents conversion is the only double rounding and it is
+    deterministic per row); averages divide two exact integers. At
+    100 TB this is the canonical partial-agg plan — no other shape."""
+    li = corpus._read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(_PRICING_CUTOFF).cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_bp = F.round(F.col("l_tax") * 100).cast("bigint")
+    src = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        cents.alias("price_c"),
+        disc_bp.alias("disc_bp"),
+        tax_bp.alias("tax_bp"),
+    )
+    g = src.groupBy("l_returnflag", "l_linestatus")
+    n = F.count(F.lit(1))
+    return g.agg(
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        P.rounded(F.sum("price_c").cast("double") / 100).alias("sum_base_price"),
+        P.rounded(
+            F.sum(F.col("price_c") * (100 - F.col("disc_bp"))).cast("double")
+            / 10000
+        ).alias("sum_disc_price"),
+        P.rounded(
+            F.sum(
+                F.col("price_c")
+                * (100 - F.col("disc_bp"))
+                * (100 + F.col("tax_bp"))
+            ).cast("double")
+            / 1000000
+        ).alias("sum_charge"),
+        P.rounded(F.sum("qty").cast("double") / n).alias("avg_qty"),
+        P.rounded(F.sum("price_c").cast("double") / 100 / n).alias("avg_price"),
+        P.rounded(F.sum("disc_bp").cast("double") / 100 / n).alias("avg_disc"),
+        n.cast("bigint").alias("count_order"),
+    )
+
+
+TOP_CUSTOMERS_N = 20
+
+
+@declare(
+    "top_customer_revenue",
+    f"""
+WITH rev AS (
+    SELECT o.o_custkey,
+           sum({_LI_CENTS} * (100 - {_LI_DISC_BP}))::BIGINT AS rev_e4,
+           count(DISTINCT o.o_orderkey)::BIGINT AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+)
+SELECT o_custkey,
+       {P.rounded_sql('rev_e4::DOUBLE / 10000')} AS revenue,
+       n_orders
+FROM rev
+ORDER BY rev_e4 DESC, o_custkey ASC
+LIMIT {TOP_CUSTOMERS_N}
+""",
+    survey_ids="§2.11",
+)
+def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_CUSTOMERS_N} customers by discounted revenue: the
+    600k-row lineitem joins 150k-row orders on the order key (at this
+    shape a shuffle join on the join key; at 100 TB both sides bucket
+    by orderkey and the exchange disappears), revenue folds as exact
+    BIGINT cents*basis-points per customer, and the head is a
+    TakeOrderedAndProject on the exact integer — ties break on the
+    custkey, and the dollar rendering happens after the cut."""
+    li = corpus._read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_e4_row"),
+    )
+    orders = corpus._read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_e4_row").cast("bigint").alias("rev_e4"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    return (
+        rev.orderBy(F.desc("rev_e4"), F.asc("o_custkey"))
+        .limit(TOP_CUSTOMERS_N)
+        .select(
+            "o_custkey",
+            P.rounded(F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+            "n_orders",
+        )
+    )
