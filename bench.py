@@ -86,6 +86,8 @@ HEADLINE = [
     "mixture_sample",        # temperature rates executed as hash cuts
     "training_manifest_full",  # capstone chain incl. decontamination
     "bpe_train_merges",      # declarative BPE tokenizer training
+    "lineitem_pricing_summary",  # §2.11 partial-agg over the largest table
+    "top_customer_revenue",  # 600k x 150k key join + exact-integer top-N
 ]
 
 N_BATCH_QUERIES = 1000

@@ -66,6 +66,8 @@ PROBE_QUERIES = [
     "hybrid_rrf_batch",
     "exact_cascade_batch",
     "fusion_max_dedup_batch",
+    "lineitem_pricing_summary",
+    "top_customer_revenue",
 ]
 
 
@@ -125,7 +127,22 @@ def build_scaled_dir(spark, out_dir: str, k: int) -> None:
         "props",
     ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
-    for t in ["region", "nation", "customer", "supplier", "orders", "lineitem"]:
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    n_ord = spark.read.parquet(f"{BASE}/orders.parquet").count()
+    rep(li, k).select(
+        (F.col("l_orderkey") + F.col("__rep") * n_ord).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    n_cust = spark.read.parquet(f"{BASE}/customer.parquet").count()
+    rep(orders, k).select(
+        (F.col("o_orderkey") + F.col("__rep") * n_ord).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("__rep") * n_cust).alias("o_custkey"),
+        *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+    ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    for t in ["region", "nation", "customer", "supplier"]:
         src = f"{BASE}/{t}.parquet"
         if os.path.exists(src):
             shutil.copy(src, f"{out_dir}/{t}.parquet")
