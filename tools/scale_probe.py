@@ -213,7 +213,8 @@ def main(ks: list[int]) -> int:
             f.write(f"| {name} | " + " | ".join(f"{t}" for t in row)
                     + f" | {ratio:.1f}x |\n")
         f.write(f"\nRow counts at x{kmax}: embeddings {2000*kmax:,}, documents "
-                f"{5000*kmax:,}, part {20000*kmax:,}, events {100000*kmax:,}.\n")
+                f"{5000*kmax:,}, part {20000*kmax:,}, events {100000*kmax:,}, "
+                f"lineitem {600000*kmax:,}, orders {150000*kmax:,}.\n")
         f.write("""
 Reading the ratios: x1 timings are dominated by fixed per-job costs
 (stage scheduling, broadcast builds), so a ratio far below the data
