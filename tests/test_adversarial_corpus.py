@@ -325,3 +325,79 @@ def test_adversarial_parts_parity(spark, adversarial_part_dir, name):
     )
     sdf = decl.spark(spark, adversarial_part_dir)
     compare_spark_duckdb(sdf, con, decl.sql)
+
+
+# --- lineitem/orders: money-math boundaries, dangling keys, date edge -----
+
+from datetime import datetime as _dt2
+
+_CUTOFF = _dt2(1998, 9, 2)
+
+ADVERSARIAL_LINEITEM = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    #  l_shipdate)
+    (1, 1, 1, 1, 1.0, 0.125, 0.0, 0.0, "N", "O", _dt2(1998, 1, 1)),   # 12.5 cents: exact .5 boundary
+    (1, 2, 1, 2, 2.0, 0.005, 0.01, 0.02, "N", "O", _dt2(1998, 1, 2)),  # sub-cent price
+    (2, 3, 2, 1, None, 100.0, 0.05, 0.03, "A", "F", _dt2(1997, 6, 1)),  # NULL quantity
+    (2, 4, 2, 2, 3.0, 0.0, 0.06, 0.0, "A", "F", _dt2(1997, 6, 2)),    # zero price
+    (3, 5, 3, 1, 4.0, 1e9, 0.01, 0.08, "R", "F", _dt2(1996, 1, 1)),   # extreme price
+    (4, 6, 3, 1, 5.0, 50.0, 0.02, 0.01, "N", "O", _CUTOFF),           # exactly AT the cutoff (kept: <=)
+    (5, 7, 4, 1, 6.0, 60.0, 0.03, 0.02, "N", "O",
+     _dt2(1998, 9, 3)),                                               # one day past (dropped)
+    (99, 8, 4, 1, 7.0, 70.0, 0.04, 0.03, "N", "O",
+     _dt2(1998, 1, 3)),                                               # orderkey with NO orders row
+]
+
+ADVERSARIAL_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    #  o_orderpriority)
+    (1, 10, "O", 0.13, _dt2(1997, 12, 30), "1-URGENT"),
+    (2, 10, "F", 100.0, _dt2(1997, 5, 30), "2-HIGH"),   # same customer, 2 orders
+    (3, 11, "F", 1e9, _dt2(1995, 12, 30), "3-MEDIUM"),
+    (4, 12, "O", 50.0, _dt2(1998, 8, 30), "4-NOT SPECIFIED"),
+    (5, 13, "O", 60.0, _dt2(1998, 9, 1), "5-LOW"),
+    (42, 14, "O", 1.0, _dt2(1998, 1, 1), "1-URGENT"),   # order with NO lineitems
+]
+
+TPCH_QUERIES = ["lineitem_pricing_summary", "top_customer_revenue"]
+
+
+@pytest.fixture(scope="module")
+def adversarial_tpch_dir(tmp_path_factory):
+    from vector_search_application_spark.session import get_spark
+
+    spark = get_spark("tests")
+    d = str(tmp_path_factory.mktemp("adversarial_tpch"))
+    spark.createDataFrame(
+        ADVERSARIAL_LINEITEM,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        ADVERSARIAL_ORDERS,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_adversarial_tpch_parity(spark, adversarial_tpch_dir, name):
+    """Money-math boundaries (a 12.5-cent exact-half rounding, sub-cent
+    and 1e9 prices, NULL quantity), the shipdate cutoff inclusive edge,
+    a lineitem with no orders row (inner-join drop), and an order with
+    no lineitems must all agree cross-engine."""
+    decl = next((d for d in REGISTRY if d.name == name), None)
+    if decl is None:
+        pytest.skip(f"{name} not in registry")
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{adversarial_tpch_dir}/{t}.parquet/*.parquet')"
+        )
+    sdf = decl.spark(spark, adversarial_tpch_dir)
+    compare_spark_duckdb(sdf, con, decl.sql)
