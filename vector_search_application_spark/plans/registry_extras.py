@@ -928,3 +928,154 @@ def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.7/§2.11 — join-heavy TPC-H shapes: multi-table star join + semi-join
+# ---------------------------------------------------------------------------
+# The registry's join checklist (SURVEY §2.7) exercised equi-joins and
+# left-anti (cleanup) but never a dimension-chain star join or an EXISTS
+# semi-join at fact-table scale; these two close that. Same exact-money
+# discipline as the pricing summary: cents x basis-points in BIGINT,
+# dollars rendered once after aggregation.
+
+_Q5_YEAR_LO = "1996-01-01"
+_Q5_YEAR_HI = "1997-01-01"
+_Q5_REGION = "ASIA"
+
+
+@declare(
+    "revenue_by_nation",
+    f"""
+SELECT n.n_name,
+       {P.rounded_sql('sum_rev_e4::DOUBLE / 10000')} AS revenue,
+       n_orders
+FROM (
+    SELECT c.c_nationkey,
+           sum({_LI_CENTS} * (100 - {_LI_DISC_BP}))::BIGINT AS sum_rev_e4,
+           count(DISTINCT o.o_orderkey)::BIGINT AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q5_YEAR_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_YEAR_HI} 00:00:00'
+    GROUP BY c.c_nationkey
+) rev
+JOIN nation n ON rev.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+""",
+    survey_ids="§2.7,§2.11",
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue by customer nation inside one region for one
+    order year (TPC-H Q5 shape minus the supplier leg the testdata
+    schema lacks): the 6M-row lineitem joins the date-filtered orders
+    slice on the order key, rolls up to c_nationkey BEFORE touching any
+    dimension — the fact-side aggregate shrinks the join input to ~25
+    rows — then the nation/region dimension chain broadcasts onto the
+    rollup. At 100 TB the only large exchange is the orderkey join
+    (bucketable); the dimensions never see fact rows. Revenue folds as
+    exact BIGINT cents*bp; dollars render once per output row."""
+    li = corpus._read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_e4_row"),
+    )
+    orders = (
+        corpus._read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q5_YEAR_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q5_YEAR_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = corpus._read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = corpus._read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = (
+        corpus._read(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q5_REGION)
+        .select("r_regionkey")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("rev_e4_row").cast("bigint").alias("sum_rev_e4"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    dim = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    return rev.join(
+        F.broadcast(dim), rev["c_nationkey"] == dim["n_nationkey"]
+    ).select(
+        "n_name",
+        P.rounded(F.col("sum_rev_e4").cast("double") / 10000).alias("revenue"),
+        "n_orders",
+    )
+
+
+_Q4_QTR_LO = "1996-07-01"
+_Q4_QTR_HI = "1996-10-01"
+_Q4_LATE_DAYS = 30
+
+
+@declare(
+    "order_priority_semijoin",
+    f"""
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_QTR_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{_Q4_QTR_HI} 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+""",
+    survey_ids="§2.7,§2.11",
+)
+def q_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority counts for one quarter, restricted to orders with
+    at least one late-shipping lineitem (TPC-H Q4 shape; the EXISTS
+    predicate is ship-lag because the testdata lineitem carries no
+    commit/receipt dates): a LEFT SEMI join from the date-filtered
+    orders slice into lineitem on the order key, with the correlated
+    ship-lag comparison as a join residual, then one tiny 5-group
+    rollup. The semi-join stops probing an order after its first match
+    and never duplicates order rows; at 100 TB both sides hash on the
+    orderkey (bucketable) and the date filter prunes the probe side at
+    the scan."""
+    orders = (
+        corpus._read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q4_QTR_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q4_QTR_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = corpus._read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
