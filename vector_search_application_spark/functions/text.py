@@ -196,30 +196,31 @@ def re_token_count_sql(expr: str) -> str:
 # inside the portable-parity contract (functions/portable.py).
 
 
+def _gram_expr(t: Column, n: int) -> Column:
+    """Gram array from an ALREADY-BOUND token array ``t`` (a lambda
+    variable — callers must not pass the raw tokenizer expression, see
+    ngrams). The short-doc case must be an explicit branch:
+    sequence(1, 0) DESCENDS in Spark ([1, 0]), it does not return
+    empty."""
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws("_", *[F.element_at(t, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def ngrams(toks: Column, n: int) -> Column:
     """Adjacent word n-grams joined by '_' (empty below n tokens).
 
-    Two traps encoded here: (a) the short-doc case must be an explicit
-    branch — sequence(1, 0) DESCENDS in Spark ([1, 0]), it does not
-    return empty; (b) the token array binds as a lambda variable before
-    element_at indexes it — toks is usually the regex tokenizer
-    expression, and HOF lambdas re-evaluate free subexpressions per
-    element (measured: the inline form re-tokenized ~2*len times per
-    row, 7.4 s -> 0.5 s at sf0.1 for the gram stage alone)."""
-
-    def build(t: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-        grams = F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                "_", *[F.element_at(t, i + j) for j in range(n)]
-            ),
-        )
-        return F.when(F.size(t) >= n, grams).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return F.transform(F.array(toks), build)[0]
+    The token array binds as a lambda variable before element_at
+    indexes it — toks is usually the regex tokenizer expression, and
+    HOF lambdas re-evaluate free subexpressions per element (measured:
+    the inline form re-tokenized ~2*len times per row, 7.4 s -> 0.5 s
+    at sf0.1 for the gram stage alone)."""
+    return F.transform(F.array(toks), lambda t: _gram_expr(t, n))[0]
 
 
 def ngrams_sql(toks: str, n: int) -> str:
@@ -301,6 +302,39 @@ def top_ngram_ratio_sql(expr: str, n: int = 2) -> str:
         f" ELSE 0.0 END"
     )
     return f"list_transform([{g}], g -> {ratio})[1]"
+
+
+def repetition_features(text: Column, top_n: int = 2, dup_n: int = 3) -> Column:
+    """1-element ``array<struct<top_2gram_ratio, dup_3gram_ratio>>``
+    computing BOTH Gopher repetition signals off ONE tokenization —
+    callers ``explode()`` it. top_ngram_ratio + dup_ngram_ratio as
+    separate projection columns each re-run the tokenizer regex (the
+    dominant per-row cost at the 100x scale probe); here the token
+    array binds once, both gram arrays derive from it inside a second
+    bind (so size() + the run fold read materialized arrays), and the
+    per-gram math is the exact same _run_fold — values are
+    bit-identical to the single-signal functions."""
+
+    def grams(t: Column) -> Column:
+        return F.struct(
+            _gram_expr(t, top_n).alias("gt"), _gram_expr(t, dup_n).alias("gd")
+        )
+
+    def ratios(gs: Column) -> Column:
+        def ratio(g: Column, field: str) -> Column:
+            return F.when(
+                F.size(g) > 0,
+                P.rounded(_run_fold(g)[field].cast("double") / F.size(g)),
+            ).otherwise(F.lit(0.0))
+
+        return F.struct(
+            ratio(gs["gt"], "mx").alias(f"top_{top_n}gram_ratio"),
+            ratio(gs["gd"], "dup").alias(f"dup_{dup_n}gram_ratio"),
+        )
+
+    return F.transform(
+        F.transform(F.array(P.tokens(text)), grams), ratios
+    )
 
 
 def dup_ngram_ratio(text: Column, n: int = 3) -> Column:

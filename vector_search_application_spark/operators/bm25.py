@@ -181,7 +181,16 @@ def bm25_score_terms_batch(
     over the probed slice only; the (query_id, term) pairs then fan the
     probed rows out per query via a second broadcast join, so a posting
     row is scored once per query containing its term — the one shuffle
-    is the final (query_id, id) aggregation."""
+    is the final (query_id, id) aggregation.
+
+    That shuffle is an EXPLICIT repartition on query_id alone (a hash
+    partitioning on a subset of the grouping keys satisfies the
+    aggregation's clustered-distribution requirement), so the per-query
+    top-k window every consumer applies next — partitionBy(query_id) —
+    reuses the same exchange instead of inserting a second one.
+    Map-side partial aggregation loses nothing: postings partition by
+    (id, term), so a document's different terms were never colocated
+    for pre-combine anyway."""
     stats = corpus_stats(postings)
     terms_only = qterms.select("term").distinct()
     probed = postings.join(F.broadcast(terms_only), "term")
@@ -209,6 +218,7 @@ def bm25_score_terms_batch(
     )
     return (
         matched.select("query_id", "id", (idf * tf_part).alias("w"))
+        .repartition("query_id")
         .groupBy("query_id", "id")
         .agg(P.rounded(F.sum("w")).alias("score"))
     )

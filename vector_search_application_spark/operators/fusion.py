@@ -188,7 +188,16 @@ def rrf_fuse_batch(
     one-shuffle plan as fusing one. Branch inputs are per-query ranked
     lists (already truncated to branch_k rows per query by the caller);
     output mirrors rrf_fuse per query: score = rrf, per-branch
-    score/rank diagnostics."""
+    score/rank diagnostics.
+
+    Exchange economy: branch inputs arrive hash-partitioned on the
+    query id (their own top-k window put them there), so the per-branch
+    re-rank windows insert no exchange; the union (which forgets
+    partitioning) is re-established with ONE explicit repartition on
+    group_col, which then serves both the fused groupBy(group_col, id)
+    — a subset-key hash partitioning satisfies its clustering — and the
+    final per-query top-k window. Net: one shuffle of tiny per-query
+    candidate lists for the whole fusion stage."""
     labeled = None
     for name, df in branches.items():
         w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
@@ -220,7 +229,7 @@ def rrf_fuse_batch(
             .cast("bigint")
             .alias(f"{name}_rank")
         )
-    fused = labeled.groupBy(group_col, id_col).agg(*aggs)
+    fused = labeled.repartition(group_col).groupBy(group_col, id_col).agg(*aggs)
     wk = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         fused.withColumn("__rn", F.row_number().over(wk))
@@ -249,7 +258,10 @@ def max_dedup_fuse_batch(
     """
     cols = [group_col, id_col, "score", "search_type"]
     unioned = exact.select(*cols).unionByName(vector.select(*cols))
-    grouped = unioned.groupBy(group_col, id_col).agg(
+    # one explicit exchange on the query id serves the dedup groupBy
+    # (subset-key hash satisfies its clustering) AND the final per-query
+    # window — same economy as rrf_fuse_batch
+    grouped = unioned.repartition(group_col).groupBy(group_col, id_col).agg(
         F.max("score").alias("score"),
         F.max(F.when(F.col("search_type") == "exact", F.lit(1)))
         .isNotNull()

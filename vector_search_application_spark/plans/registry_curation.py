@@ -539,7 +539,10 @@ def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries ~60-byte feature tuples, never the document text — at
     100 TB the shuffle volume is the feature table, not the corpus.
     Then one map-side-combinable rollup on source; every downstream
-    cell derives from exact integer counts."""
+    cell derives from exact integer counts. The seeded text (a
+    multi-KB concat) binds ONCE behind the explode barrier — inlined
+    into each of hash/quality/PII it re-concatenated per feature (HOF
+    CSE discipline, see functions/text.quality_features)."""
     from ..functions import text as T
     from .registry_pipeline import _EMAIL_RE, MIN_QUALITY
 
@@ -553,14 +556,28 @@ def q_source_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("@example.com now"),
         ),
     ).otherwise(F.col("text"))
+
+    def build(t: F.Column) -> F.Column:
+        return F.struct(
+            F.sha2(t, 256).alias("h"),
+            (T.quality_score(t) >= MIN_QUALITY).cast("int").alias("q_pass"),
+            (F.regexp_count(t, F.lit(_EMAIL_RE)) > 0).cast("int").alias("has_pii"),
+        )
+
     featured = docs.select(
         "doc_id",
         "source",
         "lang",
         "n_chars",
-        F.sha2(text, 256).alias("h"),
-        (T.quality_score(text) >= MIN_QUALITY).cast("int").alias("q_pass"),
-        (F.regexp_count(text, F.lit(_EMAIL_RE)) > 0).cast("int").alias("has_pii"),
+        F.explode(F.transform(F.array(text), build)).alias("cf"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.col("cf.h").alias("h"),
+        F.col("cf.q_pass").alias("q_pass"),
+        F.col("cf.has_pii").alias("has_pii"),
     )
     from pyspark.sql import Window
 

@@ -184,10 +184,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     instances whose 3-gram repeats — the filters that catch boilerplate
     and degenerate generations. Per-row array expressions (map-only,
     zero shuffles); functions/text.ngrams documents the explode+groupBy
-    alternative for book-length documents."""
+    alternative for book-length documents. Both signals come from ONE
+    tokenization via repetition_features (explode = the Generate
+    barrier that keeps CollapseProject from re-inlining the shared
+    token array into each output column)."""
     docs = corpus.docs(spark, sf_dir)
     return docs.select(
+        "doc_id", F.explode(T.repetition_features(F.col("text"))).alias("rf")
+    ).select(
         "doc_id",
-        T.top_ngram_ratio(F.col("text"), 2).alias("top_2gram_ratio"),
-        T.dup_ngram_ratio(F.col("text"), 3).alias("dup_3gram_ratio"),
+        F.col("rf.top_2gram_ratio").alias("top_2gram_ratio"),
+        F.col("rf.dup_3gram_ratio").alias("dup_3gram_ratio"),
     )
