@@ -44,6 +44,7 @@ def _has_fastembed() -> bool:
         return False
 
 
+@pytest.mark.realmodel
 @pytest.mark.skipif(not _has_fastembed(), reason="fastembed not installed")
 def test_onnx_backend_contract(spark):
     """Activates the moment fastembed appears in the environment: the

@@ -15,6 +15,10 @@ Conventions that make the hashes match:
     lowercase hex), folded to a non-negative 60-bit BIGINT
   - tokenization is lowercase + split on ``[^a-z0-9]+`` with empty
     tokens dropped (reference analyzer declared in SURVEY.md §7 step 5)
+
+The full contract, including the CLOSED list of accepted float-fold
+exceptions (PQ ADC s-ordered fold, hyperplane-LSH sign-on-rounded-dot,
+MMR round-before-max), lives in PARITY.md at the repo root.
 """
 
 from __future__ import annotations

@@ -151,6 +151,12 @@ def session_rollup(
     )
 
 
+# recentProgress of the last stream_sessionize run (list of progress
+# dicts): the scale probe reads stateOperators.numRowsTotal from here to
+# report state-store growth without changing the registry call signature
+LAST_SESSIONIZE_PROGRESS: list = []
+
+
 def stream_sessionize(
     spark: SparkSession,
     events_path: str,
@@ -183,6 +189,9 @@ def stream_sessionize(
             .start()
         )
         q.awaitTermination()
+        LAST_SESSIONIZE_PROGRESS[:] = [
+            p for p in (q.recentProgress or []) if p is not None
+        ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
