@@ -88,6 +88,10 @@ HEADLINE = [
     "bpe_train_merges",      # declarative BPE tokenizer training
     "lineitem_pricing_summary",  # §2.11 partial-agg over the largest table
     "top_customer_revenue",  # 600k x 150k key join + exact-integer top-N
+    "revenue_by_nation",     # Q5-shape star join, fact rollup pre-dimension
+    "order_priority_semijoin",  # Q4-shape EXISTS semi-join on the fact table
+    "local_supplier_revenue",  # full Q5 incl. local-supplier residual
+    "returned_item_report",  # Q10-shape top-N then dimension probe
 ]
 
 N_BATCH_QUERIES = 1000

@@ -70,6 +70,8 @@ PROBE_QUERIES = [
     "top_customer_revenue",
     "revenue_by_nation",
     "order_priority_semijoin",
+    "local_supplier_revenue",
+    "returned_item_report",
 ]
 
 
@@ -144,7 +146,17 @@ def build_scaled_dir(spark, out_dir: str, k: int) -> None:
         *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
     ).write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
 
-    for t in ["region", "nation", "customer", "supplier"]:
+    # customer replicates with the SAME custkey shift orders got —
+    # copied-as-is it would dangle every non-zero replica's o_custkey
+    # and the customer-joining TPC-H probes would silently shrink to
+    # replica 0. Nation keys stay unshifted (dimension, not entity).
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    rep(cust, k).select(
+        (F.col("c_custkey") + F.col("__rep") * n_cust).alias("c_custkey"),
+        *[c for c in cust.columns if c != "c_custkey"],
+    ).write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    for t in ["region", "nation", "supplier"]:
         src = f"{BASE}/{t}.parquet"
         if os.path.exists(src):
             shutil.copy(src, f"{out_dir}/{t}.parquet")
@@ -270,7 +282,8 @@ def main(ks: list[int]) -> int:
             "growth is bounded by distinct content, not arrivals.\n")
         f.write(f"\nRow counts at x{kmax}: embeddings {2000*kmax:,}, documents "
                 f"{5000*kmax:,}, part {20000*kmax:,}, events {100000*kmax:,}, "
-                f"lineitem {600000*kmax:,}, orders {150000*kmax:,}.\n")
+                f"lineitem {600000*kmax:,}, orders {150000*kmax:,}, "
+                f"customer {15000*kmax:,}.\n")
         f.write("""
 Reading the ratios: x1 timings are dominated by fixed per-job costs
 (stage scheduling, broadcast builds), so a ratio far below the data

@@ -995,9 +995,13 @@ DRIVER_WINDOW = [
     # ANN / quantization variants (hash-oracled ones only)
     "ivf_topk_filtered",
     "pq_topk_batch", "binary_quantized_topk",
-    # TPC-H-shaped aggregation / join family (r5-r6 additions)
+    # TPC-H-shaped aggregation / join family (r5-r6 additions; the two
+    # slots for local_supplier_revenue / returned_item_report displace
+    # r5-green doc_fingerprint / token_stats_bpe — new queries enter
+    # the window the round they land, banked ones rely on the pytest net)
     "lineitem_pricing_summary", "top_customer_revenue",
     "revenue_by_nation", "order_priority_semijoin",
+    "local_supplier_revenue", "returned_item_report",
     # streaming / event-time
     "stream_embed_ingest", "stream_sessionize", "event_funnel",
     "event_sliding_avg",
@@ -1016,7 +1020,7 @@ DRIVER_WINDOW = [
     "doc_content_hash", "version_history", "version_archive", "version_get",
     "partno_explain", "search_ids_projection", "compare_preview",
     "event_props_agg", "event_value_median", "dedup_ngram_jaccard",
-    "ivf_topk_batch", "doc_fingerprint", "token_stats_bpe",
+    "ivf_topk_batch",
     # batch cascade / fusion / streaming-dedup (r5 additions)
     "exact_cascade_batch", "fusion_max_dedup_batch", "stream_dedup_ingest",
 ]

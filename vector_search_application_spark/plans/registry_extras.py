@@ -1079,3 +1079,165 @@ def q_order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("order_count")
     )
+
+
+@declare(
+    "local_supplier_revenue",
+    f"""
+SELECT n.n_name,
+       {P.rounded_sql('sum_rev_e4::DOUBLE / 10000')} AS revenue
+FROM (
+    SELECT c.c_nationkey,
+           sum({_LI_CENTS} * (100 - {_LI_DISC_BP}))::BIGINT AS sum_rev_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q5_YEAR_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q5_YEAR_HI} 00:00:00'
+    GROUP BY c.c_nationkey
+) rev
+JOIN nation n ON rev.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+""",
+    survey_ids="§2.7,§2.11",
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL TPC-H Q5 join graph (the only query touching the
+    supplier table): lineitem joins orders (orderkey), customer
+    (custkey), and supplier (suppkey) with the local-supplier residual
+    c_nationkey = s_nationkey — revenue counts only when the customer
+    and the supplier sit in the same nation. Supplier is tiny at every
+    SF ratio (1:10000 of lineitem) so it broadcasts; the residual
+    evaluates inside that broadcast join, after which the fact rollup
+    to ~25 nation rows meets the broadcast nation/region chain. Same
+    exact BIGINT cents*bp money math as the rest of the family."""
+    li = corpus._read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_e4_row"),
+    )
+    orders = (
+        corpus._read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q5_YEAR_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q5_YEAR_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = corpus._read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = corpus._read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = corpus._read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = (
+        corpus._read(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q5_REGION)
+        .select("r_regionkey")
+    )
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum("rev_e4_row").cast("bigint").alias("sum_rev_e4"))
+    )
+    dim = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    return rev.join(
+        F.broadcast(dim), rev["c_nationkey"] == dim["n_nationkey"]
+    ).select(
+        "n_name",
+        P.rounded(F.col("sum_rev_e4").cast("double") / 10000).alias("revenue"),
+    )
+
+
+_Q10_QTR_LO = "1997-01-01"
+_Q10_QTR_HI = "1997-04-01"
+RETURNED_TOP_N = 20
+
+
+@declare(
+    "returned_item_report",
+    f"""
+SELECT c_custkey, c_name, n_name,
+       {P.rounded_sql('rev_e4::DOUBLE / 10000')} AS revenue
+FROM (
+    SELECT c.c_custkey, c.c_name, c.c_nationkey,
+           sum({_LI_CENTS} * (100 - {_LI_DISC_BP}))::BIGINT AS rev_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{_Q10_QTR_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{_Q10_QTR_HI} 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_nationkey
+    ORDER BY rev_e4 DESC, c_custkey ASC
+    LIMIT {RETURNED_TOP_N}
+) top
+JOIN nation n ON top.c_nationkey = n.n_nationkey
+""",
+    survey_ids="§2.7,§2.11",
+)
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item customer report (TPC-H Q10 shape): revenue lost to
+    returns in one quarter, per customer, top-{RETURNED_TOP_N} with the
+    customer's nation attached. The returnflag filter pushes into the
+    lineitem scan (prunes ~3/4 of the fact table before the join), the
+    customer rollup keys on the customer row, the head is a
+    TakeOrderedAndProject on the exact integer, and the nation name
+    joins AFTER the cut — {RETURNED_TOP_N} rows probe a broadcast, the
+    rollup never carries the dimension string."""
+    li = corpus._read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_e4_row"),
+    )
+    orders = (
+        corpus._read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q10_QTR_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q10_QTR_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = corpus._read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = corpus._read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    top = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum("rev_e4_row").cast("bigint").alias("rev_e4"))
+        .orderBy(F.desc("rev_e4"), F.asc("c_custkey"))
+        .limit(RETURNED_TOP_N)
+    )
+    return top.join(
+        F.broadcast(nation), top["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        P.rounded(F.col("rev_e4").cast("double") / 10000).alias("revenue"),
+    )
