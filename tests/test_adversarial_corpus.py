@@ -347,6 +347,16 @@ ADVERSARIAL_LINEITEM = [
      _dt2(1998, 9, 3)),                                               # one day past (dropped)
     (99, 8, 4, 1, 7.0, 70.0, 0.04, 0.03, "N", "O",
      _dt2(1998, 1, 3)),                                               # orderkey with NO orders row
+    # --- rows exercising the r6 join family (Q4/Q5/Q10 shapes) ---
+    (6, 9, 1, 1, 2.0, 0.125, 0.0, 0.0, "N", "O", _dt2(1996, 4, 14)),  # ship = orderdate+30 EXACTLY: strict > excludes
+    (6, 9, 2, 2, 1.0, 200.0, 0.10, 0.0, "R", "F", _dt2(1996, 4, 15)),  # +31 days: late; supplier nation != customer nation
+    (7, 10, 4, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", _dt2(1996, 8, 31)),  # +30 exactly again (Aug 1 + 30)
+    (7, 10, 1, 2, 1.0, 40.0, 0.02, 0.01, "N", "O", _dt2(1996, 9, 15)),  # +45: late
+    (7, 10, 1, 3, 1.0, 45.0, 0.0, 0.0, "N", "O", _dt2(1996, 9, 20)),  # SECOND late row: semi-join must not double-count
+    (8, 11, 3, 1, 1.0, 15.0, 0.0, 0.0, "N", "O", _dt2(1996, 9, 5)),   # in quarter, never late
+    (9, 12, 5, 1, 1.0, 500.0, 0.25, 0.0, "R", "F", _dt2(1997, 3, 1)),  # Q10: returned revenue
+    (9, 12, 5, 2, 1.0, 999.0, 0.0, 0.0, "N", "O", _dt2(1997, 3, 2)),  # Q10: non-returned, excluded
+    (10, 13, 77, 1, 1.0, 80.0, 0.0, 0.0, "R", "F", _dt2(1996, 5, 1)),  # l_suppkey with NO supplier row
 ]
 
 ADVERSARIAL_ORDERS = [
@@ -358,9 +368,43 @@ ADVERSARIAL_ORDERS = [
     (4, 12, "O", 50.0, _dt2(1998, 8, 30), "4-NOT SPECIFIED"),
     (5, 13, "O", 60.0, _dt2(1998, 9, 1), "5-LOW"),
     (42, 14, "O", 1.0, _dt2(1998, 1, 1), "1-URGENT"),   # order with NO lineitems
+    # --- r6 join family ---
+    (6, 10, "O", 100.0, _dt2(1996, 3, 15), "1-URGENT"),  # Q5 year, ASIA customer
+    (7, 11, "F", 100.0, _dt2(1996, 8, 1), "2-HIGH"),     # Q4 quarter, two late rows
+    (8, 11, "O", 15.0, _dt2(1996, 9, 1), "3-MEDIUM"),    # Q4 quarter, never late
+    (9, 12, "O", 1499.0, _dt2(1997, 2, 1), "5-LOW"),     # Q10 quarter
+    (10, 13, "O", 80.0, _dt2(1996, 5, 1), "4-NOT SPECIFIED"),  # customer has NULL nationkey
 ]
 
-TPCH_QUERIES = ["lineitem_pricing_summary", "top_customer_revenue"]
+ADVERSARIAL_CUSTOMER = [
+    # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    (10, "Customer#000000010", 1, 0.0, "BUILDING"),
+    (11, "Customer#000000011", 2, -5.5, "MACHINERY"),   # negative balance
+    (12, "Customer#000000012", 3, 1e7, "AUTOMOBILE"),
+    (13, "Customer#000000013", None, 1.0, "HOUSEHOLD"),  # NULL nationkey: must drop at the dim join in BOTH engines
+    (14, "Customer#000000014", 99, 2.0, "BUILDING"),    # nationkey with NO nation row
+]
+
+ADVERSARIAL_NATION = [
+    (1, "NATION_A", 1), (2, "NATION_B", 2), (3, "NATION_C", 1),
+]
+
+ADVERSARIAL_REGION = [(1, "ASIA"), (2, "EUROPE")]
+
+ADVERSARIAL_SUPPLIER = [
+    # (s_suppkey, s_name, s_nationkey, s_acctbal)
+    (1, "Supplier#1", 1, 0.0),
+    (2, "Supplier#2", 2, 1.0),
+    (3, "Supplier#3", 1, 2.0),
+    (4, "Supplier#4", 3, 3.0),
+    (5, "Supplier#5", 1, 4.0),
+]
+
+TPCH_QUERIES = [
+    "lineitem_pricing_summary", "top_customer_revenue",
+    "revenue_by_nation", "order_priority_semijoin",
+    "local_supplier_revenue", "returned_item_report",
+]
 
 
 @pytest.fixture(scope="module")
@@ -381,6 +425,21 @@ def adversarial_tpch_dir(tmp_path_factory):
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        ADVERSARIAL_CUSTOMER,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        ADVERSARIAL_NATION, "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "nation.parquet"))
+    spark.createDataFrame(
+        ADVERSARIAL_REGION, "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "region.parquet"))
+    spark.createDataFrame(
+        ADVERSARIAL_SUPPLIER,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "supplier.parquet"))
     return d
 
 
@@ -388,16 +447,46 @@ def adversarial_tpch_dir(tmp_path_factory):
 def test_adversarial_tpch_parity(spark, adversarial_tpch_dir, name):
     """Money-math boundaries (a 12.5-cent exact-half rounding, sub-cent
     and 1e9 prices, NULL quantity), the shipdate cutoff inclusive edge,
-    a lineitem with no orders row (inner-join drop), and an order with
-    no lineitems must all agree cross-engine."""
+    a lineitem with no orders row (inner-join drop), an order with no
+    lineitems, a customer with a NULL nationkey, a nationkey with no
+    nation row, a suppkey with no supplier row, the semi-join's
+    +30-days strict-inequality boundary, and an order with TWO late
+    lineitems (must count once) must all agree cross-engine."""
     decl = next((d for d in REGISTRY if d.name == name), None)
     if decl is None:
         pytest.skip(f"{name} not in registry")
     con = duckdb.connect()
-    for t in ("lineitem", "orders"):
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "supplier"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
             f"'{adversarial_tpch_dir}/{t}.parquet/*.parquet')"
         )
     sdf = decl.spark(spark, adversarial_tpch_dir)
     compare_spark_duckdb(sdf, con, decl.sql)
+
+
+def test_adversarial_tpch_semantics(spark, adversarial_tpch_dir):
+    """Pinned expectations the parity check alone can't distinguish
+    from a shared bug: the semi-join counts order 7 ONCE despite two
+    late lineitems and excludes both exactly-+30-day shipments; only
+    the ASIA-nation 1996 revenue survives the Q5 dim chain; the
+    returned-item report keeps only the R-flag row."""
+    by = {d.name: d for d in REGISTRY}
+    semi = {
+        r["o_orderpriority"]: r["order_count"]
+        for r in by["order_priority_semijoin"].spark(
+            spark, adversarial_tpch_dir
+        ).collect()
+    }
+    assert semi == {"2-HIGH": 1}  # order 7 once; order 8 never late
+    rev = by["revenue_by_nation"].spark(spark, adversarial_tpch_dir).collect()
+    assert [r["n_name"] for r in rev] == ["NATION_A"]
+    # order 6 only: 0.125 -> 13 cents (HALF_UP at the .5 boundary, both
+    # engines) with 0% discount, plus 200.00 at 10%: (13*100 +
+    # 20000*90) / 10000 dollars
+    assert rev[0]["n_orders"] == 1
+    assert rev[0]["revenue"] == 180.13
+    ret = by["returned_item_report"].spark(spark, adversarial_tpch_dir).collect()
+    assert len(ret) == 1 and ret[0]["c_custkey"] == 12
+    assert ret[0]["revenue"] == 375.0  # 50000 cents * (100-25)bp / 1e4
