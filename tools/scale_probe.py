@@ -175,6 +175,13 @@ def main(ks: list[int]) -> int:
     for k in [1] + ks:
         if k == 1:
             sf_dir = BASE
+        elif os.environ.get(f"SPARK_GRAFT_PROBE_DIR_X{k}"):
+            # reuse a dir built by a previous run (same BASE, same K) —
+            # skips the most expensive step when re-probing after a
+            # plan change
+            sf_dir = os.environ[f"SPARK_GRAFT_PROBE_DIR_X{k}"]
+            print(f"reusing prebuilt x{k} corpus at {sf_dir}",
+                  file=sys.stderr, flush=True)
         else:
             sf_dir = os.path.join(tempfile.mkdtemp(prefix=f"scale_probe_x{k}_"))
             t0 = time.perf_counter()

@@ -183,14 +183,17 @@ def bm25_score_terms_batch(
     row is scored once per query containing its term — the one shuffle
     is the final (query_id, id) aggregation.
 
-    That shuffle is an EXPLICIT repartition on query_id alone (a hash
-    partitioning on a subset of the grouping keys satisfies the
-    aggregation's clustered-distribution requirement), so the per-query
-    top-k window every consumer applies next — partitionBy(query_id) —
-    reuses the same exchange instead of inserting a second one.
-    Map-side partial aggregation loses nothing: postings partition by
-    (id, term), so a document's different terms were never colocated
-    for pre-combine anyway."""
+    Deliberately a plain groupBy, NOT the shared
+    repartition(query_id) exchange the batch fusions use
+    (operators/fusion.py): here the pre-exchange relation is the raw
+    matched posting slice (large at corpus scale), and the two-exchange
+    plan keeps both map-side reductions — partial aggregation on the
+    fine-grained (query_id, id) keys, then WindowGroupLimit(Partial)
+    pruning each partition to top-k per query before the window's
+    exchange moves anything. Measured at the x100 probe: the single
+    coarse exchange was ~25% SLOWER (81 s vs 64 s warm-cache) — the
+    exchange-sharing trick only pays when the shuffled relation is
+    already a bounded per-query list."""
     stats = corpus_stats(postings)
     terms_only = qterms.select("term").distinct()
     probed = postings.join(F.broadcast(terms_only), "term")
@@ -218,7 +221,6 @@ def bm25_score_terms_batch(
     )
     return (
         matched.select("query_id", "id", (idf * tf_part).alias("w"))
-        .repartition("query_id")
         .groupBy("query_id", "id")
         .agg(P.rounded(F.sum("w")).alias("score"))
     )

@@ -168,13 +168,23 @@ def stream_sessionize(
     watermark -> session_window agg -> memory sink, Trigger.AvailableNow)
     and return the settled result. Complete mode + AvailableNow admit no
     late data, so the settled sessions equal the batch session_window
-    over the same files — which is what the oracle checks."""
+    over the same files — which is what the oracle checks.
+
+    events_path may be a single parquet FILE sitting among sibling
+    tables (the testdata layout — a glob filter isolates it, because a
+    file source pointed at the parent directory would ingest every
+    table) or a parquet DIRECTORY of part files (any Spark-written
+    table, e.g. the scale probe's replicated corpus — the glob filter
+    would match no part file and silently stream nothing)."""
     schema = spark.read.parquet(events_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    if os.path.isdir(events_path):
+        stream = spark.readStream.schema(schema).parquet(events_path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
     agg = session_rollup(stream, gap, watermark_delay)
     name = "stream_sessionize_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
