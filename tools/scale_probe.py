@@ -310,7 +310,7 @@ to ~5x via the same fix plus persisting the decontamination shingle
 table across its three consumers; what remains is the PII email regex
 (source_data_card) and the n-gram construction + sorted run-fold
 (text_repetition), both irreducibly per-row.
-bpe_train_merges is the counterpoint: FLAT at 100x (1.0x) — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
+bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
 Queries are forced via a one-row xxhash64 aggregate over every output
