@@ -401,21 +401,27 @@ def main() -> None:
     timings.update(bench_index_builds(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "sf": sf,
-                "qps_dense_batch_1000": round(qps, 1),
-                **batch_qps,
-                "baseline_gates": gates,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "sf": sf,
+        "qps_dense_batch_1000": round(qps, 1),
+        **batch_qps,
+        "baseline_gates": gates,
+    }
+    print(json.dumps(payload))
+    # the driver records only a truncated tail of stdout, which loses
+    # the per-query dict; keep the full result in-repo so future rounds
+    # can diff per-query timings against this run
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError:
+        pass  # bench output on stdout is the contract; the copy is best-effort
     spark.stop()
 
 
