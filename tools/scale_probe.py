@@ -75,6 +75,13 @@ PROBE_QUERIES = [
 ]
 
 
+# bump whenever build_scaled_dir's output changes shape — reuse via
+# SPARK_GRAFT_PROBE_DIR_X{k} refuses a dir built by a different version
+# (v2: customer replicates with the orders custkey shift; a v1 dir's
+# copied customer table dangles every non-zero replica's o_custkey)
+BUILDER_VERSION = 2
+
+
 def build_scaled_dir(spark, out_dir: str, k: int) -> None:
     from pyspark.sql import functions as F
 
@@ -161,6 +168,9 @@ def build_scaled_dir(spark, out_dir: str, k: int) -> None:
         if os.path.exists(src):
             shutil.copy(src, f"{out_dir}/{t}.parquet")
 
+    with open(os.path.join(out_dir, "_PROBE_META.json"), "w") as f:
+        json.dump({"base": BASE, "k": k, "builder_version": BUILDER_VERSION}, f)
+
 
 def main(ks: list[int]) -> int:
     from vector_search_application_spark.session import get_spark
@@ -176,10 +186,28 @@ def main(ks: list[int]) -> int:
         if k == 1:
             sf_dir = BASE
         elif os.environ.get(f"SPARK_GRAFT_PROBE_DIR_X{k}"):
-            # reuse a dir built by a previous run (same BASE, same K) —
-            # skips the most expensive step when re-probing after a
-            # plan change
+            # reuse a dir built by a previous run (same BASE, same K,
+            # same builder version) — skips the most expensive step
+            # when re-probing after a plan change. The meta check
+            # refuses dirs from an older builder: a stale layout would
+            # silently regenerate SCALING.md from wrong data (e.g. a
+            # v1 dir's unshifted customer table dangles every
+            # non-zero replica's o_custkey).
             sf_dir = os.environ[f"SPARK_GRAFT_PROBE_DIR_X{k}"]
+            meta_path = os.path.join(sf_dir, "_PROBE_META.json")
+            try:
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                meta = None
+            expected = {"base": BASE, "k": k,
+                        "builder_version": BUILDER_VERSION}
+            if meta != expected:
+                raise SystemExit(
+                    f"refusing to reuse {sf_dir}: _PROBE_META.json is "
+                    f"{meta}, expected {expected} — rebuild (unset "
+                    f"SPARK_GRAFT_PROBE_DIR_X{k})"
+                )
             print(f"reusing prebuilt x{k} corpus at {sf_dir}",
                   file=sys.stderr, flush=True)
         else:

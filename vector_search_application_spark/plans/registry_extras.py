@@ -896,7 +896,7 @@ LIMIT {TOP_CUSTOMERS_N}
     survey_ids="§2.11",
 )
 def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{TOP_CUSTOMERS_N} customers by discounted revenue: the
+    """Top-TOP_CUSTOMERS_N (=20) customers by discounted revenue: the
     600k-row lineitem joins 150k-row orders on the order key (at this
     shape a shuffle join on the join key; at 100 TB both sides bucket
     by orderkey and the exchange disappears), revenue folds as exact
@@ -944,6 +944,74 @@ _Q5_YEAR_HI = "1997-01-01"
 _Q5_REGION = "ASIA"
 
 
+
+def _q5_star_rollup(
+    spark: SparkSession, sf_dir: str, local_supplier: bool
+) -> DataFrame:
+    """Shared Q5 skeleton: the date-filtered orders slice joins the
+    lineitem revenue projection on the order key, rolls up to
+    c_nationkey BEFORE touching any dimension, then meets the
+    broadcast nation/region chain. local_supplier=True adds the
+    supplier leg with the c_nationkey = s_nationkey residual (the full
+    TPC-H Q5) and drops the order count the simpler variant reports —
+    the two declared queries differ only in those flags."""
+    li_cols = ["l_orderkey"] + (["l_suppkey"] if local_supplier else [])
+    li = corpus._read(spark, sf_dir, "lineitem").select(
+        *li_cols,
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_e4_row"),
+    )
+    orders = (
+        corpus._read(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_Q5_YEAR_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_Q5_YEAR_HI).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = corpus._read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = corpus._read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = (
+        corpus._read(spark, sf_dir, "region")
+        .filter(F.col("r_name") == _Q5_REGION)
+        .select("r_regionkey")
+    )
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    if local_supplier:
+        supp = corpus._read(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        joined = joined.join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    aggs = [F.sum("rev_e4_row").cast("bigint").alias("sum_rev_e4")]
+    if not local_supplier:
+        aggs.append(
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders")
+        )
+    rev = joined.groupBy("c_nationkey").agg(*aggs)
+    dim = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    out = [
+        F.col("n_name"),
+        P.rounded(F.col("sum_rev_e4").cast("double") / 10000).alias("revenue"),
+    ] + ([] if local_supplier else [F.col("n_orders")])
+    return rev.join(
+        F.broadcast(dim), rev["c_nationkey"] == dim["n_nationkey"]
+    ).select(*out)
+
+
 @declare(
     "revenue_by_nation",
     f"""
@@ -969,59 +1037,17 @@ WHERE r.r_name = '{_Q5_REGION}'
 )
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discounted revenue by customer nation inside one region for one
-    order year (TPC-H Q5 shape minus the supplier leg the testdata
-    schema lacks): the 6M-row lineitem joins the date-filtered orders
-    slice on the order key, rolls up to c_nationkey BEFORE touching any
-    dimension — the fact-side aggregate shrinks the join input to ~25
-    rows — then the nation/region dimension chain broadcasts onto the
-    rollup. At 100 TB the only large exchange is the orderkey join
-    (bucketable); the dimensions never see fact rows. Revenue folds as
-    exact BIGINT cents*bp; dollars render once per output row."""
-    li = corpus._read(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        (
-            F.round(F.col("l_extendedprice") * 100).cast("bigint")
-            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
-        ).alias("rev_e4_row"),
-    )
-    orders = (
-        corpus._read(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit(_Q5_YEAR_LO).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(_Q5_YEAR_HI).cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    cust = corpus._read(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = corpus._read(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_regionkey", "n_name"
-    )
-    region = (
-        corpus._read(spark, sf_dir, "region")
-        .filter(F.col("r_name") == _Q5_REGION)
-        .select("r_regionkey")
-    )
-    rev = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_nationkey")
-        .agg(
-            F.sum("rev_e4_row").cast("bigint").alias("sum_rev_e4"),
-            F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
-        )
-    )
-    dim = nation.join(
-        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
-    ).select("n_nationkey", "n_name")
-    return rev.join(
-        F.broadcast(dim), rev["c_nationkey"] == dim["n_nationkey"]
-    ).select(
-        "n_name",
-        P.rounded(F.col("sum_rev_e4").cast("double") / 10000).alias("revenue"),
-        "n_orders",
-    )
+    order year (TPC-H Q5 shape minus the supplier leg): the 6M-row
+    lineitem joins the date-filtered orders slice on the order key,
+    rolls up to c_nationkey BEFORE touching any dimension — the
+    fact-side aggregate shrinks the join input to ~25 rows — then the
+    nation/region dimension chain broadcasts onto the rollup. At
+    100 TB the only large exchange is the orderkey join (bucketable,
+    proven by tests/test_bucketed_join.py); the dimensions never see
+    fact rows. Revenue folds as exact BIGINT cents*bp; dollars render
+    once per output row. Shares _q5_star_rollup with the
+    local-supplier variant."""
+    return _q5_star_rollup(spark, sf_dir, local_supplier=False)
 
 
 _Q4_QTR_LO = "1996-07-01"
@@ -1112,58 +1138,10 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the supplier sit in the same nation. Supplier is tiny at every
     SF ratio (1:10000 of lineitem) so it broadcasts; the residual
     evaluates inside that broadcast join, after which the fact rollup
-    to ~25 nation rows meets the broadcast nation/region chain. Same
-    exact BIGINT cents*bp money math as the rest of the family."""
-    li = corpus._read(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.round(F.col("l_extendedprice") * 100).cast("bigint")
-            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
-        ).alias("rev_e4_row"),
-    )
-    orders = (
-        corpus._read(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit(_Q5_YEAR_LO).cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit(_Q5_YEAR_HI).cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    cust = corpus._read(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    supp = corpus._read(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
-    nation = corpus._read(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_regionkey", "n_name"
-    )
-    region = (
-        corpus._read(spark, sf_dir, "region")
-        .filter(F.col("r_name") == _Q5_REGION)
-        .select("r_regionkey")
-    )
-    rev = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(supp),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .groupBy("c_nationkey")
-        .agg(F.sum("rev_e4_row").cast("bigint").alias("sum_rev_e4"))
-    )
-    dim = nation.join(
-        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
-    ).select("n_nationkey", "n_name")
-    return rev.join(
-        F.broadcast(dim), rev["c_nationkey"] == dim["n_nationkey"]
-    ).select(
-        "n_name",
-        P.rounded(F.col("sum_rev_e4").cast("double") / 10000).alias("revenue"),
-    )
+    meets the broadcast nation/region chain. Same exact BIGINT
+    cents*bp money math; shares _q5_star_rollup with the
+    supplier-less variant."""
+    return _q5_star_rollup(spark, sf_dir, local_supplier=True)
 
 
 _Q10_QTR_LO = "1997-01-01"
@@ -1195,8 +1173,8 @@ JOIN nation n ON top.c_nationkey = n.n_nationkey
 )
 def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item customer report (TPC-H Q10 shape): revenue lost to
-    returns in one quarter, per customer, top-{RETURNED_TOP_N} with the
-    customer's nation attached. The returnflag filter pushes into the
+    returns in one quarter, per customer, top-RETURNED_TOP_N (=20) with
+    the customer's nation attached. The returnflag filter pushes into the
     lineitem scan (prunes ~3/4 of the fact table before the join), the
     customer rollup keys on the customer row, the head is a
     TakeOrderedAndProject on the exact integer, and the nation name
