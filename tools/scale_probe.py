@@ -335,9 +335,12 @@ quality_filter_funnel used to lead this tail (56x) until the
 punct-strip regexp_replace was replaced by a translate() char map (now
 2-3x, overhead-bound), and training_manifest_full came down from 29x
 to ~5x via the same fix plus persisting the decontamination shingle
-table across its three consumers; what remains is the PII email regex
-(source_data_card) and the n-gram construction + sorted run-fold
-(text_repetition), both irreducibly per-row.
+table across its three consumers; source_data_card and text_pii_scrub
+dropped ~3x when the email regex got a contains('@') prefilter (Java
+regex backtracks at every position of a document that can never
+match — the gate is value-identical because an email requires the
+'@'); what remains is the n-gram construction + sorted run-fold
+(text_repetition), irreducibly per-row.
 bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.

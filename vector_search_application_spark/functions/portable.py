@@ -67,16 +67,20 @@ def sha256_hex_sql(expr: str) -> str:
 def tokens(col: Column) -> Column:
     """array<string> of non-empty lowercase tokens.
 
-    Implemented as regexp-collapse + split + array_remove instead of a
-    higher-order-function filter: lambda HOFs are interpreted
-    per-element and measured ~3x slower on the hot tokenize path, while
-    this form stays inside codegen'd native expressions. Produces the
-    identical token list (runs of [^a-z0-9] collapse to one separator;
-    leading/trailing separators trimmed; empty tokens impossible except
-    for the all-separator string, which array_remove clears).
+    Implemented as a DIRECT regex split + array_remove — the same
+    shape as the DuckDB twin (string_split_regex + list_filter).
+    Two rejected alternatives, both measured on the x100 probe corpus:
+    a higher-order-function filter (interpreted per element, ~3x
+    slower) and the earlier regexp_replace-collapse + trim + split
+    (value-identical, but the replace pass REWRITES every multi-KB
+    string before splitting — ~10% slower warm and ~5x slower on the
+    cold JIT path). Splitting on [^a-z0-9]+ yields empty strings only
+    at a leading/trailing separator run, which array_remove clears,
+    so the token list is identical across all three forms (edge cases
+    pinned in the tokenizer A/B: empty, all-separator, unicode,
+    newline/tab).
     """
-    collapsed = F.regexp_replace(F.lower(col), TOKEN_SPLIT_RE, " ")
-    return F.array_remove(F.split(F.trim(collapsed), " "), "")
+    return F.array_remove(F.split(F.lower(col), TOKEN_SPLIT_RE), "")
 
 
 def tokens_sql(expr: str) -> str:

@@ -229,12 +229,22 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # both regexes gate on a contains('@') prefilter — an email requires
+    # one, so the gate is value-identical (the oracle stays ungated) and
+    # rows that can never match skip the backtracking scan entirely
+    # (measured on source_data_card's shared email regex: ~3x at x100)
+    at = F.contains(F.col("text"), F.lit("@"))
     return seeded.select(
         "doc_id",
-        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+        F.when(at, F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)))
+        .otherwise(F.lit(0))
         .cast("integer")
         .alias("n_emails"),
-        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>").alias("scrubbed"),
+        F.when(
+            at, F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+        )
+        .otherwise(F.col("text"))
+        .alias("scrubbed"),
     )
 
 
