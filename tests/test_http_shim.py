@@ -201,3 +201,85 @@ def test_really_fast_optimize_and_stats_routes(served):
     # per-service tracking
     _, perf = _get(f"{base}/api/search/performance-stats")
     assert "really_fast" in perf
+
+
+def test_load_data_absorbs_into_serving(served, tmp_path):
+    """The reference's load-data upserts into the LIVE collection
+    (app/main.py:106-160): a load that reports success must make the
+    documents searchable through every subsequent search route, and
+    visible in /health's document_count."""
+    engine, base = served
+    before = engine.products.count()
+    docs = [
+        {"partNumber_airgas_text": "ABSORB001",
+         "shortDescription_airgas_text": "zyzzyva quokka flange bracket"},
+    ]
+    table = tmp_path / "absorbed"
+    req = urllib.request.Request(
+        f"{base}/api/load-data?table={table}",
+        data=json.dumps(docs).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+
+    status, health = _get(f"{base}/health")
+    assert status == 200 and health["document_count"] == before + 1
+
+    absorbed = engine.products.filter(
+        engine.products["partNumber_airgas_text"] == "ABSORB001"
+    ).collect()
+    assert len(absorbed) == 1
+    status, body = _get(
+        f"{base}/api/search/ultra-fast?q=zyzzyva+quokka+flange&count=5"
+    )
+    assert status == 200
+    assert absorbed[0]["id"] in [r["id"] for r in body["results"]]
+
+
+def test_post_search_and_param_edges(served):
+    """POST /api/search (the reference serves search over GET and POST,
+    app/main.py:63-104), explicit-blank filter_value reaching the
+    engine as '' instead of vanishing, and malformed count only
+    failing routes that read it."""
+    engine, base = served
+    req = urllib.request.Request(
+        f"{base}/api/search",
+        data=json.dumps({"q": "large widget", "count": 3}).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.status == 200
+        body = json.loads(r.read())
+    assert body["query"] == "large widget" and body["count"] <= 3
+
+    # explicit empty filter_value: a legitimate filter for "", not a 400
+    status, body = _get(
+        f"{base}/api/search?q=widget&count=3"
+        f"&filter_field=manufacturerPartNumber_text&filter_value="
+    )
+    assert status == 200 and body["count"] == 0
+
+    # malformed count must not break routes that never read it
+    status, _ = _get(f"{base}/health?count=abc")
+    assert status == 200
+    try:
+        _get(f"{base}/api/query?q=x&count=abc")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_search_has_own_ema_bucket(served):
+    """/api/search is the reference's search_service with its own EMA
+    (search_service.py:253-254): it must fill a 'search' bucket, not
+    inflate ultra_fast/fusion via its internal plumbing."""
+    engine, base = served
+    before = engine.performance_stats()
+    ultra_before = before.get("ultra_fast", {}).get("count", 0)
+    _get(f"{base}/api/search?q=widget&count=2")
+    after = engine.performance_stats()
+    assert after["search"]["count"] >= 1
+    assert after.get("ultra_fast", {}).get("count", 0) == ultra_before

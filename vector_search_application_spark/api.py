@@ -29,6 +29,12 @@ separate perf keys so the stats surface matches.
 EMA perf telemetry reproduces the reference's driver-side math
 exactly: avg = 0.9*avg + 0.1*x after the first sample
 (app/services/search_service.py:253-254,296-297,339-340).
+
+Security note: the import/export/load-data endpoints accept
+server-side filesystem paths by design (reference parity — its admin
+routes read and write server paths the same way). The shim binds to
+127.0.0.1 by default; expose it beyond loopback only in a trusted
+environment.
 """
 
 from __future__ import annotations
@@ -88,7 +94,14 @@ class Engine:
             if q in self._query_emb_cache:
                 self._query_emb_cache.move_to_end(q)
                 return self._query_emb_cache[q]
-        built = E.embed_query_postings(self.spark, q)
+        # localCheckpoint MATERIALIZES the few posting rows before
+        # caching — a cache of lazy plans would re-run the embed
+        # subplan inside every downstream job, which is not the
+        # computational parity the reference's lru_cache of computed
+        # vectors provides
+        built = E.embed_query_postings(self.spark, q).localCheckpoint(
+            eager=True
+        )
         with self._lock:
             if q not in self._query_emb_cache:
                 if len(self._query_emb_cache) >= self._query_cache_capacity:
@@ -223,17 +236,22 @@ class Engine:
             "segments_count": self.products.rdd.getNumPartitions(),
         }
 
-    def search_fusion(self, q: str, count: int = 10) -> DataFrame:
-        """V4: exact(k) + vector(2k) -> max-score dedup (F3)."""
-        t0 = time.perf_counter()
+    def _fusion_hits(self, q: str, count: int) -> DataFrame:
+        """V4 plumbing, untracked: exact(k) + vector(2k) -> max-score
+        dedup (F3). search_fusion() and search() both consume this so
+        each can time and bucket its OWN full path."""
         exact_b = self._exact_branch(q, count).select(
             "id", "score", F.lit("exact").alias("search_type")
         )
         vector_b = self._dense_branch(q, count * BRANCH_INFLATION).select(
             "id", "score", F.lit("vector").alias("search_type")
         )
-        out = fusion.max_dedup_fuse(exact_b, vector_b, count, "id")
-        out = out.localCheckpoint(eager=True)
+        return fusion.max_dedup_fuse(exact_b, vector_b, count, "id")
+
+    def search_fusion(self, q: str, count: int = 10) -> DataFrame:
+        """V4: exact(k) + vector(2k) -> max-score dedup (F3)."""
+        t0 = time.perf_counter()
+        out = self._fusion_hits(q, count).localCheckpoint(eager=True)
         self._track("fusion", (time.perf_counter() - t0) * 1000)
         return out
 
@@ -246,18 +264,27 @@ class Engine:
         use_fusion: bool = False,
     ) -> DataFrame:
         """V5: search-with-details — fused or dense hits, optional Q2
-        post-filter with k-inflation, UI projection with C3/C4."""
+        post-filter with k-inflation, UI projection with C3/C4.
+
+        Timed and bucketed as its OWN 'search' engine (the reference
+        serves /api/search from search_service with its own EMA,
+        search_service.py:253-254): the internal dense/fusion plumbing
+        is called untracked, and the timer covers the join + filter +
+        projection, not just the hits subplan. Final ordering uses the
+        RAW score (the reference sorts raw and rounds for display);
+        ties on the raw score break by id."""
         if filter_field is not None and filter_value is None:
             # col == lit(NULL) is never true — a silently-empty result
             # would be indistinguishable from a legitimate miss
             raise ValueError(
                 "filter_value is required when filter_field is set"
             )
+        t0 = time.perf_counter()
         k = count * POSTFILTER_INFLATION if filter_field else count
         hits = (
-            self.search_fusion(q, k)
+            self._fusion_hits(q, k)
             if use_fusion
-            else self.search_ultra_fast(q, k).withColumn(
+            else self._dense_branch(q, k).withColumn(
                 "search_type", F.lit("vector")
             )
         )
@@ -271,29 +298,46 @@ class Engine:
                 .orderBy(F.desc("score"), F.asc("id"))
                 .limit(count)
             )
-        return enriched.select(
-            scalars.normalize_image_url(F.col("img_270Wx270H_string")).alias("image"),
-            "id",
-            F.col("shortDescription_airgas_text").alias("text"),
-            F.col("manufacturerPartNumber_text").alias("Mfr Code"),
-            F.col("onlinePrice_string").alias("Price"),
-            F.round(F.col("score"), 3).alias("score"),
-            "search_type",
-            scalars.score_label(F.col("score")).alias("match_quality"),
-        ).orderBy(F.desc("score"), F.asc("id"))
+        out = (
+            enriched.withColumn("_raw_score", F.col("score"))
+            .select(
+                scalars.normalize_image_url(
+                    F.col("img_270Wx270H_string")
+                ).alias("image"),
+                "id",
+                F.col("shortDescription_airgas_text").alias("text"),
+                F.col("manufacturerPartNumber_text").alias("Mfr Code"),
+                F.col("onlinePrice_string").alias("Price"),
+                F.round(F.col("score"), 3).alias("score"),
+                "search_type",
+                scalars.score_label(F.col("score")).alias("match_quality"),
+                "_raw_score",
+            )
+            .orderBy(F.desc("_raw_score"), F.asc("id"))
+            .drop("_raw_score")
+            .localCheckpoint(eager=True)
+        )
+        self._track("search", (time.perf_counter() - t0) * 1000)
+        return out
 
     def filtered_search(
         self, q: str, filter_field: str, filter_value: str, count: int = 10
     ) -> DataFrame:
-        """V6: minimal (id, score) projection after Q2 post-filter."""
-        hits = self.search_ultra_fast(q, count * POSTFILTER_INFLATION)
-        return (
+        """V6: minimal (id, score) projection after Q2 post-filter.
+        Served by the same 'search' EMA bucket as search() — the
+        reference routes filtered requests through search_service."""
+        t0 = time.perf_counter()
+        hits = self._dense_branch(q, count * POSTFILTER_INFLATION)
+        out = (
             hits.join(self.products, "id")
             .filter(F.col(filter_field) == F.lit(filter_value))
             .select("id", "score")
             .orderBy(F.desc("score"), F.asc("id"))
             .limit(count)
+            .localCheckpoint(eager=True)
         )
+        self._track("search", (time.perf_counter() - t0) * 1000)
+        return out
 
     def compare(self, q: str, count: int = 10) -> dict:
         """V7: run ultra-fast / fusion / lean on the same query; report
@@ -322,16 +366,54 @@ class Engine:
 
     # -- ingest / ops ---------------------------------------------------
 
+    def _absorb(self, table_dir: str) -> None:
+        """Upsert a freshly-written product table into the SERVED
+        collection. The reference's load-data / import endpoints write
+        into the live Qdrant collection (app/main.py:106-160) — a load
+        that reported success but never became searchable would be a
+        silent parity break. New rows win on id (M1 upsert semantics);
+        the corpus and both derived indexes re-point and re-persist,
+        with the ingested parquet at ``table_dir`` becoming part of the
+        serving lineage (callers must not delete it)."""
+        loaded = self.spark.read.parquet(table_dir)
+        if not {"id", "dense_text", "sparse_text"}.issubset(loaded.columns):
+            # raw directory imports (S4/S5) land untransformed document
+            # tables; run the same T1-T3 stack the upload path applies
+            loaded = json_source.transform_products(loaded)
+        loaded = loaded.select(*self.products.columns)
+        merged = loaded.unionByName(
+            self.products.join(
+                loaded.select("id").distinct(), "id", "left_anti"
+            )
+        )
+        old_products, old_dense = self.products, self.dense_index
+        self.products = merged.persist()
+        self.dense_index = E.embed_postings(
+            self.products, "id", "dense_text"
+        ).persist()
+        self.sparse_postings = bm25.build_postings(
+            self.products, id_col="id", text_col="sparse_text"
+        )
+        old_products.unpersist()
+        old_dense.unpersist()
+
     def load_data(self, path: str, table_dir: str) -> int:
-        """POST /api/load-data: S3 upload -> T1/T2 transforms -> write."""
+        """POST /api/load-data: S3 upload -> T1/T2 transforms -> write
+        -> absorb into the served collection."""
         raw = json_source.read_json_array(self.spark, path)
-        return json_source.load_products(raw, table_dir)
+        n = json_source.load_products(raw, table_dir)
+        self._absorb(table_dir)
+        return n
 
     def import_full(self, import_dir: str, table_dir: str) -> int:
-        return json_source.import_full(self.spark, import_dir, table_dir)
+        n = json_source.import_full(self.spark, import_dir, table_dir)
+        self._absorb(table_dir)
+        return n
 
     def import_delta(self, import_dir: str, table_dir: str) -> dict:
-        return json_source.import_delta(self.spark, import_dir, table_dir)
+        counts = json_source.import_delta(self.spark, import_dir, table_dir)
+        self._absorb(table_dir)
+        return counts
 
     def export(self, path: str) -> tuple[str, int]:
         return json_source.export_documents(self.products, path)

@@ -19,6 +19,7 @@ paths:
   GET  /api/test                      -> service self-check
   POST /api/load-data?table=          -> Engine.load_data()   (S3+I6)
   GET  /api/search?q=&count=&filter_field=&filter_value=&use_fusion=
+  POST /api/search  (same params as a JSON body)
                                       -> Engine.search()     (V5 + Q2)
   GET  /api/search/ultra-fast?q=      -> Engine.search_ultra_fast()
   GET  /api/search/lean?q=            -> Engine.search_lean()
@@ -137,10 +138,23 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
 
         def do_GET(self):  # noqa: N802 — http.server contract
             parsed = urlparse(self.path)
-            qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            # keep_blank_values: filter_value= (explicit empty string)
+            # must reach the engine as "", not vanish — dropping it
+            # would turn a legitimate empty-string filter into a 400
+            qs = {
+                k: v[0]
+                for k, v in parse_qs(
+                    parsed.query, keep_blank_values=True
+                ).items()
+            }
             q = qs.get("q", "")
+            # parsed lazily so a malformed count only 400s routes that
+            # actually take one (a bad ?count= must not fail /health or
+            # /api/export, which never read it)
+            def count() -> int:
+                return int(qs.get("count", "10"))
+
             try:
-                count = int(qs.get("count", "10"))
                 if parsed.path == "/health":
                     self._send(200, engine.health())
                 elif parsed.path == "/api/collections":
@@ -148,12 +162,12 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                 elif parsed.path == "/api/query":
                     mode = qs.get("mode", "hybrid")
                     self._send(
-                        200, self._envelope(q, engine.query(q, mode, count))
+                        200, self._envelope(q, engine.query(q, mode, count()))
                     )
                 elif parsed.path == "/api/search":
                     df = engine.search(
                         q,
-                        count,
+                        count(),
                         filter_field=qs.get("filter_field"),
                         filter_value=qs.get("filter_value"),
                         use_fusion=qs.get("use_fusion", "").lower()
@@ -162,20 +176,20 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     self._send(200, self._envelope(q, df))
                 elif parsed.path == "/api/search/ultra-fast":
                     self._send(
-                        200, self._envelope(q, engine.search_ultra_fast(q, count))
+                        200, self._envelope(q, engine.search_ultra_fast(q, count()))
                     )
                 elif parsed.path == "/api/search/lean":
-                    self._send(200, self._envelope(q, engine.search_lean(q, count)))
+                    self._send(200, self._envelope(q, engine.search_lean(q, count())))
                 elif parsed.path == "/api/search/really-fast":
                     # reference: backward-compat alias of ultra-fast
                     # (app/api/endpoints/search.py:257-262)
                     self._send(
                         200,
-                        self._envelope(q, engine.search_really_fast(q, count)),
+                        self._envelope(q, engine.search_really_fast(q, count())),
                     )
                 elif parsed.path == "/api/search/fusion":
                     self._send(
-                        200, self._envelope(q, engine.search_fusion(q, count))
+                        200, self._envelope(q, engine.search_fusion(q, count()))
                     )
                 elif parsed.path in ("/api/dense", "/api/sparse", "/api/hybrid"):
                     # reference param names: query= and limit=
@@ -208,7 +222,7 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                         },
                     })
                 elif parsed.path == "/api/search/compare":
-                    self._send(200, engine.compare(q, count))
+                    self._send(200, engine.compare(q, count()))
                 elif parsed.path == "/api/search/performance-stats":
                     self._send(200, engine.performance_stats())
                 elif parsed.path == "/api/import":
@@ -243,12 +257,48 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
 
         def do_POST(self):  # noqa: N802
             parsed = urlparse(self.path)
-            qs = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+            qs = {
+                k: v[0]
+                for k, v in parse_qs(
+                    parsed.query, keep_blank_values=True
+                ).items()
+            }
             if parsed.path == "/api/search/optimize":
                 # reference: warm every search service
                 # (app/api/endpoints/search.py:376-406)
                 try:
                     self._send(200, engine.optimize())
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"[:2000]})
+                return
+            if parsed.path == "/api/search":
+                # the reference serves search over GET and POST alike
+                # (app/main.py:63-104); POST takes the same parameters
+                # as a JSON body, query params as fallback
+                try:
+                    n_bytes = int(self.headers.get("Content-Length", "0"))
+                    body = json.loads(self.rfile.read(n_bytes) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError("expected a JSON object body")
+                    params = {**qs, **body}
+                    df = engine.search(
+                        str(params.get("q", params.get("query", ""))),
+                        int(params.get("count", 10)),
+                        filter_field=params.get("filter_field"),
+                        filter_value=params.get("filter_value"),
+                        use_fusion=str(params.get("use_fusion", "")).lower()
+                        in ("1", "true", "yes"),
+                    )
+                    self._send(
+                        200,
+                        self._envelope(
+                            str(params.get("q", params.get("query", ""))), df
+                        ),
+                    )
+                except json.JSONDecodeError:
+                    self._send(400, {"error": "Invalid JSON body"})
+                except ValueError as e:
+                    self._send(400, {"error": str(e)})
                 except Exception as e:
                     self._send(400, {"error": f"{type(e).__name__}: {e}"[:2000]})
                 return
@@ -276,6 +326,14 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     json.dump(docs, f)
                 table_dir = qs.get("table", os.path.join(work, "table"))
                 n = engine.load_data(upload, table_dir)
+                # the upload landing file is scratch — remove it; the
+                # parquet at table_dir is NOT scratch: load_data absorbs
+                # it into the serving lineage, so it must outlive the
+                # request
+                try:
+                    os.remove(upload)
+                except OSError:
+                    pass
                 self._send(200, {
                     "success": True,
                     "message": f"Successfully loaded {n} documents",

@@ -143,11 +143,13 @@ def validate_documents(
     )
 
 
-def load_products(raw: DataFrame, table_dir: str) -> int:
-    """S3+T1/T2/T3: the load-data transform stack over uploaded JSON
-    (reference app/main.py:106-160, scripts/indexing.py:222-247):
-    missing-field defaulting, text-column synthesis, deterministic id.
-    """
+def transform_products(raw: DataFrame) -> DataFrame:
+    """T1/T2/T3 over a raw document table (reference
+    app/main.py:106-160, scripts/indexing.py:222-247): missing-field
+    defaulting, _id-defaults-to-part-number, dense/sparse text
+    synthesis, deterministic id. Shared by the upload path
+    (load_products) and the engine's absorb-into-serving step, which
+    must transform raw directory imports the same way."""
     # T3: ensure every product field exists (None-fill)
     for f in PRODUCT_FIELDS:
         if f not in raw.columns:
@@ -157,7 +159,7 @@ def load_products(raw: DataFrame, table_dir: str) -> int:
         "_id", F.coalesce(F.col("_id"), F.col("partNumber_airgas_text"))
     )
     # T1: dense_text / sparse_text / searchable_text synthesis
-    out = withid.select(
+    return withid.select(
         *[F.col(f) for f in PRODUCT_FIELDS],
         F.col("shortDescription_airgas_text").alias("dense_text"),
         F.concat_ws(
@@ -168,6 +170,11 @@ def load_products(raw: DataFrame, table_dir: str) -> int:
         ).alias("sparse_text"),
         P.md5_long(F.col("_id"), "id").alias("id"),
     )
+
+
+def load_products(raw: DataFrame, table_dir: str) -> int:
+    """S3+T1/T2/T3: the load-data transform stack over uploaded JSON."""
+    out = transform_products(raw)
     out.write.mode("overwrite").parquet(table_dir)
     return out.sparkSession.read.parquet(table_dir).count()
 
