@@ -46,3 +46,41 @@ def test_versioned_tables_partition_the_log(spark):
         "inner",
     ).count()
     assert overlap == 0
+
+
+def test_content_hash_unambiguous_encoding(spark):
+    """Regression: the '|'-joined concat_ws hash collided on NULL
+    shifts (concat_ws skips NULLs) and on delimiter-bearing values,
+    so a real update classified as unchanged. The fixed-width
+    per-field digest must separate both cases."""
+    null_shift = spark.createDataFrame(
+        [("a", None, "b"), ("a", "b", None)], "c1 string, c2 string, c3 string"
+    )
+    hashes = [
+        r["h"]
+        for r in null_shift.select(
+            mutations.content_hash(["c1", "c2", "c3"]).alias("h")
+        ).collect()
+    ]
+    assert hashes[0] != hashes[1]
+
+    delim_shift = spark.createDataFrame(
+        [("a|b", "c"), ("a", "b|c")], "c1 string, c2 string"
+    )
+    hashes = [
+        r["h"]
+        for r in delim_shift.select(
+            mutations.content_hash(["c1", "c2"]).alias("h")
+        ).collect()
+    ]
+    assert hashes[0] != hashes[1]
+
+    # equal rows still hash equal
+    same = spark.createDataFrame([("x", "y"), ("x", "y")], "c1 string, c2 string")
+    hashes = [
+        r["h"]
+        for r in same.select(
+            mutations.content_hash(["c1", "c2"]).alias("h")
+        ).collect()
+    ]
+    assert hashes[0] == hashes[1]

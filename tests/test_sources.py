@@ -225,3 +225,19 @@ def test_targz_scan_multiple_archives(spark, tmp_path, product_docs):
         "DOC0", "DOC1", "DOC2"
     }
     assert len({r["archive"] for r in rows}) == 3
+
+
+def test_indexed_lookup_numeric_key(spark, tmp_path):
+    """Regression: the bucket predicate hashed the STRING query
+    literal, so a lookup against a bigint-keyed layout pruned to a
+    bucket that could not contain the row and silently returned
+    empty. The literal must be cast to the stored key type first."""
+    from vector_search_application_spark.sources import layout
+
+    table = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "bucketed_numeric")
+    layout.write_bucketed(table, path, "doc_id", n_buckets=8)
+    hit = layout.indexed_lookup(spark, path, "doc_id", "5").collect()
+    assert len(hit) == 1 and hit[0]["v"] == 10

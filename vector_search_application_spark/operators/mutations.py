@@ -29,12 +29,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+NULL_FIELD_DIGEST = "x" * 32  # non-hex: cannot collide with an md5
+
+
 def content_hash(cols: list[str]) -> Column:
     """T4/C5: sha256 over a fixed field order (the reference hashes
-    key-sorted JSON, app/services/document_service.py:328-332; we hash
-    a '|'-joined canonical projection — same change-detection power,
-    engine/oracle portable)."""
-    return F.sha2(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]), 256)
+    key-sorted JSON, app/services/document_service.py:328-332).
+
+    Each field contributes a FIXED-WIDTH 32-char md5 (or the non-hex
+    NULL marker), and the final hash covers their concatenation — an
+    unambiguous encoding. The earlier '|'-joined concat_ws was not:
+    concat_ws SKIPS nulls, so ('a', NULL, 'b') and ('a', 'b', NULL)
+    hashed equal, and a field containing '|' could shift content
+    across field boundaries ('a|b','c' vs 'a','b|c') — either way a
+    real update classified as unchanged and never re-imported."""
+    parts = [
+        F.when(F.col(c).isNull(), F.lit(NULL_FIELD_DIGEST)).otherwise(
+            F.md5(F.col(c).cast("string"))
+        )
+        for c in cols
+    ]
+    return F.sha2(F.concat(*parts), 256)
 
 
 def upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
@@ -80,7 +95,13 @@ def with_versions(
     events: DataFrame, key: str, order_cols: list[str]
 ) -> DataFrame:
     """M4/M5 versioning backbone: version numbers per key in event
-    order (1 = oldest), plus is_current flag for the newest."""
+    order (1 = oldest), plus is_current flag for the newest.
+
+    CONTRACT: order_cols must be a TOTAL order within each key —
+    row_number over a tied ORDER BY is partition-order dependent, so
+    ties would flip which row is "current" between runs. In-repo
+    callers order by (ts, event_id); callers with non-unique
+    timestamps must append their own unique tiebreak column."""
     asc = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order_cols])
     versioned = events.withColumn("version", F.row_number().over(asc).cast("bigint"))
     wmax = Window.partitionBy(key)

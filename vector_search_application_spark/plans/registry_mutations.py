@@ -35,9 +35,16 @@ new_docs AS (
 )
 """.strip()
 
+# twin of operators/mutations.content_hash: fixed-width per-field md5
+# (non-hex marker for NULL) -> sha256 of the concat; unambiguous under
+# NULLs and under field values containing any delimiter
 _HASH_SQL = (
-    "sha256(concat_ws('|', text::VARCHAR, lang::VARCHAR,"
-    " source::VARCHAR, n_chars::VARCHAR))"
+    "sha256(concat("
+    "CASE WHEN text IS NULL THEN '" + "x" * 32 + "' ELSE md5(text::VARCHAR) END, "
+    "CASE WHEN lang IS NULL THEN '" + "x" * 32 + "' ELSE md5(lang::VARCHAR) END, "
+    "CASE WHEN source IS NULL THEN '" + "x" * 32 + "' ELSE md5(source::VARCHAR) END, "
+    "CASE WHEN n_chars IS NULL THEN '" + "x" * 32 + "' ELSE md5(n_chars::VARCHAR) END"
+    "))"
 )
 
 

@@ -89,12 +89,21 @@ def indexed_lookup(
     The key is matched EXACTLY as stored — the index must equal a plain
     ``key_col == query`` filter. Query normalization (the reference's
     strip().upper(), C2) is the caller's concern, applied BEFORE the
-    bucket is derived."""
-    q = F.lit(query)
+    bucket is derived.
+
+    The query literal is CAST to the stored key's type before hashing:
+    write_bucketed bucketed on xxhash64 of the stored value, and
+    xxhash64(bigint 5) != xxhash64(string '5') — an uncast string
+    lookup against a numeric key would prune to a bucket that cannot
+    contain the row and silently return empty."""
+    table = spark.read.parquet(path)
+    key_type = dict(table.dtypes)[key_col]
+    q = F.lit(query).cast(key_type)
     return (
-        spark.read.parquet(path)
-        .filter((F.col(BUCKET_COL) == _bucket_of(q, n_buckets)) & (F.col(key_col) == q))
-        .drop(BUCKET_COL)
+        table.filter(
+            (F.col(BUCKET_COL) == _bucket_of(q, n_buckets))
+            & (F.col(key_col) == q)
+        ).drop(BUCKET_COL)
     )
 
 
@@ -158,7 +167,11 @@ def compact_buckets(
     fs, _, jvm = _fs(spark, path)
     mk = jvm.org.apache.hadoop.fs.Path
     todo: dict[str, int] = {}
-    for st in fs.globStatus(mk(path.rstrip("/") + f"/{BUCKET_COL}=*")):
+    # globStatus returns null (None over py4j) for an unmatched pattern
+    # — a missing or non-bucketed table compacts to nothing, it doesn't
+    # TypeError (same guard as table_has_data / is_bucketed)
+    matches = fs.globStatus(mk(path.rstrip("/") + f"/{BUCKET_COL}=*")) or []
+    for st in matches:
         d = st.getPath()
         n = sum(
             1

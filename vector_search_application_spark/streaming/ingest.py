@@ -22,11 +22,51 @@ watermark never drops rows and the result equals the batch aggregation.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+# scratch dirs (shard sources, sink tables, checkpoints) registered for
+# removal at interpreter exit: returned DataFrames lazily READ these
+# dirs, so per-call try/finally cleanup would break the caller — but a
+# repeated gate/bench/probe loop must not accumulate corpus copies in
+# /tmp forever
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream for ``path``: a single parquet FILE sitting
+    among sibling tables (the testdata layout — a glob filter isolates
+    it, because a file source pointed at the parent directory would
+    ingest every table) or a parquet DIRECTORY of part files (any
+    Spark-written table — a glob filter on the directory name would
+    match no part file and silently stream NOTHING). Every streaming
+    entry point goes through here so the directory-table case cannot
+    silently regress one copy at a time."""
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(path))
+        .parquet(os.path.dirname(path))
+    )
 
 
 def windowed_event_counts(
@@ -84,13 +124,7 @@ def stream_events_window(
     partition carries commit/snapshot overhead every micro-batch.
     """
     schema = spark.read.parquet(events_path).schema
-    # file stream sources monitor a DIRECTORY; select the one table's
-    # files out of it with a glob filter
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    stream = _file_stream(spark, events_path, schema)
     agg = windowed_event_counts(stream, window_duration, watermark_delay)
     name = "stream_events_window_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -177,14 +211,7 @@ def stream_sessionize(
     table, e.g. the scale probe's replicated corpus — the glob filter
     would match no part file and silently stream nothing)."""
     schema = spark.read.parquet(events_path).schema
-    if os.path.isdir(events_path):
-        stream = spark.readStream.schema(schema).parquet(events_path)
-    else:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", os.path.basename(events_path))
-            .parquet(os.path.dirname(events_path))
-        )
+    stream = _file_stream(spark, events_path, schema)
     agg = session_rollup(stream, gap, watermark_delay)
     name = "stream_sessionize_sink"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -230,7 +257,6 @@ def stream_upsert(
     from ..sources import layout
 
     schema = spark.read.parquet(source_path).schema
-    src_dir, src_glob = os.path.dirname(source_path), os.path.basename(source_path)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         b = batch.dropDuplicates([key])
@@ -240,11 +266,7 @@ def stream_upsert(
         else:
             layout.write_bucketed(b, table_dir, key)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", src_glob)
-        .parquet(src_dir)
-    )
+    stream = _file_stream(spark, source_path, schema)
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_dir)
@@ -280,7 +302,7 @@ def stateful_ema(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     if checkpoint_dir is None:
-        checkpoint_dir = tempfile.mkdtemp(prefix="stateful_ema_ckpt_")
+        checkpoint_dir = _scratch_dir("stateful_ema_ckpt_")
     schema = spark.read.parquet(events_path).schema
 
     def update(key, pdfs, state: GroupState):
@@ -297,11 +319,7 @@ def stateful_ema(
         state.update((float(ema), int(n)))
         yield pd.DataFrame({"event_type": [key[0]], "ema": [ema], "n": [n]})
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    stream = _file_stream(spark, events_path, schema)
     # the memory sink cannot recover from a checkpoint; append each
     # update batch to a parquet log tied to the checkpoint so a resumed
     # run extends the same output
@@ -352,7 +370,7 @@ def stream_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract wrapper: stream the documents corpus through the
     checkpointed foreachBatch merge into a fresh temp table; the final
     table must equal the keyed source (the oracle)."""
-    work = tempfile.mkdtemp(prefix="stream_ingest_")
+    work = _scratch_dir("stream_ingest_")
     return stream_upsert(
         spark,
         os.path.join(sf_dir, "documents.parquet"),
@@ -372,11 +390,9 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import's promise — new docs flow through embedding, old ones never
     recompute). Settled table = the batch embed of the whole corpus,
     which is exactly what the oracle checks."""
-    import tempfile as _tempfile
-
     from ..functions import embedder as E
 
-    work = _tempfile.mkdtemp(prefix="stream_embed_")
+    work = _scratch_dir("stream_embed_")
     out = os.path.join(work, "postings")
     ckpt = os.path.join(work, "checkpoint")
     source = os.path.join(sf_dir, "documents.parquet")
@@ -385,11 +401,7 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     def embed_batch(batch: DataFrame, batch_id: int) -> None:
         E.embed_postings(batch, "doc_id", "text").write.mode("append").parquet(out)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(source))
-        .parquet(os.path.dirname(source))
-    )
+    stream = _file_stream(spark, source, schema)
     q = (
         stream.writeStream.foreachBatch(embed_batch)
         .option("checkpointLocation", ckpt)
@@ -421,7 +433,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Settled table = first occurrence per hash in doc_id order, i.e.
     exactly the batch exact-dedup canonical set (the oracle).
     """
-    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    work = _scratch_dir("stream_dedup_")
     src_dir = os.path.join(work, "source")
     out = os.path.join(work, "table")
     ckpt = os.path.join(work, "checkpoint")
@@ -443,7 +455,6 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_shards = 4
     step = hi // n_shards + 1
     import glob as _glob
-    import shutil as _shutil
 
     for i in range(n_shards):
         shard_dir = os.path.join(work, f"shard{i}")
@@ -457,7 +468,7 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = _glob.glob(os.path.join(shard_dir, "part-*.parquet"))[0]
         dst = os.path.join(src_dir, f"{i:02d}.parquet")
-        _shutil.move(part, dst)
+        shutil.move(part, dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     schema = docs.schema
