@@ -184,6 +184,29 @@ def test_load_data_and_export_roundtrip(engine, tmp_path):
     ]
 
 
+def test_repeated_load_data_same_table_dir(engine, tmp_path):
+    """Regression: _absorb must cut lineage (localCheckpoint), not just
+    persist — a lazy plan pins table_dir's file listing, and the second
+    load-data overwrites those parquet files, so any later action read
+    deleted files and died with FileNotFoundException."""
+    table = str(tmp_path / "retable")
+    for i, pn in enumerate(["ABS0000001", "ABS0000002"]):
+        src = tmp_path / f"up{i}.json"
+        src.write_text(json.dumps([{
+            "partNumber_airgas_text": pn,
+            "shortDescription_airgas_text": f"absorb probe {i}",
+        }]))
+        assert engine.load_data(str(src), table) == 1
+    # both absorbed rows must be servable AFTER the overwrite
+    ids = {
+        r["_id"]
+        for r in engine.products.filter(
+            F.col("partNumber_airgas_text").startswith("ABS")
+        ).collect()
+    }
+    assert ids == {"ABS0000001", "ABS0000002"}
+
+
 def test_search_requires_filter_value_with_field(engine):
     with pytest.raises(ValueError, match="filter_value"):
         engine.search("widget", 3, filter_field="manufacturerPartNumber_text")

@@ -75,6 +75,19 @@ def test_content_hash_unambiguous_encoding(spark):
     ]
     assert hashes[0] != hashes[1]
 
+    # the length-prefixed encoding itself can't be gamed by values
+    # that LOOK like encodings ("1:1" etc.)
+    enc_shift = spark.createDataFrame(
+        [("11", ":x"), ("1", "1:x")], "c1 string, c2 string"
+    )
+    hashes = [
+        r["h"]
+        for r in enc_shift.select(
+            mutations.content_hash(["c1", "c2"]).alias("h")
+        ).collect()
+    ]
+    assert hashes[0] != hashes[1]
+
     # equal rows still hash equal
     same = spark.createDataFrame([("x", "y"), ("x", "y")], "c1 string, c2 string")
     hashes = [

@@ -243,27 +243,39 @@ def main(ks: list[int]) -> int:
         from vector_search_application_spark.streaming import ingest
 
         stream_row: dict[str, float | int] = {}
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        t0 = time.perf_counter()
-        sess = ingest.stream_sessionize(
-            spark, os.path.join(sf_dir, "events.parquet"), state_partitions=8
-        )
-        n_sessions = sess.count()
-        stream_row["sessionize_sec"] = round(time.perf_counter() - t0, 3)
-        stream_row["sessions"] = n_sessions
-        stream_row["session_state_rows"] = max(
-            (
-                so.get("numRowsTotal", 0)
-                for p in ingest.LAST_SESSIONIZE_PROGRESS
-                for so in (p.get("stateOperators") or [])
-            ),
-            default=0,
-        )
-        t0 = time.perf_counter()
-        dedup = ingest.stream_dedup_ingest(spark, sf_dir)
-        kept = dedup.count()
-        stream_row["dedup_ingest_sec"] = round(time.perf_counter() - t0, 3)
-        stream_row["dedup_kept_rows"] = kept
+        # nanosAsLong is only needed for the streaming section's event
+        # timestamps; save/restore so it can't leak into the batch
+        # probes of later scale factors in this run
+        _nanos_key = "spark.sql.legacy.parquet.nanosAsLong"
+        _nanos_prev = spark.conf.get(_nanos_key, None)
+        spark.conf.set(_nanos_key, "true")
+        try:
+            t0 = time.perf_counter()
+            sess = ingest.stream_sessionize(
+                spark, os.path.join(sf_dir, "events.parquet"),
+                state_partitions=8,
+            )
+            n_sessions = sess.count()
+            stream_row["sessionize_sec"] = round(time.perf_counter() - t0, 3)
+            stream_row["sessions"] = n_sessions
+            stream_row["session_state_rows"] = max(
+                (
+                    so.get("numRowsTotal", 0)
+                    for p in ingest.LAST_SESSIONIZE_PROGRESS
+                    for so in (p.get("stateOperators") or [])
+                ),
+                default=0,
+            )
+            t0 = time.perf_counter()
+            dedup = ingest.stream_dedup_ingest(spark, sf_dir)
+            kept = dedup.count()
+            stream_row["dedup_ingest_sec"] = round(time.perf_counter() - t0, 3)
+            stream_row["dedup_kept_rows"] = kept
+        finally:
+            if _nanos_prev is None:
+                spark.conf.unset(_nanos_key)
+            else:
+                spark.conf.set(_nanos_key, _nanos_prev)
         print(f"  x{k} streaming: {stream_row}", file=sys.stderr, flush=True)
         stream_results[k] = stream_row
 

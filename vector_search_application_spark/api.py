@@ -386,16 +386,31 @@ class Engine:
                 loaded.select("id").distinct(), "id", "left_anti"
             )
         )
-        old_products, old_dense = self.products, self.dense_index
-        self.products = merged.persist()
-        self.dense_index = E.embed_postings(
-            self.products, "id", "dense_text"
+        # Materialize AND cut lineage: the merged plan's FileScan pins
+        # table_dir's current file listing, and the normal import ->
+        # importdelta flow overwrites those files next call — a lazy
+        # persist would later re-read deleted parquet and fail with
+        # FileNotFoundException (import_delta localCheckpoints for the
+        # same reason).
+        new_products = merged.localCheckpoint(eager=True)
+        new_dense = E.embed_postings(
+            new_products, "id", "dense_text"
         ).persist()
-        self.sparse_postings = bm25.build_postings(
-            self.products, id_col="id", text_col="sparse_text"
+        new_sparse = bm25.build_postings(
+            new_products, id_col="id", text_col="sparse_text"
         )
+        old_products, old_dense = self.products, self.dense_index
+        old_sparse = self.sparse_postings
+        # Swap the trio atomically so a concurrent search never joins
+        # the new corpus with the old index (readers load each attribute
+        # once; guarding the swap keeps any single request consistent).
+        with self._lock:
+            self.products = new_products
+            self.dense_index = new_dense
+            self.sparse_postings = new_sparse
         old_products.unpersist()
         old_dense.unpersist()
+        old_sparse.unpersist()
 
     def load_data(self, path: str, table_dir: str) -> int:
         """POST /api/load-data: S3 upload -> T1/T2 transforms -> write

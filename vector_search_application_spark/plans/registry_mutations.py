@@ -35,16 +35,21 @@ new_docs AS (
 )
 """.strip()
 
-# twin of operators/mutations.content_hash: fixed-width per-field md5
-# (non-hex marker for NULL) -> sha256 of the concat; unambiguous under
-# NULLs and under field values containing any delimiter
+# twin of operators/mutations.content_hash: length-prefixed field
+# encoding (len:value, bare 'n' for NULL) -> ONE sha256; uniquely
+# decodable, so unambiguous under NULLs and under field values
+# containing any delimiter — change both engines together
+def _enc(field: str) -> str:
+    return (
+        f"CASE WHEN {field} IS NULL THEN 'n' "
+        f"ELSE concat(length({field}::VARCHAR)::VARCHAR, ':', {field}::VARCHAR) END"
+    )
+
+
 _HASH_SQL = (
     "sha256(concat("
-    "CASE WHEN text IS NULL THEN '" + "x" * 32 + "' ELSE md5(text::VARCHAR) END, "
-    "CASE WHEN lang IS NULL THEN '" + "x" * 32 + "' ELSE md5(lang::VARCHAR) END, "
-    "CASE WHEN source IS NULL THEN '" + "x" * 32 + "' ELSE md5(source::VARCHAR) END, "
-    "CASE WHEN n_chars IS NULL THEN '" + "x" * 32 + "' ELSE md5(n_chars::VARCHAR) END"
-    "))"
+    + ", ".join(_enc(f) for f in ("text", "lang", "source", "n_chars"))
+    + "))"
 )
 
 
