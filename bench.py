@@ -29,6 +29,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from vector_search_application_spark import calibration as CAL
 from vector_search_application_spark.session import get_spark
 from vector_search_application_spark.functions import portable as P
 from vector_search_application_spark.operators import bm25, exact, fusion
@@ -341,6 +342,16 @@ def main() -> None:
             except Exception:
                 pass  # warmup must never fail the bench
 
+    # Calibration bracket (see calibration.py): a fixed pure-compute
+    # query timed at the start and end of the timed section makes every
+    # bench run carry its own machine-speed measurement — this box has
+    # multi-minute 5-6x slow windows, so cross-round comparisons use the
+    # normalized numbers, and a large start-vs-end spread flags a window
+    # that opened mid-run.
+    CAL.calibration_df(spark).collect()  # throwaway: codegen/JIT
+    cal_start = CAL.calibration_secs(spark, reps=5)
+    print(f"  calibration(start): {cal_start}", file=sys.stderr, flush=True)
+
     by_name = {d.name: d.spark for d in REGISTRY}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -400,6 +411,30 @@ def main() -> None:
     # would otherwise re-cold the persisted indexes mid-bench
     timings.update(bench_index_builds(spark, sf_dir))
 
+    cal_end = CAL.calibration_secs(spark, reps=5)
+    print(f"  calibration(end): {cal_end}", file=sys.stderr, flush=True)
+    cal_all = cal_start + cal_end
+    cal_med = CAL.median(cal_all)
+    cal_ratio = round(cal_med / CAL.CALIBRATION_REF_SEC, 3)
+    calibration = {
+        "start_secs": cal_start,
+        "end_secs": cal_end,
+        "median": round(cal_med, 4),
+        "iqr": CAL.iqr(cal_all),
+        "ref_sec": CAL.CALIBRATION_REF_SEC,
+        # >1 = machine slower than the pinned healthy-window nominal;
+        # multiply raw qps by this to get the cross-round-comparable number
+        "ratio_vs_ref": cal_ratio,
+        "start_end_spread": round(
+            max(CAL.median(cal_start), CAL.median(cal_end))
+            / max(min(CAL.median(cal_start), CAL.median(cal_end)), 1e-9),
+            3,
+        ),
+    }
+    qps_normalized = {
+        f"{k}_normalized": round(v["qps"] * cal_ratio, 1) for k, v in gates.items()
+    }
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -411,6 +446,8 @@ def main() -> None:
         "qps_dense_batch_1000": round(qps, 1),
         **batch_qps,
         "baseline_gates": gates,
+        "calibration": calibration,
+        "qps_normalized": qps_normalized,
     }
     print(json.dumps(payload))
     # the driver records only a truncated tail of stdout, which loses

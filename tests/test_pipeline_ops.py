@@ -168,6 +168,46 @@ def test_repetition_signals_on_constructed_docs(spark):
     assert out[4] == (0.0, 0.0)
 
 
+def test_repetition_features_matches_single_signal_fns(spark):
+    """The fused regex-pipeline repetition_features must stay
+    bit-identical to the independently-implemented top_ngram_ratio /
+    dup_ngram_ratio (HOF gram build + _run_fold) over real corpus
+    docs AND the constructed edge shapes — the two formulations share
+    no gram-extraction code, so this is a real cross-check."""
+    from vector_search_application_spark.functions import text as T
+
+    docs = corpus.docs(spark, SF_SMOKE).select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [
+                (100001, "ab ab ab ab ab ab"),
+                (100002, "a b c d e f g h"),
+                (100003, "one"),
+                (100004, ""),
+                (100005, "  --  !!  "),
+                (100006, "x1 y2 x1 y2 x1 y2 z"),
+            ],
+            "doc_id bigint, text string",
+        )
+    )
+    fused = docs.select(
+        "doc_id", F.explode(T.repetition_features(F.col("text"))).alias("rf")
+    ).select("doc_id", "rf.top_2gram_ratio", "rf.dup_3gram_ratio")
+    single = docs.select(
+        "doc_id",
+        T.top_ngram_ratio(F.col("text"), 2).alias("t2"),
+        T.dup_ngram_ratio(F.col("text"), 3).alias("d3"),
+    )
+    bad = (
+        fused.join(single, "doc_id")
+        .filter(
+            (F.col("top_2gram_ratio") != F.col("t2"))
+            | (F.col("dup_3gram_ratio") != F.col("d3"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
 def test_ngrams_matches_oracle_on_fixture(spark, duck):
     """Engine and oracle gram arrays agree element-for-element on a
     sample of real docs (join-key '_' and 1-based indexing parity)."""

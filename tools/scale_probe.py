@@ -182,6 +182,7 @@ def main(ks: list[int]) -> int:
     lines = []
     results: dict[int, dict[str, float]] = {}
     stream_results: dict[int, dict[str, float | int]] = {}
+    cal_results: dict[int, float] = {}
     for k in [1] + ks:
         if k == 1:
             sf_dir = BASE
@@ -216,6 +217,19 @@ def main(ks: list[int]) -> int:
             build_scaled_dir(spark, sf_dir, k)
             print(f"built x{k} corpus in {time.perf_counter()-t0:.1f}s",
                   file=sys.stderr, flush=True)
+        # per-K machine-speed calibration (see calibration.py): the box
+        # has 5-6x slow windows, so every K's timings carry the same-
+        # loop calibration; a K whose cal ratio is far from 1 ran in a
+        # degraded window and its RATIOS are suspect, not its plans.
+        from vector_search_application_spark import calibration as CAL
+
+        CAL.calibration_df(spark).collect()
+        cal_secs = CAL.calibration_secs(spark, reps=3)
+        cal_med = CAL.median(cal_secs)
+        print(f"  x{k} calibration: {cal_secs} (ratio "
+              f"{cal_med / CAL.CALIBRATION_REF_SEC:.2f}x of nominal)",
+              file=sys.stderr, flush=True)
+
         timings: dict[str, float] = {}
         for name in PROBE_QUERIES:
             from pyspark.sql import functions as F
@@ -281,8 +295,12 @@ def main(ks: list[int]) -> int:
 
         release_all()  # scaled caches must not leak into the next K
         results[k] = timings
+        cal_results[k] = round(cal_med / CAL.CALIBRATION_REF_SEC, 2)
         line = {"scale": k, "base": BASE, "queries": timings,
                 "streaming": stream_row,
+                "calibration_secs": cal_secs,
+                "calibration_ratio": round(
+                    cal_med / CAL.CALIBRATION_REF_SEC, 3),
                 "total": round(sum(timings.values()), 3)}
         lines.append(line)
         print(json.dumps(line), flush=True)
@@ -297,6 +315,13 @@ def main(ks: list[int]) -> int:
                 "best-of-2.\nDedup-family queries are excluded by design — "
                 "replication manufactures K-sized\nduplicate cliques "
                 "(the adversarial quadratic case, not scaling).\n\n")
+        f.write("Machine-speed calibration per K (same-loop, fixed "
+                "pure-compute query; ~1.0 =\nhealthy window, >>1 = the "
+                "5-6x slow-window pathology this box exhibits — see\n"
+                "calibration.py; ratios measured in a degraded window "
+                "overstate the compute\ntail): "
+                + ", ".join(f"x{k}={cal_results[k]}x"
+                            for k in cal_results) + ".\n\n")
         header = "| query | " + " | ".join(f"x{k}" for k in results) + " | x{max}/x1 |\n".replace("{max}", str(max(results)))
         f.write(header)
         f.write("|---|" + "---|" * (len(results) + 1) + "\n")

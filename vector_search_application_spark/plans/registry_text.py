@@ -182,12 +182,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: the share of 2-gram instances
     taken by the most frequent 2-gram, and the share of 3-gram
     instances whose 3-gram repeats — the filters that catch boilerplate
-    and degenerate generations. Per-row array expressions (map-only,
-    zero shuffles); functions/text.ngrams documents the explode+groupBy
+    and degenerate generations. Per-row expressions (map-only, zero
+    shuffles); functions/text.ngrams documents the explode+groupBy
     alternative for book-length documents. Both signals come from ONE
-    tokenization via repetition_features (explode = the Generate
-    barrier that keeps CollapseProject from re-inlining the shared
-    token array into each output column)."""
+    joined-token string via repetition_features (consuming-regex gram
+    extraction + sorted-array folds; the function's docstring records
+    the measured variant matrix), with explode as the Generate barrier
+    that keeps CollapseProject from re-inlining the shared work into
+    each output column."""
     docs = corpus.docs(spark, sf_dir)
     return docs.select(
         "doc_id", F.explode(T.repetition_features(F.col("text"))).alias("rf")
