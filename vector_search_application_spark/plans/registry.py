@@ -974,55 +974,47 @@ from . import registry_curation  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The round driver's correctness gate checks exactly the first 50 REGISTRY
 # entries; declaration order is an accident of module layout. Curate the
-# window explicitly. Round-6 rotation: the r5 window banked green rows for
-# all 47 of its hash-oracled slots, so this round (a) retires the three
-# rows-only approximations (mllib_lsh_topk / ivf_kmeans_topk /
-# pq_kmeans_topk, driver-checked r5 as rows-only, recall-gated in
-# tests/test_ann.py — their `no_oracle` rows read as failures every round)
-# plus the pq_topk single (its batch variant stays windowed), and (b) seats
-# the four TPC-H-shaped queries in their place: the two r5 additions that
-# pre-dated the frozen window (lineitem_pricing_summary,
-# top_customer_revenue) and the two r6 join shapes (revenue_by_nation,
-# order_priority_semijoin). With these four green, every hash-oracled
-# registry query has a driver CORRECTNESS row in some round, and the
-# window is 50/50 hash-checkable — no structurally-red slots left.
-# Displaced queries keep tests/test_registry_oracle.py as their net.
+# window explicitly. Rotation policy (r7): every hash-oracled query has
+# banked a green driver row in some round, so the window now refreshes
+# the evidence OLDEST-FIRST, with two overrides: (a) queries whose
+# backing code changed since their last driver verification re-enter
+# regardless of age — this round that is the whole mutation/versioning
+# family (content hash re-encoded to one length-prefixed sha256 pass,
+# 680d083), the text family (tokenizer regex-split r6 + the single-pass
+# repetition featurization r7), the exact-cascade family (exact.py r6),
+# normalization, and the single-query fusion variants (shared-exchange
+# change r6); (b) the six TPC-H join/agg queries hold their slots one
+# more round per the r6 review. Displaced queries keep
+# tests/test_registry_oracle.py as their net; r8 should seat the ~21
+# remaining r4/r5-verified slots (ivf_index_lookup, semantic_dedup,
+# event/stream singles, import/export singles, curation singles,
+# pq_topk, doc_fingerprint, token_stats_bpe, ...).
 
 DRIVER_WINDOW = [
-    # --- search / projection variants ---
-    "dense_prefilter", "bm25_topk_batch", "hybrid_rrf_batch",
-    "mmr_rerank_topk",
-    # ANN / quantization variants (hash-oracled ones only)
-    "ivf_topk_filtered",
-    "pq_topk_batch", "binary_quantized_topk",
-    # TPC-H-shaped aggregation / join family (r5-r6 additions; the two
-    # slots for local_supplier_revenue / returned_item_report displace
-    # r5-green doc_fingerprint / token_stats_bpe — new queries enter
-    # the window the round they land, banked ones rely on the pytest net)
+    # TPC-H join/agg family — held one more round (r6 review)
     "lineitem_pricing_summary", "top_customer_revenue",
     "revenue_by_nation", "order_priority_semijoin",
     "local_supplier_revenue", "returned_item_report",
-    # streaming / event-time
-    "stream_embed_ingest", "stream_sessionize", "event_funnel",
-    "event_sliding_avg",
-    # import / export
-    "export_sharded_roundtrip",
-    # multimodal
-    "multimodal_dedup_stats",
-    # curation chain (dataset assembly for LLM training)
-    "dataset_split", "dataset_split_balance", "deterministic_sample",
-    "vocab_topn", "quality_filter_funnel", "source_length_quantiles",
-    "token_accounting_rollup", "doc_chunk_windows", "boilerplate_ngrams",
-    "temperature_mixture", "epoch_shuffle", "chunk_embed_pool",
-    "source_data_card", "retrieval_manifest", "mixture_sample",
-    "training_manifest_full", "bpe_encode_stats",
-    # versioning / mutation / scalar family
-    "doc_content_hash", "version_history", "version_archive", "version_get",
-    "partno_explain", "search_ids_projection", "compare_preview",
-    "event_props_agg", "event_value_median", "dedup_ngram_jaccard",
-    "ivf_topk_batch",
-    # batch cascade / fusion / streaming-dedup (r5 additions)
-    "exact_cascade_batch", "fusion_max_dedup_batch", "stream_dedup_ingest",
+    # mutation / versioning / ingest — content-hash encoding changed 680d083
+    "doc_content_hash", "upsert_merge", "cleanup_old", "version_current",
+    "version_history", "version_archive", "version_get",
+    "ingest_products", "delta_classify", "stream_ingest_upsert",
+    # text family — tokenizer changed r6, repetition featurization r7
+    "text_repetition", "text_pii_scrub", "text_langid", "text_quality",
+    "token_stats", "dedup_canonical_quality",
+    # exact cascade (exact.py changed r6) + normalization (last windowed r4)
+    "exact_cascade_primary", "exact_cascade_secondary", "exact_cascade_miss",
+    "normalize_min_max", "normalize_z_score",
+    # single-query fusion/search variants (shared-exchange change r6)
+    "hybrid_rrf", "linear_fusion", "fusion_max_dedup", "bm25_topk",
+    # oldest evidence: r1 trio, then the r3 remainder
+    "embed_documents", "embed_query", "directory_import_full",
+    "dense_topk_batch_salted", "scroll_page", "dedup_components",
+    # oldest r4 slots, declaration order
+    "dense_topk", "dense_topk_batch", "dense_threshold", "dense_postfilter",
+    "validate_quarantine", "partno_classifier", "search_details_projection",
+    "keyset_page", "corpus_counts", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "embedding_neardup",
 ]
 
 
