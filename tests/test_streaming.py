@@ -415,3 +415,74 @@ def test_stream_dedup_ingest_drops_across_batches(spark):
     assert 0 in rows and rows[0].text == "duplicate seed block"
     # every later clique member (each lands in a different shard) is gone
     assert all(doc_id not in rows for doc_id in range(10, n_docs, 10) if doc_id != 0)
+
+
+def test_stream_sessionize_incremental_evicts_closed_state(spark, tmp_path):
+    """Multi-trigger append-mode sessionize must EVICT closed sessions:
+    four epoch-ordered files arrive as separate micro-batches, each
+    epoch's events advance the watermark far past the previous epoch's
+    session closes, so (a) every session from the first three epochs is
+    emitted and dropped from state, (b) peak state rows stay well below
+    the total session count — eviction lags the watermark advance by
+    one trigger (the watermark commits at END of batch, evicting in the
+    next), so steady-state peak is 2 epochs' worth, never all 4 — and
+    (c) final-epoch sessions, still open at end-of-stream, sit in
+    state unemitted. Complete-mode stream_sessionize can't show any of
+    this (it holds every session until the stream ends by design)."""
+    import time as _time
+
+    src = tmp_path / "events_incr"
+    os.makedirs(src)
+    n_users = 40
+    n_epochs = 4
+    day_us = 86_400 * 1_000_000
+    t0 = 1_704_067_200_000_000
+
+    def write_epoch(name: str, base_us: int):
+        rows = [
+            (base_us // 1000 + u, base_us + u * 1_000_000, u, "view", 1.0, None)
+            for u in range(n_users)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_us long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        staging = src / ("_" + name)
+        df.coalesce(1).write.parquet(str(staging))
+        part = next(f for f in staging.iterdir() if f.name.endswith(".parquet"))
+        part.rename(src / name)
+
+    # file-source ordering is by modification time: oldest epoch first
+    for e in range(n_epochs):
+        if e:
+            _time.sleep(1.1)
+        write_epoch(f"epoch{e}.parquet", t0 + e * day_us)
+
+    emitted, progress = ingest.stream_sessionize_incremental(
+        spark, str(src), state_partitions=4
+    )
+    emitted_rows = emitted.collect()
+    state_rows = [
+        so.get("numRowsTotal", 0)
+        for p in progress
+        for so in (p.get("stateOperators") or [])
+    ]
+    total_sessions = n_epochs * n_users
+    # (a) exactly the closed epochs' sessions emitted, one per user
+    assert len(emitted_rows) == (n_epochs - 1) * n_users
+    last_epoch_us = t0 + (n_epochs - 1) * day_us
+    assert all(r["start_us"] < last_epoch_us for r in emitted_rows)
+    # (b) closed state was evicted: peak is 2 epochs' worth (current +
+    # the previous epoch pending its post-watermark eviction), far
+    # below the total an eviction-free store would accumulate
+    assert max(state_rows) == 2 * n_users < total_sessions
+    # (c) open final-epoch sessions remain in state at end-of-stream
+    assert state_rows[-1] == n_users

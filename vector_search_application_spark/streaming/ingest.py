@@ -234,6 +234,58 @@ def stream_sessionize(
     return spark.table(name)
 
 
+def stream_sessionize_incremental(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    state_partitions: int | None = None,
+) -> tuple[DataFrame, list[dict]]:
+    """Session rollup as a MULTI-TRIGGER streaming query that proves
+    state EVICTION, not just state size: append output mode emits a
+    session only once the watermark passes its close (end + gap), at
+    which point the store drops its row — unlike the oracle-checkable
+    complete-mode run (stream_sessionize), which by design holds every
+    session until end-of-stream.
+
+    ``maxFilesPerTrigger=1`` makes each input file its own micro-batch,
+    so the watermark advances BETWEEN batches and sessions closed by an
+    earlier file are evicted while later files are still arriving —
+    the steady-state shape of an unbounded deployment, where state
+    holds only OPEN sessions. Returns (emitted sessions, progress
+    dicts); callers assert peak ``stateOperators.numRowsTotal`` across
+    progresses < total session count, and that sessions still open at
+    end-of-stream were never emitted (they remain in state).
+
+    events_path must be a parquet DIRECTORY whose files arrive in
+    event-time order (the probe/test writes epoch-ordered files with
+    increasing mtimes; the file source processes oldest-first)."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_path)
+    )
+    agg = session_rollup(stream, gap, watermark_delay)
+    name = "stream_sessionize_incr_sink"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in (q.recentProgress or []) if p is not None]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name), progress
+
+
 def stream_upsert(
     spark: SparkSession,
     source_path: str,
