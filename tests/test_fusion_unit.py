@@ -66,19 +66,29 @@ def test_simhash_pairs_pigeonhole_exact_within_radius(spark):
     untouched — pigeonhole), even when the flipped bits land in three
     DIFFERENT bands; pairs beyond the radius must be excluded."""
     base = 0b10110100_01011010_11001100_00110101
+    # 64-bit signatures: the sign bit (bit 63) and the high band must
+    # behave like any other bit under arithmetic-shift band extraction
+    neg = base - (1 << 63)  # base with bit 63 set, as a signed long
     sigs = [
         (0, base),
         (1, base ^ (1 << 0)),                              # ham 1 vs base
-        (2, base ^ (1 << 0) ^ (1 << 8)),                   # ham 2, two bands
-        (3, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16)),       # ham 3, three bands
-        (4, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16) ^ (1 << 24)),  # ham 4
+        (2, base ^ (1 << 0) ^ (1 << 8)),                   # ham 2
+        (3, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16)),       # ham 3, 2 bands
+        (4, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16) ^ (1 << 48)),  # ham 4
         (5, base ^ 0xFFFF),                                # far away
+        (6, neg),                                          # ham 1 vs base (bit 63)
+        (7, neg ^ (1 << 62) ^ (1 << 50)),                  # ham 3 vs base
     ]
+    def ham(x, y):
+        # mask to 64 bits: Python ints are infinite-precision, so a
+        # negative xor must be reduced to its two's-complement pattern
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
     expected = {
-        (a, b, bin(sa ^ sb).count("1"))
+        (a, b, ham(sa, sb))
         for i, (a, sa) in enumerate(sigs)
         for b, sb in sigs[i + 1:]
-        if bin(sa ^ sb).count("1") <= 3
+        if ham(sa, sb) <= 3
     }
     sims = spark.createDataFrame(sigs, ["id", "simhash"]).withColumn(
         "simhash", F.col("simhash").cast("bigint")
@@ -88,7 +98,9 @@ def test_simhash_pairs_pigeonhole_exact_within_radius(spark):
         for r in dedup.simhash_pairs(sims, max_hamming=3).collect()
     }
     assert got == expected
-    assert (0, 3, 3) in got  # three flipped bits in three distinct bands
+    assert (0, 3, 3) in got  # three flipped bits spanning two bands
+    assert (0, 6, 1) in got  # sign-bit flip only
+    assert (0, 7, 3) in got  # bits 50/62/63 — all inside the high band
 
 
 def test_salted_topk_equals_naive_with_ties(spark):

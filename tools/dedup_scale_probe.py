@@ -5,10 +5,11 @@ Plain replication (tools/scale_probe.py) cannot probe the dedup
 queries: every replica of a document is a near-duplicate of every
 other, so K-fold replication manufactures K-sized duplicate cliques
 and the candidate-pair count grows quadratically — the adversarial
-case, not scaling. Here each replica's text is SALTED with a
-replica-specific token between every pair of original tokens, so every
-shingle in every document contains the replica id and CROSS-replica
-shingle overlap is zero; embeddings get a per-(replica, dim)
+case, not scaling. Here each replica's tokens are renamed INJECTIVELY
+(a replica-tag prefix on every alphanumeric run), so within a replica
+the shingle sets, Jaccard values, and rare-shingle document
+frequencies are exactly the x1 corpus's under a token bijection, while
+CROSS-replica shingle overlap is zero; embeddings get a per-(replica, dim)
 deterministic sign flip, decorrelating cross-replica cosine (|cos|
 concentrates near 1/sqrt(dim)). The dedup registry queries then inject
 their own duplicate structure per replica exactly as they do at x1
@@ -32,6 +33,8 @@ import shutil
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -60,11 +63,22 @@ def build_salted_dir(spark, out_dir: str, k: int) -> None:
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n_docs = docs.count()
-    # a replica-specific token between every pair of original tokens:
-    # every 2-gram/3-gram shingle contains it, so shingle sets of the
-    # same base doc in different replicas are DISJOINT
+    # per-replica INJECTIVE token renaming: prefix every alphanumeric
+    # run with the replica tag. Token count, positions, and the entire
+    # within-replica similarity structure are preserved exactly (a
+    # token bijection maps shingle sets 1:1, so Jaccard, rare-shingle
+    # document frequencies, and the df_cap blocking behave per replica
+    # exactly as at x1), while cross-replica shingle sets are disjoint.
+    # The first attempt — inserting the tag BETWEEN tokens — was wrong
+    # twice over: 3-gram shingles degenerated to (t, tag, u), i.e.
+    # effective 2-grams, inflating background intra-replica similarity
+    # (minhash candidate blowup, 29x wall at x3), and the tag-bearing
+    # shingles' document frequency blew past the rare-shingle df_cap,
+    # collapsing ngram-jaccard blocking recall (541 -> 6 pairs).
     salted = F.regexp_replace(
-        F.col("text"), " ", F.concat(F.lit(" q"), F.col("__rep"), F.lit("z "))
+        F.col("text"),
+        F.lit("([A-Za-z0-9]+)"),
+        F.concat(F.lit("q"), F.col("__rep"), F.lit("z$1")),
     )
     rep(docs, k).select(
         (F.col("doc_id") + F.col("__rep") * n_docs).alias("doc_id"),
@@ -155,13 +169,16 @@ def main(ks: list[int]) -> int:
         f.write(
             f"Generated by `python tools/dedup_scale_probe.py "
             f"{' '.join(map(str, ks))}`: the sf0.1 corpus\nreplicated with "
-            "replica-SALTED text (a replica token between every pair of\n"
-            "original tokens — cross-replica shingle overlap is zero) and "
-            "sign-flipped\nembeddings (cross-replica cosine ~ "
-            "1/sqrt(dim)), so the only duplicates are\nthe constant-rate "
-            "pairs each dedup query injects per replica. Replication\n"
-            "without salting manufactures K-sized cliques — the quadratic "
-            "adversarial\ncase SCALING.md's main table excludes. "
+            "an injective per-replica token renaming (a replica-tag\n"
+            "prefix on every token — within-replica similarity structure "
+            "identical to x1\nunder a token bijection, cross-replica "
+            "shingle overlap zero) and sign-flipped\nembeddings "
+            "(cross-replica cosine ~ 1/sqrt(dim)), so the duplicate rate "
+            "is\nconstant per row: each replica carries the x1 corpus's "
+            "natural near-dups\nplus the pairs each dedup query injects. "
+            "Replication\nwithout the renaming manufactures K-sized "
+            "cliques — the quadratic adversarial\ncase SCALING.md's "
+            "main table excludes. "
             "Best-of-2, forced via count()\n(the verified pair count IS "
             "the metric). Machine-speed calibration per K:\n"
             + ", ".join(f"x{k}={cal_results[k]}x" for k in cal_results)

@@ -57,10 +57,14 @@ def plane_weights(spark, n_planes: int = LSH_PLANES, dim: int = 64) -> DataFrame
     )
 
 
-def _py_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+def _py_plane_weights(
+    n_planes: int, dim: int, plane_offset: int = 0
+) -> list[list[float]]:
     """The same md5-derived weights plane_weights() computes engine-side
     (hexval16(md5(plane||'_'||d)) - 32767.5) — byte-identical, so they
-    can ride as plan literals."""
+    can ride as plan literals. ``plane_offset`` selects a later slice of
+    the same family (band b of a banded scheme uses planes
+    b*r .. b*r+r-1)."""
     import hashlib
 
     return [
@@ -68,11 +72,16 @@ def _py_plane_weights(n_planes: int, dim: int) -> list[list[float]]:
             int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:4], 16) - 32767.5
             for d in range(1, dim + 1)
         ]
-        for p in range(n_planes)
+        for p in range(plane_offset, plane_offset + n_planes)
     ]
 
 
-def _bucket_sql(vec_col: str, n_planes: int = LSH_PLANES, dim: int = 64) -> str:
+def _bucket_sql(
+    vec_col: str,
+    n_planes: int = LSH_PLANES,
+    dim: int = 64,
+    plane_offset: int = 0,
+) -> str:
     """Sign-bit bucket of a vector as one per-row expression over
     literal plane weights.
 
@@ -80,7 +89,7 @@ def _bucket_sql(vec_col: str, n_planes: int = LSH_PLANES, dim: int = 64) -> str:
     which would turn every dot NULL and silently collapse ALL vectors
     into bucket 0 — raise instead."""
     terms = []
-    for p, w in enumerate(_py_plane_weights(n_planes, dim)):
+    for p, w in enumerate(_py_plane_weights(n_planes, dim, plane_offset)):
         dot = P.dot_spark_sql(vec_col, _lit_vec(w))
         # sign decided on the ROUNDED dot: the oracle accumulates in
         # arbitrary order (GROUP BY sum), so an unrounded near-zero dot
@@ -121,26 +130,57 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_bands: int = None,
+    band_planes: int = None,
 ) -> DataFrame:
-    """(id_a, id_b, cosine) for same-bucket pairs above the cosine
-    threshold — embedding near-duplicate detection."""
-    # the bucket is a per-row projection (no join with a bucket table);
-    # persist = compute the hyperplane dots once for both sides of the
-    # self-join (at scale this table is what you'd write out,
-    # partitioned by bucket)
+    """(id_a, id_b, cosine) for pairs sharing >=1 LSH band bucket and
+    above the cosine threshold — embedding near-duplicate detection.
+
+    BANDED hyperplane LSH (LSH_BANDS tables of LSH_BAND_PLANES sign
+    bits, reusing one md5 plane family): the earlier single 8-plane
+    table had a fixed 256-bucket denominator, so candidate pairs grew
+    N^2/256 — the controlled-dup probe measured 2.0s -> 384.5s from
+    x10 to x100 at linear verified-pair counts (SCALING_DEDUP.md).
+    16-bit bands cut candidates to ~N^2*B/65536 and RAISE recall at
+    the 0.95 threshold (any one of B bands may match). The banded
+    signature table is what you'd write out at scale, partitioned by
+    (band, bucket); band width is the log2(N) knob that holds bucket
+    occupancy constant as the corpus grows."""
+    from ..plans.constants import LSH_BANDS, LSH_BAND_PLANES
+
+    n_bands = LSH_BANDS if n_bands is None else n_bands
+    band_planes = LSH_BAND_PLANES if band_planes is None else band_planes
+    # all B band buckets in one per-row projection, persisted BEFORE the
+    # posexplode: the explode then stacks cached attributes, so the
+    # expensive dot expressions are computed exactly once per vector
+    # (exploding un-materialized array(struct(...)) re-inlines them)
+    band_cols = ", ".join(
+        _bucket_sql(vec_col, band_planes, dim, plane_offset=b * band_planes)
+        for b in range(n_bands)
+    )
     with_b = vectors.selectExpr(
         f"{id_col} AS id",
         f"{vec_col} AS v",
-        f"{_bucket_sql(vec_col, dim=dim)} AS bucket",
+        f"array({band_cols}) AS buckets",
     )
     with_b = tracked_persist(with_b)
-    a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    banded = with_b.select(
+        "id", "v", F.posexplode("buckets").alias("band", "bucket")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    )
+    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
         "id_a", "id_b", P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine")
     )
-    return scored.filter(F.col("cosine") >= threshold)
+    # threshold first (kills the false candidates), then dedup the real
+    # pairs that collided in more than one band — the distinct runs on
+    # the tiny verified set, not the candidate set
+    return scored.filter(F.col("cosine") >= threshold).distinct()
 
 
 def _lit_vec(arr) -> str:

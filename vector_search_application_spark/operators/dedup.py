@@ -256,15 +256,25 @@ def jaccard_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
-    """(id, simhash): 32-bit SimHash over distinct n-gram shingles.
+    """(id, simhash): 64-bit SimHash over distinct n-gram shingles.
 
     Shingles (not unigrams) are the features: on small-vocabulary
     corpora unigram token sets are near-identical across unrelated
     docs, collapsing the hash space; the n-gram space keeps unrelated
-    docs far apart. Feature weight vector = bits of md5's first 8 hex
-    digits; bit b is set when the summed +/-1 contributions are > 0
+    docs far apart. Feature weight vector = bits of md5's first 16 hex
+    digits (hi << 32 | lo — a single conv() of 16 hex digits overflows
+    BIGINT); bit b is set when the summed +/-1 contributions are > 0
     — equivalently, when more than half the shingle hashes have bit b
     set (ones*2 > n).
+
+    64 bits, not 32: the controlled-dup scale probe (SCALING_DEDUP.md)
+    measured verified pair counts growing ~N^2 * 5489/2^32 at 32 bits —
+    ~260k FALSE hamming<=3 pairs between unrelated docs at 600k docs,
+    dwarfing the ~128k real ones. A fixed-width fingerprint has a
+    quadratic random-collision floor of C(N,2) * sum(C(bits,0..3))/2^bits;
+    at 64 bits that rate is ~2.4e-15/pair (zero false pairs up to
+    ~10^9 docs), and the 4 bands widen from 8 to 16 bits, cutting
+    banding candidates 256x per band at uniform fill.
 
     Computed entirely WITHIN the row from the shingle-set array: one
     pass over the hashes accumulates all 32 per-bit popcounts via
@@ -280,7 +290,9 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
     """
     sharr = shingle_arrays(docs, id_col, text_col)
     harr = F.expr(
-        "transform(shs, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
+        "transform(shs, s -> shiftleft(cast(conv(substring(md5(s), 1, 8),"
+        " 16, 10) as bigint), 32)"
+        " | cast(conv(substring(md5(s), 9, 8), 16, 10) as bigint))"
     )
     sim = F.expr(
         f"aggregate(harr, array_repeat(0L, {bits}), "

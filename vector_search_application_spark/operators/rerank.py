@@ -84,6 +84,15 @@ def mmr_rerank(
         for r in cand_df.collect()
     ]
     picked = mmr_select(cands, k, lam)
+    if not picked:
+        # inline(array()) cannot infer an element type — produce the
+        # empty relation with the same schema explicitly
+        return spark.range(0).selectExpr(
+            "CAST(id AS INT) AS rank",
+            f"id AS {id_col}",
+            "CAST(id AS DOUBLE) AS score",
+            "CAST(id AS DOUBLE) AS mmr",
+        )
     structs = ", ".join(
         f"named_struct('rank', {rank}, '{id_col}', CAST({cid} AS BIGINT),"
         f" 'score', CAST('{score!r}' AS DOUBLE),"

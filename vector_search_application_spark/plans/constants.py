@@ -71,13 +71,25 @@ def _lcg(seed: int, n: int) -> list[int]:
 MINHASH_A = [a | 1 for a in _lcg(SEED, MINHASH_PERMS)]
 MINHASH_B = _lcg(SEED + 1, MINHASH_PERMS)
 SHINGLE_N = 3              # token shingles
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 NEARDUP_COSINE_THRESHOLD = 0.95
 JACCARD_THRESHOLD = 0.5
 # n-gram Jaccard blocking: only shingles appearing in 2..cap docs
 # generate candidate pairs (the rare-shingle inverted-index probe)
 RARE_SHINGLE_DF_CAP = 5
-LSH_PLANES = 8             # hyperplane LSH for embedding near-dup blocking
+LSH_PLANES = 8             # single-table hyperplane LSH (decontamination)
+# Banded hyperplane LSH for embedding near-dup: LSH_BANDS independent
+# sign-bit tables of LSH_BAND_PLANES planes each (plane family indices
+# band*LSH_BAND_PLANES..+LSH_BAND_PLANES-1). The controlled-dup scale
+# probe (SCALING_DEDUP.md) showed the single 8-plane table going
+# quadratic: 256 buckets is a fixed denominator, so candidates grow
+# N^2/256 (2.0s -> 384.5s from x10 to x100). 16-bit bands give 65536
+# buckets per band (candidates N^2*B/2^16) AND higher recall for
+# pairs at the 0.95 threshold: 1-(1-(1-theta/pi)^16)^8 ~ 0.80 vs
+# (1-theta/pi)^8 ~ 0.43 single-table. Scale rule: band width should
+# grow with log2(N) to hold bucket occupancy constant.
+LSH_BANDS = 8
+LSH_BAND_PLANES = 16
 
 # IVF
 IVF_CENTROIDS = 8

@@ -22,6 +22,8 @@ from .constants import (
     IVF_PROBES,
     JACCARD_THRESHOLD,
     K,
+    LSH_BANDS,
+    LSH_BAND_PLANES,
     MINHASH_A,
     MINHASH_B,
     MINHASH_BANDS,
@@ -206,7 +208,17 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMS_SQL = f"""
 {_SHINGLE_SQL},
 dhashed AS (
-    SELECT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing
+    -- 64-bit feature hash as signed hi<<32 | lo (a single 16-hex-digit
+    -- parse overflows BIGINT; the CASE reproduces Spark's shiftleft wrap)
+    SELECT id,
+           (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+               * 4294967296 + lo AS h
+    FROM (
+        SELECT id,
+               ('0x' || substr(md5(sh), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(sh), 9, 8))::BIGINT AS lo
+        FROM shing
+    )
 ),
 contrib AS (
     SELECT id, b, ((h >> b) & 1) * 2 - 1 AS c
@@ -215,7 +227,10 @@ contrib AS (
 perbit AS (SELECT id, b, CAST(sum(c) AS BIGINT) AS s FROM contrib GROUP BY id, b),
 sims AS (
     SELECT id,
-           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN s > 0 THEN
+                    CASE WHEN b = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << b) END
+                    ELSE 0 END) AS BIGINT)
                AS simhash
     FROM perbit GROUP BY id
 )
@@ -229,7 +244,7 @@ WITH {DDOCS_CTE},
 {_SIMS_SQL},
 banded AS (
     SELECT id, simhash, band,
-           (simhash >> (band * 8)) & 255 AS band_val
+           (simhash >> (band * 16)) & 65535 AS band_val
     FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
 ),
 pairs AS (
@@ -281,10 +296,11 @@ def dedup_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {DVECS_CTE},
 pw AS (
+    -- banded family: plane p belongs to band p // 16, bit p % 16
     SELECT plane, d,
            ('0x' || substr(md5(plane::VARCHAR || '_' || d::VARCHAR), 1, 4))::INT::DOUBLE
                - 32767.5 AS w
-    FROM (SELECT unnest(range(0, 8)) AS plane)
+    FROM (SELECT unnest(range(0, {LSH_BANDS * LSH_BAND_PLANES})) AS plane)
     CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
 ),
 comps AS (
@@ -297,25 +313,28 @@ dots AS (
     FROM comps JOIN pw USING (d) GROUP BY id, plane
 ),
 buckets AS (
-    SELECT id,
-           CAST(sum(CASE WHEN round(dot, 6) > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT)
+    SELECT id, plane // {LSH_BAND_PLANES} AS band,
+           CAST(sum(CASE WHEN round(dot, 6) > 0
+                         THEN (1::BIGINT << (plane % {LSH_BAND_PLANES}))
+                         ELSE 0 END) AS BIGINT)
                AS bucket
-    FROM dots GROUP BY id
+    FROM dots GROUP BY id, plane // {LSH_BAND_PLANES}
 ),
 wb AS (
-    SELECT v.vec_id AS id, v.embedding AS v, b.bucket
+    SELECT v.vec_id AS id, v.embedding AS v, b.band, b.bucket
     FROM dvecs v JOIN buckets b ON b.id = v.vec_id
 ),
 pairs AS (
     SELECT a.id AS id_a, a.v AS va, b2.id AS id_b, b2.v AS vb
-    FROM wb a JOIN wb b2 USING (bucket)
+    FROM wb a JOIN wb b2 USING (band, bucket)
     WHERE a.id < b2.id
 ),
 scored AS (
     SELECT id_a, id_b, {P.rounded_sql(P.cosine_sql('va', 'vb'))} AS cosine
     FROM pairs
 )
-SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
+SELECT DISTINCT id_a, id_b, cosine FROM scored
+WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
 """,
     survey_ids="dedup-embedding,ann-lsh",
 )
