@@ -213,6 +213,36 @@ def main(ks: list[int]) -> int:
             "hyperplanes, centroids) — a\nquadratic blowup would show "
             "up here first.\n"
         )
+        f.write(
+            """
+## What this probe caught (measured, then fixed — round 7)
+
+The first x100 run found three real scale defects that the plan-shape
+argument ("every candidate generation is bucketed") had missed,
+because BUCKET COUNT, not plan shape, is the quadratic term:
+
+1. **32-bit SimHash false-pair floor.** Verified hamming<=3 pairs grew
+   ~N^2 * 5489/2^32: 388,499 at 600k docs where ~128k were real — a
+   32-bit fingerprint randomly collides unrelated docs at ~1.3e-6 per
+   pair. Fixed by widening to 64 bits (4x16-bit bands):
+   rate ~2.4e-15, zero expected false pairs below ~1e9 docs.
+2. **False-pair giant component.** Those ~260k random cross-replica
+   edges over 600k nodes put the pair graph past the Erdos-Renyi
+   threshold; `dedup_components` star-contraction exceeded its
+   25-iteration cap on the giant component's diameter — the operator
+   refused (by design) rather than returning split components. The
+   64-bit fingerprint removes the random edges; components converge
+   again.
+3. **Fixed 256-bucket hyperplane LSH went quadratic.** Single-table
+   8-plane blocking: candidates ~N^2/256 — embedding_neardup went
+   2.0s (x10) -> 384.5s (x100) while verified pairs stayed linear.
+   Fixed with banded LSH (8 bands x 16 planes): candidates
+   ~N^2*8/65536 (32x fewer), recall at the 0.95 threshold UP from
+   ~0.43 to ~0.80. The general rule either way: band width must grow
+   ~log2(N) to hold bucket occupancy constant; at 100 TB that is a
+   config knob, not a rewrite.
+"""
+        )
     print(f"wrote {out}", file=sys.stderr)
     spark.stop()
     return 0
