@@ -249,6 +249,13 @@ def main(ks: list[int]) -> int:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             print(f"  x{k} {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # free the batch queries' persisted intermediates BEFORE the
+        # streaming section: at x100 the complete-mode sessionize holds
+        # ~9.5M session rows in state + MemorySink, and the cached
+        # posting/shingle tables of the batch probes (incl. the 60M-row
+        # lineitem family) pushed the executor heap over the edge (OOM
+        # observed on the first x100 run after the TPC-H additions)
+        release_all()
         # --- streaming family: wall time + state-store growth ---------
         # Real streaming runs (file source, AvailableNow): sessionize's
         # session_window keeps one state row per OPEN SESSION (keys),
