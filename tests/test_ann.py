@@ -137,6 +137,19 @@ def test_mllib_lsh_recall(spark):
     assert min(recalls) >= 0.6, f"LSH worst-query recall collapsed: {recalls}"
 
 
+def test_suggested_band_planes_tracks_log_n():
+    """The band-width knob holds bucket occupancy ~constant: doubling
+    the corpus adds one bit; tiny corpora floor at 8 bits."""
+    assert ann.suggested_band_planes(0) == 8
+    assert ann.suggested_band_planes(1_000) == 8
+    assert ann.suggested_band_planes(2**16 * 4) == 16  # 262144 rows / occ 4
+    assert (
+        ann.suggested_band_planes(2**17 * 4)
+        == ann.suggested_band_planes(2**16 * 4) + 1
+    )
+    assert ann.suggested_band_planes(10**9) == 28
+
+
 def test_hyperplane_bucket_stability(spark):
     """Same vector -> same bucket (deterministic hyperplanes)."""
     vecs = corpus.vectors(spark, SF_SMOKE)

@@ -173,6 +173,12 @@ def build_scaled_dir(spark, out_dir: str, k: int) -> None:
 
 
 def main(ks: list[int]) -> int:
+    # the x100 corpus (60M-row lineitem shuffles + the ~9.5M-row
+    # complete-mode session state + MemorySink) does not fit the 8g
+    # default single-JVM heap of local mode — two x100 runs OOM'd in
+    # the streaming section before this default was raised. Explicit
+    # SPARK_DRIVER_MEM still wins.
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     from vector_search_application_spark.session import get_spark
     from vector_search_application_spark.plans.registry import REGISTRY
     from vector_search_application_spark.functions.cache import release_all
@@ -444,15 +450,24 @@ tokenize/regex/fold work over every row, so it scales linearly with
 corpus size and parallelizes by partition — the expected asymptote for
 per-document work, addressed with executors, not plan shape.
 quality_filter_funnel used to lead this tail (56x) until the
-punct-strip regexp_replace was replaced by a translate() char map (now
-2-3x, overhead-bound), and training_manifest_full came down from 29x
-to ~5x via the same fix plus persisting the decontamination shingle
+punct-strip regexp_replace was replaced by a translate() char map
+(overhead-bound since), and training_manifest_full came down from 29x
+via the same fix plus persisting the decontamination shingle
 table across its three consumers; source_data_card and text_pii_scrub
 dropped ~3x when the email regex got a contains('@') prefilter (Java
 regex backtracks at every position of a document that can never
 match — the gate is value-identical because an email requires the
 '@'); what remains is the n-gram construction + sorted run-fold
-(text_repetition), irreducibly per-row.
+(text_repetition, and the same featurization inside
+training_manifest_full's quality stage), irreducibly per-row.
+Absolute context for the two largest ratios: text_repetition at x100
+is 500k multi-KB documents' 2/3-gram statistics in ~15s on 32 cores
+(~33k docs/s), and training_manifest_full is the whole quality ->
+dedup -> split -> decontaminate -> pack chain over the same corpus in
+~34s — per-row compute that partitions perfectly, not a shuffle or
+candidate blowup. Same-loop calibration bounds cross-run drift on
+these two (the slow-window pathology hits interpreted HOF expressions
+hardest, so their row is the least stable across sessions).
 bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.

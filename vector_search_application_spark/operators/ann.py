@@ -36,6 +36,24 @@ from ..functions.cache import tracked_persist
 from ..plans.constants import IVF_CENTROIDS, IVF_PROBES, K, LSH_PLANES
 
 
+def suggested_band_planes(n_rows: int, target_occupancy: int = 4) -> int:
+    """Band width (sign bits per LSH band) that holds expected bucket
+    occupancy ~constant as the corpus grows: ceil(log2(N / target)),
+    floored at 8.
+
+    The controlled-dup scale probe (SCALING_DEDUP.md) measured the
+    failure mode of a FIXED band width: candidates grow N^2/2^width,
+    so a 256-bucket table that is overhead-bound at 20k vectors is
+    quadratic wall-clock at 200k (2.0s -> 384.5s). At 100 TB this is
+    the one config value that must track corpus size; recall lost to
+    wider bands is bought back with more bands (B tables of r bits:
+    recall 1-(1-p^r)^B, candidates ~N^2*B/2^r)."""
+    import math
+
+    n = max(1, n_rows)
+    return max(8, math.ceil(math.log2(max(1.0, n / target_occupancy))))
+
+
 def plane_weights(spark, n_planes: int = LSH_PLANES, dim: int = 64) -> DataFrame:
     """(plane, d, w): deterministic pseudo-random hyperplane weights,
     w = hexval16(md5(plane||'_'||d)) - 32767.5, d is 1-based."""
