@@ -106,7 +106,11 @@ def build_salted_dir(spark, out_dir: str, k: int) -> None:
 
 
 def main(ks: list[int]) -> int:
+    # headroom for the x100 signature/bucket caches (same guard as
+    # scale_probe.py; explicit SPARK_DRIVER_MEM still wins)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     from vector_search_application_spark import calibration as CAL
+    from vector_search_application_spark.functions.cache import release_all
     from vector_search_application_spark.plans.registry import REGISTRY
     from vector_search_application_spark.session import get_spark
 
@@ -146,6 +150,9 @@ def main(ks: list[int]) -> int:
                     best = min(best, time.perf_counter() - t0)
                 row[name] = {"sec": round(best, 3), "rows": n}
                 print(f"  x{k} {name}: {row[name]}", file=sys.stderr, flush=True)
+            # scaled signature/bucket caches must not stay resident
+            # into the next K (same discipline as scale_probe.py)
+            release_all()
             results[k] = row
             line = {
                 "scale": k,

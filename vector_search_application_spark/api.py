@@ -73,16 +73,47 @@ class Engine:
         # LRU and EMA counters are the only shared mutable state (the
         # reference's functools.lru_cache is thread-safe — match it)
         self._lock = threading.Lock()
-        products = corpus.products(spark, sf_dir)
+        # serializes the read-merge-swap of _absorb (and reset): two
+        # concurrent imports that both captured the same old corpus
+        # would otherwise each build merged = own_rows + old, and the
+        # later swap would silently drop the earlier import's rows
+        self._ingest_lock = threading.Lock()
+        products = corpus.products(spark, sf_dir).persist()
         # cache the corpus + its two derived indexes (the reference
-        # holds all three in RAM: payload store, HNSW, sparse index)
-        self.products = products.persist()
-        self.dense_index = E.embed_postings(
-            self.products, "id", "dense_text"
-        ).persist()
-        self.sparse_postings = bm25.build_postings(
-            self.products, id_col="id", text_col="sparse_text"
+        # holds all three in RAM: payload store, HNSW, sparse index).
+        # The trio lives in ONE tuple so any reader gets a consistent
+        # version with a single attribute load — multi-table requests
+        # call _snapshot() once and thread the tables down.
+        self._serving: tuple[DataFrame, DataFrame, DataFrame] = (
+            products,
+            E.embed_postings(products, "id", "dense_text").persist(),
+            bm25.build_postings(
+                products, id_col="id", text_col="sparse_text"
+            ),
         )
+
+    # -- serving state ---------------------------------------------------
+
+    def _snapshot(self) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """(products, dense_index, sparse_postings) of ONE version —
+        a single atomic attribute load; no lock needed on the read
+        side. Every request that touches more than one of the three
+        must take one snapshot and use only its members, otherwise an
+        _absorb between its attribute loads hands it a cross-version
+        mix (stale dense hits joined against a replaced corpus)."""
+        return self._serving
+
+    @property
+    def products(self) -> DataFrame:
+        return self._serving[0]
+
+    @property
+    def dense_index(self) -> DataFrame:
+        return self._serving[1]
+
+    @property
+    def sparse_postings(self) -> DataFrame:
+        return self._serving[2]
 
     # -- embedding (E3: lru-cached query embed) -------------------------
 
@@ -132,21 +163,37 @@ class Engine:
 
     # -- search branches ------------------------------------------------
 
-    def _dense_branch(self, q: str, k: int, threshold: float | None = SCORE_THRESHOLD) -> DataFrame:
-        scored = E.sparse_cosine_topk(self.dense_index, self._embed_query(q), k)
+    def _dense_branch(
+        self,
+        q: str,
+        k: int,
+        threshold: float | None = SCORE_THRESHOLD,
+        dense_index: DataFrame | None = None,
+    ) -> DataFrame:
+        if dense_index is None:
+            dense_index = self.dense_index
+        scored = E.sparse_cosine_topk(dense_index, self._embed_query(q), k)
         if threshold is not None:
             scored = scored.filter(F.col("score") >= threshold)  # Q3
         return scored
 
-    def _sparse_branch(self, q: str, k: int) -> DataFrame:
+    def _sparse_branch(
+        self, q: str, k: int, postings: DataFrame | None = None
+    ) -> DataFrame:
+        if postings is None:
+            postings = self.sparse_postings
         scored = bm25.bm25_score_terms(
-            self.sparse_postings, bm25.query_terms(self.spark, q)
+            postings, bm25.query_terms(self.spark, q)
         )
         return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
-    def _exact_branch(self, q: str, k: int) -> DataFrame:
+    def _exact_branch(
+        self, q: str, k: int, products: DataFrame | None = None
+    ) -> DataFrame:
+        if products is None:
+            products = self.products
         return exact.exact_cascade(
-            self.products, q, "partNumber_airgas_text",
+            products, q, "partNumber_airgas_text",
             "manufacturerPartNumber_text", k,
         )
 
@@ -160,8 +207,14 @@ class Engine:
         elif mode == "sparse":
             out = self._sparse_branch(q, count)
         elif mode == "hybrid":
-            dense = self._dense_branch(q, count * BRANCH_INFLATION, threshold=None)
-            sparse = self._sparse_branch(q, count * BRANCH_INFLATION)
+            _, dense_ix, postings = self._snapshot()
+            dense = self._dense_branch(
+                q, count * BRANCH_INFLATION, threshold=None,
+                dense_index=dense_ix,
+            )
+            sparse = self._sparse_branch(
+                q, count * BRANCH_INFLATION, postings=postings
+            )
             out = fusion.rrf_fuse(
                 {"dense": dense, "sparse": sparse}, count, RRF_RANK_K, "id"
             )
@@ -201,11 +254,12 @@ class Engine:
         reference's per-service optimize_for_collection is an HNSW/ef
         warmup; ours is the cache-residency equivalent)."""
         out = {}
+        products, dense_ix, postings = self._snapshot()
         for name, df in (
-            ("search_service", self.products),
-            ("ultra_search_service", self.dense_index),
-            ("lean_search_service", self.sparse_postings),
-            ("really_fast_service", self.dense_index),
+            ("search_service", products),
+            ("ultra_search_service", dense_ix),
+            ("lean_search_service", postings),
+            ("really_fast_service", dense_ix),
         ):
             t0 = time.perf_counter()
             n = df.count()  # touches every cached block
@@ -236,16 +290,23 @@ class Engine:
             "segments_count": self.products.rdd.getNumPartitions(),
         }
 
-    def _fusion_hits(self, q: str, count: int) -> DataFrame:
+    def _fusion_hits(
+        self,
+        q: str,
+        count: int,
+        snapshot: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    ) -> DataFrame:
         """V4 plumbing, untracked: exact(k) + vector(2k) -> max-score
         dedup (F3). search_fusion() and search() both consume this so
-        each can time and bucket its OWN full path."""
-        exact_b = self._exact_branch(q, count).select(
+        each can time and bucket its OWN full path; search() passes its
+        snapshot so the downstream products join is the same version."""
+        products, dense_ix, _ = snapshot or self._snapshot()
+        exact_b = self._exact_branch(q, count, products=products).select(
             "id", "score", F.lit("exact").alias("search_type")
         )
-        vector_b = self._dense_branch(q, count * BRANCH_INFLATION).select(
-            "id", "score", F.lit("vector").alias("search_type")
-        )
+        vector_b = self._dense_branch(
+            q, count * BRANCH_INFLATION, dense_index=dense_ix
+        ).select("id", "score", F.lit("vector").alias("search_type"))
         return fusion.max_dedup_fuse(exact_b, vector_b, count, "id")
 
     def search_fusion(self, q: str, count: int = 10) -> DataFrame:
@@ -280,15 +341,17 @@ class Engine:
                 "filter_value is required when filter_field is set"
             )
         t0 = time.perf_counter()
+        snap = self._snapshot()
+        products, dense_ix, _ = snap
         k = count * POSTFILTER_INFLATION if filter_field else count
         hits = (
-            self._fusion_hits(q, k)
+            self._fusion_hits(q, k, snapshot=snap)
             if use_fusion
-            else self._dense_branch(q, k).withColumn(
+            else self._dense_branch(q, k, dense_index=dense_ix).withColumn(
                 "search_type", F.lit("vector")
             )
         )
-        enriched = hits.join(self.products, "id")
+        enriched = hits.join(products, "id")
         if filter_field:
             # order before limiting: when more than `count` rows survive
             # the filter we must keep the TOP-scored ones (the reference
@@ -327,9 +390,12 @@ class Engine:
         Served by the same 'search' EMA bucket as search() — the
         reference routes filtered requests through search_service."""
         t0 = time.perf_counter()
-        hits = self._dense_branch(q, count * POSTFILTER_INFLATION)
+        products, dense_ix, _ = self._snapshot()
+        hits = self._dense_branch(
+            q, count * POSTFILTER_INFLATION, dense_index=dense_ix
+        )
         out = (
-            hits.join(self.products, "id")
+            hits.join(products, "id")
             .filter(F.col(filter_field) == F.lit(filter_value))
             .select("id", "score")
             .orderBy(F.desc("score"), F.asc("id"))
@@ -375,42 +441,56 @@ class Engine:
         the corpus and both derived indexes re-point and re-persist,
         with the ingested parquet at ``table_dir`` becoming part of the
         serving lineage (callers must not delete it)."""
-        loaded = self.spark.read.parquet(table_dir)
-        if not {"id", "dense_text", "sparse_text"}.issubset(loaded.columns):
-            # raw directory imports (S4/S5) land untransformed document
-            # tables; run the same T1-T3 stack the upload path applies
-            loaded = json_source.transform_products(loaded)
-        loaded = loaded.select(*self.products.columns)
-        merged = loaded.unionByName(
-            self.products.join(
-                loaded.select("id").distinct(), "id", "left_anti"
+        import gc
+
+        # the whole read-merge-swap is serialized: two concurrent
+        # imports that both captured the same old corpus would each
+        # build merged = own_rows + old, and the later swap would
+        # silently drop the earlier import's rows (lost update)
+        with self._ingest_lock:
+            old_products, old_dense, old_sparse = self._snapshot()
+            loaded = self.spark.read.parquet(table_dir)
+            if not {"id", "dense_text", "sparse_text"}.issubset(
+                loaded.columns
+            ):
+                # raw directory imports (S4/S5) land untransformed
+                # document tables; run the same T1-T3 stack the upload
+                # path applies
+                loaded = json_source.transform_products(loaded)
+            loaded = loaded.select(*old_products.columns)
+            merged = loaded.unionByName(
+                old_products.join(
+                    loaded.select("id").distinct(), "id", "left_anti"
+                )
             )
-        )
-        # Materialize AND cut lineage: the merged plan's FileScan pins
-        # table_dir's current file listing, and the normal import ->
-        # importdelta flow overwrites those files next call — a lazy
-        # persist would later re-read deleted parquet and fail with
-        # FileNotFoundException (import_delta localCheckpoints for the
-        # same reason).
-        new_products = merged.localCheckpoint(eager=True)
-        new_dense = E.embed_postings(
-            new_products, "id", "dense_text"
-        ).persist()
-        new_sparse = bm25.build_postings(
-            new_products, id_col="id", text_col="sparse_text"
-        )
-        old_products, old_dense = self.products, self.dense_index
-        old_sparse = self.sparse_postings
-        # Swap the trio atomically so a concurrent search never joins
-        # the new corpus with the old index (readers load each attribute
-        # once; guarding the swap keeps any single request consistent).
-        with self._lock:
-            self.products = new_products
-            self.dense_index = new_dense
-            self.sparse_postings = new_sparse
+            # Materialize AND cut lineage: the merged plan's FileScan
+            # pins table_dir's current file listing, and the normal
+            # import -> importdelta flow overwrites those files next
+            # call — a lazy persist would later re-read deleted parquet
+            # and fail with FileNotFoundException (import_delta
+            # localCheckpoints for the same reason).
+            new_products = merged.localCheckpoint(eager=True)
+            new_dense = E.embed_postings(
+                new_products, "id", "dense_text"
+            ).persist()
+            new_sparse = bm25.build_postings(
+                new_products, id_col="id", text_col="sparse_text"
+            )
+            # One-tuple swap: a reader's _snapshot() before this line
+            # sees the old trio, after it the new one — never a mix.
+            self._serving = (new_products, new_dense, new_sparse)
+        # unpersist frees CacheManager entries (the first absorb's
+        # persisted corpus, the index tables); a localCheckpoint'ed
+        # old_products is NOT in the CacheManager — its blocks are
+        # freed by the ContextCleaner once the RDD is unreachable, so
+        # drop the references and nudge GC rather than letting stale
+        # full-corpus checkpoint copies pile up across a tight
+        # import loop.
         old_products.unpersist()
         old_dense.unpersist()
         old_sparse.unpersist()
+        del old_products, old_dense, old_sparse, merged, loaded
+        gc.collect()
 
     def load_data(self, path: str, table_dir: str) -> int:
         """POST /api/load-data: S3 upload -> T1/T2 transforms -> write
@@ -450,15 +530,19 @@ class Engine:
         where reset recreates an empty-but-working collection."""
         from .functions.cache import release_all, tracked_persist
 
-        self.products.unpersist()
-        self.dense_index.unpersist()
-        release_all()
-        self.clear_cache()
-        with self._lock:
-            self._stats.clear()
-        self.products = self.products.persist()
-        self.dense_index = self.dense_index.persist()
-        self.sparse_postings = tracked_persist(self.sparse_postings)
+        with self._ingest_lock:
+            products, dense_ix, postings = self._snapshot()
+            products.unpersist()
+            dense_ix.unpersist()
+            release_all()
+            self.clear_cache()
+            with self._lock:
+                self._stats.clear()
+            self._serving = (
+                products.persist(),
+                dense_ix.persist(),
+                tracked_persist(postings),
+            )
 
     def health(self) -> dict:
         return {"status": "healthy", "document_count": self.products.count()}

@@ -75,9 +75,9 @@ def calibration_secs(spark: SparkSession, reps: int = 3) -> list[float]:
 
 
 def median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+    import statistics
+
+    return float(statistics.median(xs))
 
 
 def iqr(xs: list[float]) -> float:

@@ -386,7 +386,7 @@ def repetition_features(text: Column) -> Column:
     """1-element ``array<struct<top_2gram_ratio, dup_3gram_ratio>>``
     computing BOTH Gopher repetition signals — callers ``explode()``
     it. Values are bit-identical to top_ngram_ratio(2) /
-    dup_ngram_ratio(3) (pinned by tests/test_text_functions parity).
+    dup_ngram_ratio(3) (pinned by tests/test_pipeline_ops.py::test_repetition_features_matches_single_signal_fns).
 
     Shape, chosen by measurement (all value-identical variants, A/B'd
     in one session at sf0.1):

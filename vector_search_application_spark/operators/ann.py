@@ -28,12 +28,21 @@ Correctness is always defined by the exact brute-force operator
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
 from ..functions.cache import tracked_persist
-from ..plans.constants import IVF_CENTROIDS, IVF_PROBES, K, LSH_PLANES
+from ..plans.constants import (
+    IVF_CENTROIDS,
+    IVF_PROBES,
+    K,
+    LSH_BAND_PLANES,
+    LSH_BANDS,
+    LSH_PLANES,
+)
 
 
 def suggested_band_planes(n_rows: int, target_occupancy: int = 4) -> int:
@@ -48,8 +57,6 @@ def suggested_band_planes(n_rows: int, target_occupancy: int = 4) -> int:
     the one config value that must track corpus size; recall lost to
     wider bands is bought back with more bands (B tables of r bits:
     recall 1-(1-p^r)^B, candidates ~N^2*B/2^r)."""
-    import math
-
     n = max(1, n_rows)
     return max(8, math.ceil(math.log2(max(1.0, n / target_occupancy))))
 
@@ -148,8 +155,8 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_bands: int = None,
-    band_planes: int = None,
+    n_bands: int | None = None,
+    band_planes: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) for pairs sharing >=1 LSH band bucket and
     above the cosine threshold — embedding near-duplicate detection.
@@ -164,8 +171,6 @@ def lsh_neardup_pairs(
     signature table is what you'd write out at scale, partitioned by
     (band, bucket); band width is the log2(N) knob that holds bucket
     occupancy constant as the corpus grows."""
-    from ..plans.constants import LSH_BANDS, LSH_BAND_PLANES
-
     n_bands = LSH_BANDS if n_bands is None else n_bands
     band_planes = LSH_BAND_PLANES if band_planes is None else band_planes
     # all B band buckets in one per-row projection, persisted BEFORE the

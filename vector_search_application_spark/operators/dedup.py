@@ -12,7 +12,7 @@ Scale shapes:
              high-selectivity key — so the shuffle moves signature
              rows (docs x bands), never documents. Verification
              (true Jaccard) runs only on candidate pairs.
-  simhash    4 bands of 4 bits; hamming<=3 pairs are GUARANTEED to
+  simhash    64-bit signatures, 4 bands of 16 bits; hamming<=3 pairs are GUARANTEED to
              share at least one unchanged band (pigeonhole), so the
              band equi-join is exact, not approximate, for that radius.
   jaccard    shingle-inverted-index join with rare-shingle blocking.
@@ -277,7 +277,7 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
     banding candidates 256x per band at uniform fill.
 
     Computed entirely WITHIN the row from the shingle-set array: one
-    pass over the hashes accumulates all 32 per-bit popcounts via
+    pass over the hashes accumulates all 64 per-bit popcounts via
     zip_with, so the signature materializes in the scan stage with NO
     shuffle (vs the exploded shingle x bit cross-join + two groupBys,
     which shuffles |shingles| x 32 rows).
@@ -285,7 +285,7 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
     Counts AND the bit-fold live in a single aggregate() whose finish
     lambda binds the count accumulator once. Splitting them into two
     Projects lets CollapseProject inline the count aggregate into each
-    of the 32 bit terms — a silent O(bits^2 x shingles) blowup (13s vs
+    of the 64 bit terms — a silent O(bits^2 x shingles) blowup (13s vs
     0.4s at sf0.1).
     """
     sharr = shingle_arrays(docs, id_col, text_col)
