@@ -207,6 +207,60 @@ def test_repeated_load_data_same_table_dir(engine, tmp_path):
     assert ids == {"ABS0000001", "ABS0000002"}
 
 
+def test_concurrent_imports_lose_no_rows(engine, tmp_path):
+    """Regression: _absorb's read-merge-swap is serialized by the
+    ingest lock. Without it, two imports that both captured the same
+    old corpus each build merged = own_rows + old, and whichever swap
+    lands second silently discards the other import's rows — a load
+    that reported success but never became searchable."""
+    import threading
+
+    pns = ["CON0000001", "CON0000002", "CON0000003", "CON0000004"]
+    srcs = []
+    for i, pn in enumerate(pns):
+        src = tmp_path / f"con{i}.json"
+        src.write_text(json.dumps([{
+            "partNumber_airgas_text": pn,
+            "shortDescription_airgas_text": f"concurrent probe {i}",
+        }]))
+        srcs.append((str(src), str(tmp_path / f"contable{i}")))
+    errs = []
+
+    def load(src, table):
+        try:
+            engine.load_data(src, table)
+        except Exception as e:  # surface worker-thread failures
+            errs.append(e)
+
+    threads = [threading.Thread(target=load, args=s) for s in srcs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    ids = {
+        r["_id"]
+        for r in engine.products.filter(
+            F.col("partNumber_airgas_text").startswith("CON")
+        ).collect()
+    }
+    assert ids == set(pns)
+    # and each is actually searchable through the serving indexes
+    hit = engine.query("concurrent probe 2", mode="sparse", count=50)
+    assert hit.count() > 0
+
+
+def test_snapshot_is_version_consistent(engine):
+    """_snapshot() hands back ONE version of the serving trio: the
+    members must be exactly the current tuple's objects (a single
+    atomic load, not three reads that an absorb could interleave)."""
+    snap = engine._snapshot()
+    assert snap is engine._serving
+    assert snap[0] is engine.products
+    assert snap[1] is engine.dense_index
+    assert snap[2] is engine.sparse_postings
+
+
 def test_search_requires_filter_value_with_field(engine):
     with pytest.raises(ValueError, match="filter_value"):
         engine.search("widget", 3, filter_field="manufacturerPartNumber_text")
