@@ -167,3 +167,58 @@ def test_chunk_sql_matches_python_model(text):
     got = sorted((r[1], r[2], r[3], r[4]) for r in rows)
     want = sorted(py_chunks(text))
     assert got == want
+
+
+# --- the dedup scale probe's corpus construction premise ---------------
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+)
+
+
+def _rename(text: str, tag: str) -> str:
+    """The probe's injective per-replica token renaming (prefix every
+    alphanumeric run), tools/dedup_scale_probe.build_salted_dir."""
+    return re.sub(r"([A-Za-z0-9]+)", tag + r"\1", text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_ASCII, st.integers(min_value=0, max_value=99))
+def test_token_renaming_is_a_bijection_on_token_lists(text, rep):
+    """SCALING_DEDUP.md's construction premise: prefixing every
+    alphanumeric run with the replica tag maps the token LIST
+    elementwise (same count, same positions, injectively renamed), so
+    every shingle-set statistic — n-gram Jaccard, rare-shingle document
+    frequency, minhash band structure — is preserved exactly under the
+    bijection. Scoped to ASCII text, which is what the synthetic corpus
+    contains (non-ASCII case-folding like the Kelvin sign K->k can turn
+    a renaming separator into a token character)."""
+    tag = f"q{rep}z"
+    assert py_tokens(_rename(text, tag)) == [
+        tag + t for t in py_tokens(text)
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_ASCII, _ASCII, st.integers(min_value=0, max_value=99))
+def test_shingle_jaccard_invariant_under_renaming(a, b, rep):
+    """Follows from the bijection, pinned directly: the 3-token
+    shingle-set Jaccard between any two docs is unchanged by the
+    probe's renaming — the quantity whose constancy makes the
+    controlled-duplicate-rate measurement valid."""
+    tag = f"q{rep}z"
+
+    def sh(text):
+        toks = py_tokens(text)
+        return {
+            "_".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def jac(x, y):
+        sx, sy = sh(x), sh(y)
+        if not sx and not sy:
+            return None
+        u = len(sx | sy)
+        return len(sx & sy) / u if u else None
+
+    assert jac(a, b) == jac(_rename(a, tag), _rename(b, tag))
