@@ -283,3 +283,51 @@ def test_search_has_own_ema_bucket(served):
     after = engine.performance_stats()
     assert after["search"]["count"] >= 1
     assert after.get("ultra_fast", {}).get("count", 0) == ultra_before
+
+
+def test_concurrent_queries_during_absorb(served, tmp_path):
+    """The served engine's swap contract under REAL threaded HTTP
+    traffic: hybrid and dense queries hammer the server while a
+    load-data absorbs a new table; no request may error (stale dense
+    hits joined against a replaced corpus would surface as missing-id
+    join rows or FileNotFound on the overwritten table), and the
+    absorbed rows must be searchable immediately after."""
+    import threading
+
+    _, base = served
+    errs: list[Exception] = []
+
+    def hammer():
+        try:
+            for _ in range(5):
+                _get(f"{base}/api/search/ultra-fast?q=widget&count=3")
+                _get(f"{base}/api/query?q=hammer%20probe&mode=hybrid&count=5")
+        except Exception as e:  # pragma: no cover - failure evidence
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(3)]
+    for t in threads:
+        t.start()
+    docs = [
+        {"partNumber_airgas_text": f"HAM000000{i}",
+         "shortDescription_airgas_text": f"hammer probe widget {i}"}
+        for i in range(3)
+    ]
+    table = tmp_path / "hammer_table"
+    req = urllib.request.Request(
+        f"{base}/api/load-data?table={table}",
+        data=json.dumps(docs).encode(),
+        method="POST",
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert json.loads(r.read())["documents_loaded"] == 3
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    status, hits = _get(
+        f"{base}/api/query?q=hammer%20probe%20widget&mode=sparse&count=5"
+    )
+    assert status == 200
+    rows = hits if isinstance(hits, list) else hits.get("results", [])
+    assert len(rows) > 0
