@@ -4,6 +4,7 @@ brute-force operator (never golden-match an approximation, SURVEY.md §7)."""
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMOKE
+from vector_search_application_spark.functions import portable as P
 from vector_search_application_spark.operators import ann, topk
 from vector_search_application_spark.plans import corpus
 from vector_search_application_spark.plans.constants import K, QUERY_VEC_ID
@@ -135,6 +136,54 @@ def test_mllib_lsh_recall(spark):
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.85, f"LSH mean recall@{K} regressed: {mean} ({recalls})"
     assert min(recalls) >= 0.6, f"LSH worst-query recall collapsed: {recalls}"
+
+
+def test_banded_lsh_pair_recall_beats_single_table(spark):
+    """The banded-LSH claim from SCALING_DEDUP.md, held to brute
+    force: against the EXACT set of cosine>=0.95 pairs, the 8x16-bit
+    banded blocking must (a) return only true pairs (verification is
+    exact cosine), (b) recall at least as many pairs as the old single
+    8-plane table, and (c) clear an absolute floor well under the
+    analytic ~0.8 so fixture noise cannot trip it."""
+    from vector_search_application_spark.plans.constants import (
+        NEARDUP_COSINE_THRESHOLD,
+    )
+    from vector_search_application_spark.plans.registry_dedup import (
+        dedup_vectors,
+    )
+
+    vecs = dedup_vectors(spark, SF_SMOKE)
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= NEARDUP_COSINE_THRESHOLD)
+        .collect()
+    }
+    assert exact, "fixture must contain at least one true near-dup pair"
+    banded = {
+        (r.id_a, r.id_b)
+        for r in ann.lsh_neardup_pairs(vecs, NEARDUP_COSINE_THRESHOLD).collect()
+    }
+    single = {
+        (r.id_a, r.id_b)
+        for r in ann.lsh_neardup_pairs(
+            vecs, NEARDUP_COSINE_THRESHOLD, n_bands=1, band_planes=8
+        ).collect()
+    }
+    assert banded <= exact  # exact-cosine verification: no false pairs
+    assert single <= exact
+    recall_banded = len(banded) / len(exact)
+    recall_single = len(single) / len(exact)
+    assert recall_banded >= recall_single, (recall_banded, recall_single)
+    assert recall_banded >= 0.6, f"banded recall collapsed: {recall_banded}"
 
 
 def test_suggested_band_planes_tracks_log_n():
