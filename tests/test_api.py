@@ -250,6 +250,47 @@ def test_concurrent_imports_lose_no_rows(engine, tmp_path):
     assert hit.count() > 0
 
 
+def test_concurrent_imports_same_table_dir(engine, tmp_path):
+    """Harder variant: both imports target the SAME table_dir. The
+    ingest lock must span the parquet WRITE as well as the absorb —
+    otherwise import B's overwrite of the shared dir lands between
+    import A's write and A's absorb, so A reads B's rows (A silently
+    lost) or dies mid-scan on deleted files."""
+    import threading
+
+    pns = ["SAM0000001", "SAM0000002", "SAM0000003", "SAM0000004"]
+    table = str(tmp_path / "shared_table")
+    srcs = []
+    for i, pn in enumerate(pns):
+        src = tmp_path / f"sam{i}.json"
+        src.write_text(json.dumps([{
+            "partNumber_airgas_text": pn,
+            "shortDescription_airgas_text": f"shared dir probe {i}",
+        }]))
+        srcs.append(str(src))
+    errs = []
+
+    def load(src):
+        try:
+            engine.load_data(src, table)
+        except Exception as e:  # surface worker-thread failures
+            errs.append(e)
+
+    threads = [threading.Thread(target=load, args=(s,)) for s in srcs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    ids = {
+        r["_id"]
+        for r in engine.products.filter(
+            F.col("partNumber_airgas_text").startswith("SAM")
+        ).collect()
+    }
+    assert ids == set(pns)
+
+
 def test_snapshot_is_version_consistent(engine):
     """_snapshot() hands back ONE version of the serving trio: the
     members must be exactly the current tuple's objects (a single

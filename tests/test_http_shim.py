@@ -296,10 +296,15 @@ def test_concurrent_queries_during_absorb(served, tmp_path):
 
     _, base = served
     errs: list[Exception] = []
+    # the POST below completes only after _absorb returns, so looping
+    # the hammer until `done` is set guarantees query traffic actually
+    # overlaps the read-merge-swap (a fixed request count could drain
+    # before the absorb even starts, making the assertion vacuous)
+    done = threading.Event()
 
     def hammer():
         try:
-            for _ in range(5):
+            while not done.is_set():
                 _get(f"{base}/api/search/ultra-fast?q=widget&count=3")
                 _get(f"{base}/api/query?q=hammer%20probe&mode=hybrid&count=5")
         except Exception as e:  # pragma: no cover - failure evidence
@@ -320,10 +325,13 @@ def test_concurrent_queries_during_absorb(served, tmp_path):
         method="POST",
         headers={"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=300) as r:
-        assert json.loads(r.read())["documents_loaded"] == 3
-    for t in threads:
-        t.join()
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert json.loads(r.read())["documents_loaded"] == 3
+    finally:
+        done.set()
+        for t in threads:
+            t.join()
     assert not errs, errs
     status, hits = _get(
         f"{base}/api/query?q=hammer%20probe%20widget&mode=sparse&count=5"

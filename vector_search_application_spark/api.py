@@ -282,12 +282,13 @@ class Engine:
                 "points_count": 0,
                 "segments_count": 0,
             }
-        n = self.products.count()
+        products = self._snapshot()[0]
+        n = products.count()
         return {
             "collection": collection_name,
             "vectors_count": n,
             "points_count": n,
-            "segments_count": self.products.rdd.getNumPartitions(),
+            "segments_count": products.rdd.getNumPartitions(),
         }
 
     def _fusion_hits(
@@ -441,44 +442,53 @@ class Engine:
         the corpus and both derived indexes re-point and re-persist,
         with the ingested parquet at ``table_dir`` becoming part of the
         serving lineage (callers must not delete it)."""
-        import gc
-
         # the whole read-merge-swap is serialized: two concurrent
         # imports that both captured the same old corpus would each
         # build merged = own_rows + old, and the later swap would
         # silently drop the earlier import's rows (lost update)
         with self._ingest_lock:
-            old_products, old_dense, old_sparse = self._snapshot()
-            loaded = self.spark.read.parquet(table_dir)
-            if not {"id", "dense_text", "sparse_text"}.issubset(
-                loaded.columns
-            ):
-                # raw directory imports (S4/S5) land untransformed
-                # document tables; run the same T1-T3 stack the upload
-                # path applies
-                loaded = json_source.transform_products(loaded)
-            loaded = loaded.select(*old_products.columns)
-            merged = loaded.unionByName(
-                old_products.join(
-                    loaded.select("id").distinct(), "id", "left_anti"
-                )
+            self._absorb_locked(table_dir)
+
+    def _absorb_locked(self, table_dir: str) -> None:
+        """_absorb body; caller must hold ``_ingest_lock``. Split out
+        so the ingest endpoints can hold the lock across their parquet
+        WRITE as well — two imports targeting the same ``table_dir``
+        must not interleave one's write with the other's read, or the
+        later write clobbers the earlier rows before they are absorbed
+        (the same lost-update the lock exists to prevent)."""
+        import gc
+
+        old_products, old_dense, old_sparse = self._snapshot()
+        loaded = self.spark.read.parquet(table_dir)
+        if not {"id", "dense_text", "sparse_text"}.issubset(
+            loaded.columns
+        ):
+            # raw directory imports (S4/S5) land untransformed
+            # document tables; run the same T1-T3 stack the upload
+            # path applies
+            loaded = json_source.transform_products(loaded)
+        loaded = loaded.select(*old_products.columns)
+        merged = loaded.unionByName(
+            old_products.join(
+                loaded.select("id").distinct(), "id", "left_anti"
             )
-            # Materialize AND cut lineage: the merged plan's FileScan
-            # pins table_dir's current file listing, and the normal
-            # import -> importdelta flow overwrites those files next
-            # call — a lazy persist would later re-read deleted parquet
-            # and fail with FileNotFoundException (import_delta
-            # localCheckpoints for the same reason).
-            new_products = merged.localCheckpoint(eager=True)
-            new_dense = E.embed_postings(
-                new_products, "id", "dense_text"
-            ).persist()
-            new_sparse = bm25.build_postings(
-                new_products, id_col="id", text_col="sparse_text"
-            )
-            # One-tuple swap: a reader's _snapshot() before this line
-            # sees the old trio, after it the new one — never a mix.
-            self._serving = (new_products, new_dense, new_sparse)
+        )
+        # Materialize AND cut lineage: the merged plan's FileScan
+        # pins table_dir's current file listing, and the normal
+        # import -> importdelta flow overwrites those files next
+        # call — a lazy persist would later re-read deleted parquet
+        # and fail with FileNotFoundException (import_delta
+        # localCheckpoints for the same reason).
+        new_products = merged.localCheckpoint(eager=True)
+        new_dense = E.embed_postings(
+            new_products, "id", "dense_text"
+        ).persist()
+        new_sparse = bm25.build_postings(
+            new_products, id_col="id", text_col="sparse_text"
+        )
+        # One-tuple swap: a reader's _snapshot() before this line
+        # sees the old trio, after it the new one — never a mix.
+        self._serving = (new_products, new_dense, new_sparse)
         # unpersist frees CacheManager entries (the first absorb's
         # persisted corpus, the index tables); a localCheckpoint'ed
         # old_products is NOT in the CacheManager — its blocks are
@@ -494,20 +504,28 @@ class Engine:
 
     def load_data(self, path: str, table_dir: str) -> int:
         """POST /api/load-data: S3 upload -> T1/T2 transforms -> write
-        -> absorb into the served collection."""
+        -> absorb into the served collection. The lock spans the
+        parquet WRITE too: two concurrent loads aimed at the same
+        ``table_dir`` must not overwrite each other's rows between one
+        write and its absorb (lost update / mid-scan delete)."""
         raw = json_source.read_json_array(self.spark, path)
-        n = json_source.load_products(raw, table_dir)
-        self._absorb(table_dir)
+        with self._ingest_lock:
+            n = json_source.load_products(raw, table_dir)
+            self._absorb_locked(table_dir)
         return n
 
     def import_full(self, import_dir: str, table_dir: str) -> int:
-        n = json_source.import_full(self.spark, import_dir, table_dir)
-        self._absorb(table_dir)
+        with self._ingest_lock:
+            n = json_source.import_full(self.spark, import_dir, table_dir)
+            self._absorb_locked(table_dir)
         return n
 
     def import_delta(self, import_dir: str, table_dir: str) -> dict:
-        counts = json_source.import_delta(self.spark, import_dir, table_dir)
-        self._absorb(table_dir)
+        with self._ingest_lock:
+            counts = json_source.import_delta(
+                self.spark, import_dir, table_dir
+            )
+            self._absorb_locked(table_dir)
         return counts
 
     def export(self, path: str) -> tuple[str, int]:

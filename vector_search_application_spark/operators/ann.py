@@ -215,8 +215,6 @@ def _lit_vec(arr) -> str:
 def _py_norm(arr) -> float:
     """L2 norm with the same IEEE left-assoc accumulation the engines
     use — safe to ride in plan literals."""
-    import math
-
     n = 0.0
     for x in arr:
         n = n + float(x) * float(x)
@@ -312,8 +310,6 @@ def _py_cosine(a, b) -> float:
     """Driver-side cosine with the engines' IEEE left-assoc
     accumulation + HALF_UP rounding — probe-cell ranking computed on
     the driver must tie-break identically to the in-plan expressions."""
-    import math
-
     dot = na = nb = 0.0
     for x, y in zip(a, b):
         dot = dot + float(x) * float(y)
