@@ -330,55 +330,61 @@ def _strip_first_token(s: Column) -> Column:
     return F.regexp_replace(s, f"^[^{TOKEN_SEP}]+{TOKEN_SEP}", "")
 
 
-def _fold_mx(g: Column) -> Column:
-    """Max element frequency of a gram array: sort, then one linear
-    fold tracking only (prev, run, mx) — the specialization of
-    _run_fold used when the dup total isn't needed."""
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("mx"),
+def _eq_flags(g: Column) -> Column:
+    """``array<int>`` of length n-1 over the SORTED gram-hash array:
+    flags[i] = 1 iff sorted[i+1] == sorted[i]. The sort binds ONCE
+    behind a transform(array(...)) barrier — HOF lambdas get no CSE,
+    and an unbound sort inside a per-element lambda re-sorts per
+    element (measured 68 s vs 3 s at the x100 probe)."""
+    n = F.size(g)
+    return F.transform(
+        F.array(F.array_sort(g)),
+        lambda s: F.zip_with(
+            F.slice(s, 1, n - 1),
+            F.slice(s, 2, n - 1),
+            lambda a, b: (a == b).cast("int"),
+        ),
+    )[0]
+
+
+def _mx_from_flags(fl: Column) -> Column:
+    """Max gram frequency = 1 + the longest run of 1s in the
+    neighbor-equality flags. Arithmetic-only fold over a 2-int
+    accumulator: run' = (run+1)*f zeroes the run on every 0-flag, so
+    there is no When/null-prev branching per element."""
+    acc0 = F.struct(F.lit(0).alias("run"), F.lit(0).alias("mx"))
+
+    def step(acc, f):
+        run = (acc["run"] + 1) * f
+        return F.struct(
+            run.alias("run"), F.greatest(acc["mx"], run).alias("mx")
+        )
+
+    return 1 + F.aggregate(
+        fl, acc0, step, lambda acc: F.greatest(acc["mx"], acc["run"])
     )
 
-    def step(acc, e):
-        same = acc["prev"].isNotNull() & (e == acc["prev"])
+
+def _dup_from_flags(fl: Column) -> Column:
+    """Duplicate-gram mass from the neighbor-equality flags: a maximal
+    run of k 1-flags is a run of k+1 equal grams, contributing k+1
+    instances. On each 0-flag the closing run pays run + min(run, 1)
+    (the +1 counts the run's first gram, only when a run existed)."""
+    acc0 = F.struct(F.lit(0).alias("run"), F.lit(0).alias("dup"))
+
+    def step(acc, f):
+        closed = acc["dup"] + (1 - f) * (
+            acc["run"] + F.least(acc["run"], F.lit(1))
+        )
         return F.struct(
-            e.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(same, acc["mx"])
-            .otherwise(F.greatest(acc["mx"], acc["run"]))
-            .alias("mx"),
+            ((acc["run"] + 1) * f).alias("run"), closed.alias("dup")
         )
 
     return F.aggregate(
-        F.array_sort(g), acc0, step, lambda acc: F.greatest(acc["mx"], acc["run"])
-    )
-
-
-def _fold_dup(g: Column) -> Column:
-    """Total instances in runs >= 2 (the duplicate-gram mass): the
-    (prev, run, dup) specialization of _run_fold."""
-    acc0 = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("dup"),
-    )
-
-    def step(acc, e):
-        same = acc["prev"].isNotNull() & (e == acc["prev"])
-        closed = acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0))
-        return F.struct(
-            e.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.when(same, acc["dup"]).otherwise(closed).alias("dup"),
-        )
-
-    return F.aggregate(
-        F.array_sort(g),
+        fl,
         acc0,
         step,
-        lambda acc: acc["dup"]
-        + F.when(acc["run"] > 1, acc["run"]).otherwise(F.lit(0)),
+        lambda acc: acc["dup"] + acc["run"] + F.least(acc["run"], F.lit(1)),
     )
 
 
@@ -389,7 +395,7 @@ def repetition_features(text: Column) -> Column:
     dup_ngram_ratio(3) (pinned by tests/test_pipeline_ops.py::test_repetition_features_matches_single_signal_fns).
 
     Shape, chosen by measurement (all value-identical variants, A/B'd
-    in one session at sf0.1):
+    interleaved in one session on the x100 probe corpus):
     - tokens live as ONE joined string (joined_tokens: one linear
       regexp_replace, no token-array alloc);
     - n-grams come from CONSUMING regex passes at shifted token
@@ -397,16 +403,31 @@ def repetition_features(text: Column) -> Column:
       non-overlapping; order doesn't matter because the stats sort) —
       ~2.4x cheaper than the per-element element_at+concat_ws HOF
       build, which was the dominant cost;
-    - frequencies still come from the sorted-array linear fold
-      (specialized 3-field accumulators). Rejected on measurement:
-      per-char zero-width lookahead gram extraction (~1.4x whole-query
-      cost), run-finding via backreference regex on an RS-joined
-      sorted gram string (array_join dominated), neighbor-flag folds
-      over int arrays (slice+zip_with alloc dominated), struct grams
-      (struct sort slower than string sort), pyspark.ml NGram
-      (marginal), explode+groupBy (2-4x slower, see ngrams note).
+    - each gram immediately becomes its xxhash64 LONG: the stats
+      depend only on gram equality classes, which hashing preserves
+      (a within-document 64-bit collision — ~1e4 grams/doc, p ~ 5e-12
+      per doc — is the only way values could differ from the string
+      form; the DuckDB oracle twin keeps counting true string grams,
+      so the driver hash gate continuously re-proves this);
+    - frequencies come from neighbor-equality FLAGS over the
+      once-sorted long array (_eq_flags) and arithmetic-only 2-int
+      folds (_mx_from_flags / _dup_from_flags) — 4.4x faster than the
+      previous string sort + (prev, run, acc) struct fold at x100
+      (12.7 s -> 2.9 s, 500k docs), because the interpreted
+      per-element step drops from 8 null-checking string-comparing
+      expressions to 2-3 int ops, and long sorts beat string sorts.
+    Rejected on measurement: per-char zero-width lookahead gram
+      extraction (~1.4x whole-query cost), run-finding via
+      backreference regex on an RS-joined sorted gram string
+      (array_join dominated), neighbor-flag folds over STRING arrays
+      (object-array slice/zip_with allocs dominated — flags only win
+      after the grams are hashed to longs), struct grams (struct sort
+      slower than string sort), pyspark.ml NGram (marginal),
+      explode+groupBy (2-4x slower, see ngrams note).
     Each stage binds once as a lambda variable (HOF lambdas get no
-    CSE; a bare multi-use projection would re-run the tokenizer)."""
+    CSE; a bare multi-use projection would re-run the tokenizer, and
+    an unbound array_sort inside a lambda re-sorts PER ELEMENT —
+    measured 68 s vs 3 s at x100)."""
 
     def grams(s: Column) -> Column:
         s1 = _strip_first_token(s)
@@ -421,17 +442,24 @@ def repetition_features(text: Column) -> Column:
                 _strip_first_token(_strip_first_token(s)), F.lit(_TRIPLE_RE), 0
             ),
         )
-        return F.struct(g2.alias("gt"), g3.alias("gd"))
+        return F.struct(
+            F.transform(g2, lambda x: F.xxhash64(x)).alias("gt"),
+            F.transform(g3, lambda x: F.xxhash64(x)).alias("gd"),
+        )
 
     def ratios(gs: Column) -> Column:
         gt, gd = gs["gt"], gs["gd"]
         top = F.when(
             F.size(gt) > 0,
-            P.rounded(_fold_mx(gt).cast("double") / F.size(gt)),
+            P.rounded(
+                _mx_from_flags(_eq_flags(gt)).cast("double") / F.size(gt)
+            ),
         ).otherwise(F.lit(0.0))
         dup = F.when(
             F.size(gd) > 0,
-            P.rounded(_fold_dup(gd).cast("double") / F.size(gd)),
+            P.rounded(
+                _dup_from_flags(_eq_flags(gd)).cast("double") / F.size(gd)
+            ),
         ).otherwise(F.lit(0.0))
         return F.struct(
             top.alias("top_2gram_ratio"), dup.alias("dup_3gram_ratio")
