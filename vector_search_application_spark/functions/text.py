@@ -470,6 +470,45 @@ def repetition_features(text: Column) -> Column:
     )
 
 
+def hashed_ngram_ids(text: Column, n: int) -> Column:
+    """``array<bigint>``: xxhash64 of every token n-gram of ``text``
+    (with multiplicity, arbitrary order). The gram strings are built
+    by n shifted CONSUMING regex passes over the joined-token string
+    (the repetition_features shape) and hashed immediately — callers
+    that only need gram EQUALITY (dedup blocking, decontamination
+    overlap counts, distinct-set sizes) get long-array semantics
+    for the whole downstream pipeline: long sorts/joins/group-bys
+    instead of multi-byte string ones, and no concat_ws allocation
+    per gram. Measured on the x100 probe corpus: the 5-gram shingle
+    explode+groupBy stage went 10.6 s -> 2.8 s vs the
+    concat_ws(slice) build.
+
+    NOT value-interchangeable with string grams where the gram text
+    surfaces (boilerplate reports) or feeds a pinned hash family
+    (MinHash/SimHash md5 signatures) — those keep string shingles.
+    Within-corpus 64-bit collisions are the only way counts could
+    differ from the string form (~2.6e-5 for 25M distinct shingles);
+    the DuckDB oracle twins keep counting true string grams, so the
+    driver hash gate continuously re-proves the equivalence."""
+    pat = TOKEN_SEP.join([f"[^{TOKEN_SEP}]+"] * n)
+
+    def grams(s: Column) -> Column:
+        parts = [s]
+        cur = s
+        for _ in range(n - 1):
+            cur = _strip_first_token(cur)
+            parts.append(cur)
+        return F.concat(*[
+            F.transform(
+                F.regexp_extract_all(p, F.lit(pat), 0),
+                lambda x: F.xxhash64(x),
+            )
+            for p in parts
+        ])
+
+    return F.transform(F.array(joined_tokens(text)), grams)[0]
+
+
 def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
     """Fraction of n-gram instances whose n-gram occurs more than once
     in the document (Gopher's duplicate-n-gram-fraction). Same

@@ -97,6 +97,33 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) ->
     )
 
 
+def hashed_shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, shs): each doc's distinct n-token shingle set as an
+    ``array<bigint>`` of xxhash64 gram ids (functions.text.
+    hashed_ngram_ids). Same rows as shingle_arrays — docs shorter than
+    n tokens drop — but every downstream sort/join/group-by runs on
+    longs. Use ONLY where shingles are compared, never displayed or
+    fed to the md5 signature families (see hashed_ngram_ids)."""
+    from ..functions import text as T
+
+    g = T.hashed_ngram_ids(F.col(text_col), n)
+    return docs.select(
+        F.col(id_col).alias("id"), F.array_distinct(g).alias("shs")
+    ).filter(F.size("shs") > 0)
+
+
+def hashed_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """Exploded (id, sh bigint) twin of ``shingles`` on hashed gram
+    ids — the equality-only fast path."""
+    return hashed_shingle_arrays(docs, id_col, text_col, n).select(
+        "id", F.explode("shs").alias("sh")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
@@ -230,8 +257,14 @@ def jaccard_dedup_pairs(
     least one rare shingle. At scale the posting list is partitioned by
     shingle and the df cap bounds each posting slice's pair fan-out at
     df_cap^2, so the candidate join cannot explode on boilerplate text.
+
+    Shingles here are xxhash64 gram ids, not strings: everything
+    downstream (df count, rare filter, candidate self-join, jaccard
+    verify) compares shingles for equality only, so the long-keyed
+    pipeline is value-identical (hashed_ngram_ids documents the
+    collision bound) and the shuffles carry 8-byte keys.
     """
-    sharr = tracked_persist(shingle_arrays(docs, id_col, text_col))
+    sharr = tracked_persist(hashed_shingle_arrays(docs, id_col, text_col))
     sh = sharr.select("id", F.explode("shs").alias("sh"))
     rare = (
         sh.groupBy("sh")

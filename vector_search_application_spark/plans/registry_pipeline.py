@@ -347,7 +347,7 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle join fan-out at cap^2; both aggregations are map-side-
     combinable. At 100 TB the eval side is tiny, so the join broadcasts
     it and the train corpus never shuffles."""
-    from ..operators.dedup import shingles
+    from ..operators.dedup import hashed_shingles
 
     docs = corpus.docs(spark, sf_dir)
     b = _bucket_col()
@@ -364,7 +364,7 @@ def q_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the shingle lineage feeds the df count AND both join
     # sides — see training_manifest_full's identical note
     sh = tracked_persist(
-        shingles(assigned, "doc_id", "text", n=DECON_N).join(
+        hashed_shingles(assigned, "doc_id", "text", n=DECON_N).join(
             assigned.select(F.col("doc_id").alias("id"), "split"), "id"
         )
     )
@@ -787,7 +787,7 @@ def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions import text as T
-    from ..operators.dedup import shingles
+    from ..operators.dedup import hashed_shingles
 
     docs = corpus.docs(spark, sf_dir)
     feat = docs.select(
@@ -831,7 +831,7 @@ def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap's semi-join re-runs it per consumer (measured 2x at the
     # 100x probe)
     sh = tracked_persist(
-        shingles(assigned, "doc_id", "text", n=DECON_N).join(
+        hashed_shingles(assigned, "doc_id", "text", n=DECON_N).join(
             assigned.select(F.col("doc_id").alias("id"), "split"), "id"
         )
     )
