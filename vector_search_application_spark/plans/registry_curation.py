@@ -178,6 +178,8 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     only) — it broadcasts, and the corpus-side shingle table never
     shuffles for the join, leaving the per-doc rollup as the one
     corpus-scale exchange."""
+    from ..functions import text as T
+
     docs = corpus.docs(spark, sf_dir)
     seeded = docs.select(
         "doc_id",
@@ -189,26 +191,18 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    toks = seeded.select(
-        "doc_id", "source", P.tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= SHINGLE_N)
-    # CASE-guarded despite the filter above: explode() lets
-    # InferFiltersFromGenerate push this expression below the size
-    # guard, where sequence(1, size-k) descends through 0 on short docs
-    # (operators/dedup.shingle_arrays documents the trap)
-    sh = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"CASE WHEN size(toks) >= {SHINGLE_N} THEN"
-                    f" transform(sequence(1, size(toks) - {SHINGLE_N - 1}),"
-                    f" i -> concat_ws('_', slice(toks, i, {SHINGLE_N})))"
-                    f" ELSE array() END"
-                )
-            )
-        ).alias("sh"),
+    # shingles never surface in the output (per-doc counts only) and
+    # never feed a pinned hash family, so this is an equality-only
+    # pipeline: hashed gram ids (functions.text.hashed_ngram_ids) make
+    # the persisted table, the (source, sh) count, and the membership
+    # join long-keyed, and the consuming-regex gram build avoids the
+    # per-shingle slice+concat_ws allocation (no explode-below-guard
+    # trap either: there is no sequence() to push under the filter)
+    g = T.hashed_ngram_ids(F.col("text"), SHINGLE_N)
+    sh = (
+        seeded.select("doc_id", "source", F.array_distinct(g).alias("shs"))
+        .filter(F.size("shs") > 0)
+        .select("doc_id", "source", F.explode("shs").alias("sh"))
     )
     from ..functions.cache import tracked_persist
 
