@@ -449,25 +449,32 @@ source_data_card) is the compute-bound tail: each runs
 tokenize/regex/fold work over every row, so it scales linearly with
 corpus size and parallelizes by partition — the expected asymptote for
 per-document work, addressed with executors, not plan shape.
-quality_filter_funnel used to lead this tail (56x) until the
-punct-strip regexp_replace was replaced by a translate() char map
-(overhead-bound since), and training_manifest_full came down from 29x
-via the same fix plus persisting the decontamination shingle
-table across its three consumers; source_data_card and text_pii_scrub
-dropped ~3x when the email regex got a contains('@') prefilter (Java
-regex backtracks at every position of a document that can never
-match — the gate is value-identical because an email requires the
-'@'); what remains is the n-gram construction + sorted run-fold
-(text_repetition, and the same featurization inside
-training_manifest_full's quality stage), irreducibly per-row.
-Absolute context for the two largest ratios: text_repetition at x100
-is 500k multi-KB documents' 2/3-gram statistics in ~15s on 32 cores
-(~33k docs/s), and training_manifest_full is the whole quality ->
-dedup -> split -> decontaminate -> pack chain over the same corpus in
-~34s — per-row compute that partitions perfectly, not a shuffle or
-candidate blowup. Same-loop calibration bounds cross-run drift on
-these two (the slow-window pathology hits interpreted HOF expressions
-hardest, so their row is the least stable across sessions).
+The tail has been ground down release by release, always by replacing
+an interpreted-HOF or regex hot spot with a cheaper value-identical
+form: quality_filter_funnel led at 56x until the punct-strip
+regexp_replace became a translate() char map; source_data_card and
+text_pii_scrub dropped ~3x when the email regex got a contains('@')
+prefilter (Java regex backtracks at every position of a document that
+can never match); and text_repetition — the last holdout at 14x —
+dropped ~4x when its n-gram stats moved to xxhash64 gram ids with
+neighbor-equality-flag folds (the interpreted per-element step fell
+from 8 null-checking string comparisons to 2-3 int ops; grams are
+hashed at extraction, so sorts and folds run on longs — equality
+classes, and therefore values, unchanged). The shingle pipelines that
+only COMPARE shingles (decontamination, rare-shingle Jaccard
+blocking, boilerplate counts) got the same treatment via
+hashed_ngram_ids; MinHash/SimHash keep string shingles because their
+md5 signature families pin exact values.
+Absolute context for the largest remaining rows: training_manifest_full
+is the whole quality -> dedup -> split -> decontaminate -> pack chain
+over 500k docs in ~30s on 32 cores, and its x{kmax} ratio is inflated by
+the replica artifact (replicated docs share shingles ACROSS replicas,
+so the contamination join finds ~300k pairs this corpus construction
+manufactured — the controlled-duplicate probe in SCALING_DEDUP.md is
+the fair scaling evidence for overlap joins). Same-loop calibration
+bounds cross-run drift (the slow-window pathology hits interpreted HOF
+expressions hardest, so featurization rows are the least stable across
+sessions).
 bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
