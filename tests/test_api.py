@@ -185,7 +185,7 @@ def test_load_data_and_export_roundtrip(engine, tmp_path):
 
 
 def test_repeated_load_data_same_table_dir(engine, tmp_path):
-    """Regression: _absorb must cut lineage (localCheckpoint), not just
+    """Regression: _absorb_locked must cut lineage (localCheckpoint), not just
     persist — a lazy plan pins table_dir's file listing, and the second
     load-data overwrites those parquet files, so any later action read
     deleted files and died with FileNotFoundException."""
@@ -208,7 +208,7 @@ def test_repeated_load_data_same_table_dir(engine, tmp_path):
 
 
 def test_concurrent_imports_lose_no_rows(engine, tmp_path):
-    """Regression: _absorb's read-merge-swap is serialized by the
+    """Regression: _absorb_locked's read-merge-swap is serialized by the
     ingest lock. Without it, two imports that both captured the same
     old corpus each build merged = own_rows + old, and whichever swap
     lands second silently discards the other import's rows — a load

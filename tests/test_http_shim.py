@@ -296,7 +296,7 @@ def test_concurrent_queries_during_absorb(served, tmp_path):
 
     _, base = served
     errs: list[Exception] = []
-    # the POST below completes only after _absorb returns, so looping
+    # the POST below completes only after the absorb returns, so looping
     # the hammer until `done` is set guarantees query traffic actually
     # overlaps the read-merge-swap (a fixed request count could drain
     # before the absorb even starts, making the assertion vacuous)

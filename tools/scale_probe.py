@@ -442,7 +442,7 @@ Reading the ratios: x1 timings are dominated by fixed per-job costs
 (stage scheduling, broadcast builds), so a ratio far below the data
 multiple means the plan is still overhead-bound at x{kmax} — the search
 family (dense/bm25/hybrid/IVF) and the keyed event plans all land at
-1-7x for 100x the rows, i.e. the data-dependent stages are scan-shaped
+1-8x for 100x the rows, i.e. the data-dependent stages are scan-shaped
 map work plus bounded shuffles, exactly what survives adding executors.
 The per-document featurization family (text_repetition,
 source_data_card) is the compute-bound tail: each runs
@@ -467,7 +467,7 @@ hashed_ngram_ids; MinHash/SimHash keep string shingles because their
 md5 signature families pin exact values.
 Absolute context for the largest remaining rows: training_manifest_full
 is the whole quality -> dedup -> split -> decontaminate -> pack chain
-over 500k docs in ~30s on 32 cores, and its x{kmax} ratio is inflated by
+over 500k docs in {manifest_sec}s on 32 cores, and its x{kmax} ratio is inflated by
 the replica artifact (replicated docs share shingles ACROSS replicas,
 so the contamination join finds ~300k pairs this corpus construction
 manufactured — the controlled-duplicate probe in SCALING_DEDUP.md is
@@ -480,7 +480,9 @@ because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
 Queries are forced via a one-row xxhash64 aggregate over every output
 column, so timings measure the distributed plan, not a driver collect.
-""".replace("{kmax}", str(kmax)))
+""".replace("{kmax}", str(kmax)).replace(
+            "{manifest_sec}",
+            str(results[kmax].get("training_manifest_full", "n/a"))))
     print("wrote SCALING.md", file=sys.stderr)
     spark.stop()
     return 0

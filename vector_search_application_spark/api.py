@@ -73,7 +73,7 @@ class Engine:
         # LRU and EMA counters are the only shared mutable state (the
         # reference's functools.lru_cache is thread-safe — match it)
         self._lock = threading.Lock()
-        # serializes the read-merge-swap of _absorb (and reset): two
+        # serializes write+read-merge-swap (_absorb_locked, reset): two
         # concurrent imports that both captured the same old corpus
         # would otherwise each build merged = own_rows + old, and the
         # later swap would silently drop the earlier import's rows
@@ -99,7 +99,7 @@ class Engine:
         a single atomic attribute load; no lock needed on the read
         side. Every request that touches more than one of the three
         must take one snapshot and use only its members, otherwise an
-        _absorb between its attribute loads hands it a cross-version
+        swap between its attribute loads hands it a cross-version
         mix (stale dense hits joined against a replaced corpus)."""
         return self._serving
 
@@ -433,29 +433,21 @@ class Engine:
 
     # -- ingest / ops ---------------------------------------------------
 
-    def _absorb(self, table_dir: str) -> None:
+    def _absorb_locked(self, table_dir: str) -> None:
         """Upsert a freshly-written product table into the SERVED
-        collection. The reference's load-data / import endpoints write
+        collection; caller MUST hold ``_ingest_lock`` — and must have
+        acquired it BEFORE writing ``table_dir`` (the ingest endpoints
+        do), because two imports targeting the same dir must not
+        interleave one's write with the other's read-merge-swap: the
+        later write would clobber the earlier rows before they are
+        absorbed, reproducing the lost-update this lock exists to
+        prevent. The reference's load-data / import endpoints write
         into the live Qdrant collection (app/main.py:106-160) — a load
         that reported success but never became searchable would be a
         silent parity break. New rows win on id (M1 upsert semantics);
         the corpus and both derived indexes re-point and re-persist,
         with the ingested parquet at ``table_dir`` becoming part of the
         serving lineage (callers must not delete it)."""
-        # the whole read-merge-swap is serialized: two concurrent
-        # imports that both captured the same old corpus would each
-        # build merged = own_rows + old, and the later swap would
-        # silently drop the earlier import's rows (lost update)
-        with self._ingest_lock:
-            self._absorb_locked(table_dir)
-
-    def _absorb_locked(self, table_dir: str) -> None:
-        """_absorb body; caller must hold ``_ingest_lock``. Split out
-        so the ingest endpoints can hold the lock across their parquet
-        WRITE as well — two imports targeting the same ``table_dir``
-        must not interleave one's write with the other's read, or the
-        later write clobbers the earlier rows before they are absorbed
-        (the same lost-update the lock exists to prevent)."""
         import gc
 
         old_products, old_dense, old_sparse = self._snapshot()
