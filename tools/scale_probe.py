@@ -363,13 +363,30 @@ def main(ks: list[int]) -> int:
         stream_results[k] = stream_row
 
         release_all()  # scaled caches must not leak into the next K
+        # END-of-section calibration: the box's slow windows can open
+        # MID-section (observed: four consecutive x100 queries inflated
+        # 2-6x while the section-start ratio read healthy) — recording
+        # both ends makes a window that opened after the first
+        # measurement visible in the header instead of silently
+        # poisoning a few rows.
+        cal_secs_end = CAL.calibration_secs(spark, reps=3)
+        cal_med_end = CAL.median(cal_secs_end)
+        print(f"  x{k} calibration end: {cal_secs_end} (ratio "
+              f"{cal_med_end / CAL.CALIBRATION_REF_SEC:.2f}x of nominal)",
+              file=sys.stderr, flush=True)
         results[k] = timings
-        cal_results[k] = round(cal_med / CAL.CALIBRATION_REF_SEC, 2)
+        cal_results[k] = (
+            round(cal_med / CAL.CALIBRATION_REF_SEC, 2),
+            round(cal_med_end / CAL.CALIBRATION_REF_SEC, 2),
+        )
         line = {"scale": k, "base": BASE, "queries": timings,
                 "streaming": stream_row,
                 "calibration_secs": cal_secs,
+                "calibration_secs_end": cal_secs_end,
                 "calibration_ratio": round(
                     cal_med / CAL.CALIBRATION_REF_SEC, 3),
+                "calibration_ratio_end": round(
+                    cal_med_end / CAL.CALIBRATION_REF_SEC, 3),
                 "total": round(sum(timings.values()), 3)}
         lines.append(line)
         print(json.dumps(line), flush=True)
@@ -384,13 +401,16 @@ def main(ks: list[int]) -> int:
                 "best-of-2.\nDedup-family queries are excluded by design — "
                 "replication manufactures K-sized\nduplicate cliques "
                 "(the adversarial quadratic case, not scaling).\n\n")
-        f.write("Machine-speed calibration per K (same-loop, fixed "
-                "pure-compute query; ~1.0 =\nhealthy window, >>1 = the "
-                "5-6x slow-window pathology this box exhibits — see\n"
-                "calibration.py; ratios measured in a degraded window "
-                "overstate the compute\ntail): "
-                + ", ".join(f"x{k}={cal_results[k]}x"
-                            for k in cal_results) + ".\n\n")
+        f.write("Machine-speed calibration per K, measured at section "
+                "START/END (same-loop,\nfixed pure-compute query; ~1.0 = "
+                "healthy window, >>1 = the 5-6x slow-window\npathology "
+                "this box exhibits — see calibration.py; a degraded or "
+                "MID-SECTION\nwindow inflates a stretch of rows, so "
+                "start/end disagreement flags a table\nwhose worst rows "
+                "deserve a re-run): "
+                + ", ".join(
+                    f"x{k}={cal_results[k][0]}x/{cal_results[k][1]}x"
+                    for k in cal_results) + ".\n\n")
         header = "| query | " + " | ".join(f"x{k}" for k in results) + " | x{max}/x1 |\n".replace("{max}", str(max(results)))
         f.write(header)
         f.write("|---|" + "---|" * (len(results) + 1) + "\n")
