@@ -222,3 +222,70 @@ def test_shingle_jaccard_invariant_under_renaming(a, b, rep):
         return len(sx & sy) / u if u else None
 
     assert jac(a, b) == jac(_rename(a, tag), _rename(b, tag))
+
+
+# ---------------------------------------------------------------------------
+# repetition flag-fold arithmetic (functions/text._mx_from_flags /
+# _dup_from_flags): the Column recurrences re-written literally in
+# Python, checked against Counter ground truth on random gram lists
+# ---------------------------------------------------------------------------
+
+def _py_flags(grams):
+    s = sorted(grams)
+    return [1 if s[i + 1] == s[i] else 0 for i in range(len(s) - 1)]
+
+
+def _py_mx_from_flags(fl):
+    # mirrors _mx_from_flags: run' = (run+1)*f; mx' = max(mx, run')
+    run = mx = 0
+    for f in fl:
+        run = (run + 1) * f
+        mx = max(mx, run)
+    return 1 + max(mx, run)
+
+
+def _py_dup_from_flags(fl):
+    # mirrors _dup_from_flags: closing a run of k 1-flags pays k+1
+    run = dup = 0
+    for f in fl:
+        dup = dup + (1 - f) * (run + min(run, 1))
+        run = (run + 1) * f
+    return dup + run + min(run, 1)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=6), min_size=1,
+                max_size=60))
+def test_flag_folds_match_counter_ground_truth(grams):
+    """The arithmetic-only folds must equal the frequency statistics
+    they replaced: max gram frequency and total instances of grams
+    occurring >= 2 times (small alphabet forces heavy runs)."""
+    from collections import Counter
+
+    c = Counter(grams)
+    fl = _py_flags(grams)
+    assert _py_mx_from_flags(fl) == max(c.values())
+    assert _py_dup_from_flags(fl) == sum(v for v in c.values() if v >= 2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="ab _.x", max_size=80),
+       st.integers(min_value=2, max_value=5))
+def test_consuming_gram_extraction_is_complete(text, n):
+    """The n shifted consuming regex passes behind hashed_ngram_ids
+    must yield exactly the position-complete n-gram multiset of the
+    token list (what transform(sequence, slice) builds)."""
+    toks = py_tokens(text)
+    want = sorted(
+        tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+    # simulate the passes: pass j consumes non-overlapping n-grams of
+    # the token list with the first j tokens removed
+    got = []
+    for j in range(n):
+        t = toks[j:]
+        i = 0
+        while i + n <= len(t):
+            got.append(tuple(t[i : i + n]))
+            i += n
+    assert sorted(got) == want
