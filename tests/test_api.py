@@ -291,6 +291,56 @@ def test_concurrent_imports_same_table_dir(engine, tmp_path):
     assert ids == set(pns)
 
 
+def test_reset_racing_import_stays_serviceable(engine, tmp_path):
+    """reset() and load_data() serialize on the ingest lock: whatever
+    order the race resolves in, the engine must stay serviceable and
+    no request may observe a half-swapped serving trio. (A reset that
+    interleaved inside an absorb could unpersist the very tables the
+    absorb is about to re-point at.)"""
+    import threading
+
+    srcs = []
+    for i, pn in enumerate(["RST0000001", "RST0000002"]):
+        src = tmp_path / f"rst{i}.json"
+        src.write_text(json.dumps([{
+            "partNumber_airgas_text": pn,
+            "shortDescription_airgas_text": f"reset race probe {i}",
+        }]))
+        srcs.append((str(src), str(tmp_path / f"rsttable{i}")))
+    errs = []
+
+    def load(src, table):
+        try:
+            engine.load_data(src, table)
+        except Exception as e:
+            errs.append(e)
+
+    def reset():
+        try:
+            engine.reset()
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=load, args=srcs[0]),
+               threading.Thread(target=reset),
+               threading.Thread(target=load, args=srcs[1])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    # both loads won their absorb (reset only drops cache state, never
+    # rows), and the engine answers queries afterwards
+    ids = {
+        r["_id"]
+        for r in engine.products.filter(
+            F.col("partNumber_airgas_text").startswith("RST")
+        ).collect()
+    }
+    assert ids == {"RST0000001", "RST0000002"}
+    assert engine.query("reset race probe", mode="sparse", count=5).count() > 0
+
+
 def test_snapshot_is_version_consistent(engine):
     """_snapshot() hands back ONE version of the serving trio: the
     members must be exactly the current tuple's objects (a single
