@@ -996,15 +996,20 @@ DRIVER_WINDOW = [
     "revenue_by_nation", "order_priority_semijoin",
     "local_supplier_revenue", "returned_item_report",
     # mutation / versioning / ingest — content-hash encoding changed 680d083
+    # (version_history/archive/get rotated out: r6-green, untouched since)
     "doc_content_hash", "upsert_merge", "cleanup_old", "version_current",
-    "version_history", "version_archive", "version_get",
     "ingest_products", "delta_classify", "stream_ingest_upsert",
     # text family — tokenizer changed r6, repetition featurization r7
     "text_repetition", "text_pii_scrub", "text_langid", "text_quality",
     "token_stats", "dedup_canonical_quality",
-    # exact cascade (exact.py changed r6) + normalization (last windowed r4)
+    # hashed-shingle pipelines — gram keys became xxhash64 longs late r7
+    # (fedef6b/7646fb6); the driver must hash-verify the changed plans
+    "training_manifest_full", "benchmark_decontaminate",
+    "dedup_ngram_jaccard", "boilerplate_ngrams",
+    # exact cascade (exact.py changed r6) + normalization (last windowed
+    # r4; z_score sibling yields its slot to the hashed-shingle family)
     "exact_cascade_primary", "exact_cascade_secondary", "exact_cascade_miss",
-    "normalize_min_max", "normalize_z_score",
+    "normalize_min_max",
     # single-query fusion/search variants (shared-exchange change r6)
     "hybrid_rrf", "linear_fusion", "fusion_max_dedup", "bm25_topk",
     # oldest evidence: r1 trio, then the r3 remainder
