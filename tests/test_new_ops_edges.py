@@ -116,3 +116,27 @@ def test_ivf_recall_vs_exact(spark):
     ivf = {r["id"] for r in ann.ivf_topk(vecs, q, k=10).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall@10 collapsed: {recall}"
+
+
+def test_flat_with_norm_is_memoized_per_plan(spark):
+    """Three registry plans flatten the same corpus: the projection
+    must persist ONCE per (plan, params), and the memo must forget its
+    entries at the release_all() boundary so it can never hand back a
+    silently-uncached DataFrame."""
+    from vector_search_application_spark.functions.cache import release_all
+    from vector_search_application_spark.operators import topk
+
+    release_all()
+    df = spark.sql(
+        "SELECT id AS vec_id, array(cast(id AS float), 1.0F) AS embedding"
+        " FROM range(10)"
+    )
+    a = topk.flat_with_norm(df, "embedding", "a_", ["vec_id"], dim=2)
+    b = topk.flat_with_norm(df, "embedding", "a_", ["vec_id"], dim=2)
+    assert a is b  # second call reuses the persisted projection
+    c = topk.flat_with_norm(df, "embedding", "b_", ["vec_id"], dim=2)
+    assert c is not a  # different params -> different projection
+    release_all()
+    d = topk.flat_with_norm(df, "embedding", "a_", ["vec_id"], dim=2)
+    assert d is not a  # memo cleared with the cache boundary
+    release_all()

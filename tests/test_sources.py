@@ -241,3 +241,94 @@ def test_indexed_lookup_numeric_key(spark, tmp_path):
     layout.write_bucketed(table, path, "doc_id", n_buckets=8)
     hit = layout.indexed_lookup(spark, path, "doc_id", "5").collect()
     assert len(hit) == 1 and hit[0]["v"] == 10
+
+
+def test_indexed_lookup_uses_stored_bucket_count(spark, tmp_path):
+    """The bucket count is LAYOUT metadata: a table written with 8
+    buckets must answer default-parameter lookups for EVERY key (the
+    old free-parameter default of 16 pruned ~half the keys to a bucket
+    that could not contain the row — silent empty results)."""
+    from vector_search_application_spark.sources import layout
+
+    table = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "bucketed_meta")
+    layout.write_bucketed(table, path, "doc_id", n_buckets=8)
+    assert layout.stored_n_buckets(spark, path) == 8
+    for k in range(50):
+        hit = layout.indexed_lookup(spark, path, "doc_id", str(k)).collect()
+        assert len(hit) == 1 and hit[0]["v"] == 3 * k, k
+
+
+def test_indexed_lookup_rejects_conflicting_bucket_count(spark, tmp_path):
+    from vector_search_application_spark.sources import layout
+
+    table = spark.range(10).select(F.col("id").alias("doc_id"))
+    path = str(tmp_path / "bucketed_conflict")
+    layout.write_bucketed(table, path, "doc_id", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        layout.indexed_lookup(spark, path, "doc_id", "1", n_buckets=16)
+
+
+def test_extract_targz_same_named_members_and_stale_dir(spark, tmp_path):
+    """Two members named data.json in different archive directories
+    must BOTH survive extraction (basename flattening silently dropped
+    one), and a second extraction into the same work dir must not glob
+    the previous archive's members into the new import."""
+    import tarfile
+
+    from vector_search_application_spark.sources import json_source
+
+    def make_archive(path, members):
+        with tarfile.open(path, "w:gz") as tar:
+            for name, docs in members.items():
+                data = json.dumps(docs).encode()
+                src = tmp_path / "stage.json"
+                src.write_bytes(data)
+                tar.add(str(src), arcname=name)
+
+    a = tmp_path / "a.tar.gz"
+    make_archive(a, {
+        "x/data.json": [{"_id": "A1"}],
+        "y/data.json": [{"_id": "B1"}, {"_id": "B2"}],
+    })
+    work = str(tmp_path / "work")
+    got = json_source.import_targz(spark, str(a), work)
+    assert got.count() == 3  # both data.json members survived
+
+    b = tmp_path / "b.tar.gz"
+    make_archive(b, {"z/only.json": [{"_id": "C1"}]})
+    got2 = json_source.import_targz(spark, str(b), work)
+    assert got2.count() == 1  # no phantom docs from archive A
+
+
+def test_validate_documents_missing_column_quarantines(spark):
+    """T5 must quarantine a batch whose text column is entirely absent
+    from the inferred schema, not die resolving the missing column."""
+    from vector_search_application_spark.sources import json_source
+
+    df = spark.sql("SELECT * FROM VALUES ('D1'), ('D2') AS t(_id)")
+    valid, quarantine = json_source.validate_documents(df)
+    assert valid.count() == 0
+    assert quarantine.count() == 2
+
+
+def test_import_delta_reports_delete_candidates(spark, tmp_path):
+    """Rows absent from the delta are classified but never deleted
+    (reference parity): the report key must say so."""
+    from vector_search_application_spark.sources import json_source
+
+    table = str(tmp_path / "delta_table")
+    spark.sql(
+        "SELECT * FROM VALUES ('K1', 'one'), ('K2', 'two')"
+        " AS t(_id, payload)"
+    ).write.parquet(table)
+    imp = tmp_path / "delta_in"
+    imp.mkdir()
+    (imp / "d.json").write_text(json.dumps([{"_id": "K1", "payload": "ONE"}]))
+    counts = json_source.import_delta(spark, str(imp), table)
+    assert counts.get("delete_candidates") == 1
+    assert "delete" not in counts
+    remaining = {r["_id"] for r in spark.read.parquet(table).collect()}
+    assert remaining == {"K1", "K2"}  # K2 classified, NOT deleted

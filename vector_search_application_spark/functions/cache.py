@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_RELEASE_HOOKS: list = []
 
 
 def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -30,6 +31,14 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     out = df.persist(storage_level) if storage_level is not None else df.persist()
     _LIVE.append(out)
     return out
+
+
+def on_release(hook) -> None:
+    """Register a callback run by release_all() — for operator-local
+    memo tables that hand out references to tracked DataFrames (the
+    memo must forget them once the blocks are gone, or it would keep
+    returning silently-uncached plans)."""
+    _RELEASE_HOOKS.append(hook)
 
 
 def release_all() -> int:
@@ -42,4 +51,9 @@ def release_all() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     _LIVE.clear()
+    for hook in _RELEASE_HOOKS:
+        try:
+            hook()
+        except Exception:
+            pass
     return n

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..functions.cache import tracked_persist
+from ..functions.cache import on_release, tracked_persist
 from ..plans.constants import EMB_DIM, K, POSTFILTER_INFLATION, ROUND_DIGITS
 
 
@@ -60,7 +60,19 @@ def flat_with_norm(
     projection is ~200 expression nodes, and constructing them one
     py4j call at a time put ~2s of driver round-trips on every
     plan build; one parsed SQL string is a single round-trip.
+
+    Memoized per (input plan, projection params): three registry plans
+    score over the same corpus, and a fresh persist per call would
+    cache three identical multi-column corpus copies until the session
+    boundary. sameSemantics() is the exact plan-identity test; the
+    memo forgets its entries when release_all() drops the blocks
+    (functions/cache.on_release), so a stale hit can never hand back a
+    silently-uncached plan.
     """
+    params = (vec_col, prefix, dim, tuple(keep))
+    for entry_df, entry_params, entry_flat in _FLAT_MEMO:
+        if entry_params == params and df.sameSemantics(entry_df):
+            return entry_flat
     elem = f"cast(element_at({vec_col}, {{i}}) as double)"
     norm = (
         "sqrt("
@@ -74,7 +86,19 @@ def flat_with_norm(
         norm,
         *[f"{elem.format(i=i)} AS {prefix}{i}" for i in range(1, dim + 1)],
     )
-    return tracked_persist(flat)
+    flat = tracked_persist(flat)
+    _FLAT_MEMO.append((df, params, flat))
+    return flat
+
+
+_FLAT_MEMO: list = []
+
+
+def _clear_flat_memo() -> None:
+    _FLAT_MEMO.clear()
+
+
+on_release(_clear_flat_memo)
 
 
 def _flat_cosine_sql(pa: str, pb: str, dim: int) -> str:
@@ -249,6 +273,12 @@ def paginate(
       OFFSET is an anti-pattern at any scale — use ``keyset_page``
       (WHERE order_col > last_seen LIMIT n), whose cost is
       depth-independent.
+
+    CONTRACT: ``order_col`` must be a TOTAL order (unique per row, like
+    doc_id — what every in-repo caller passes). With ties, each page is
+    an independent query that resolves the tied boundary arbitrarily,
+    so consecutive pages can overlap or skip tied rows; same contract
+    as mutations.with_versions documents for its ordering column.
     """
     depth = offset + limit
     if depth > max_page_depth:
@@ -274,7 +304,11 @@ def keyset_page(
     earlier row — a window over the full table), the cursor predicate
     pushes into the scan and the limit compiles to
     TakeOrderedAndProject, so page N costs the same as page 1 at any
-    table size."""
+    table size.
+
+    Same TOTAL-order contract as paginate: with duplicate order_col
+    values the strict > cursor skips rows tied with ``after`` — the
+    cursor column must be unique per row (doc_id)."""
     return (
         df.filter(F.col(order_col) > F.lit(after))
         .orderBy(F.asc(order_col))

@@ -96,14 +96,27 @@ def extract_targz(archive_path: str, out_dir: str) -> list[str]:
     plain distributed ``spark.read.json``; no Python workers in the
     query plan. For a *directory* of archives on a real cluster, use
     ``read_targz_json`` (binaryFile + mapInPandas) instead."""
+    import shutil
     import tarfile
 
-    os.makedirs(out_dir, exist_ok=True)
+    # a fresh dir per extraction: extract-into-existing would glob
+    # leftover members of a PREVIOUS archive into this import (phantom
+    # documents), and two same-named members in different archive
+    # directories must not clobber each other — the flattened name
+    # keeps the member's full path (separators -> '__'), which also
+    # neutralizes any '../' traversal a hostile archive could carry
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
     extracted: list[str] = []
     with tarfile.open(archive_path, "r:gz") as tar:
-        for member in tar.getmembers():
+        for i, member in enumerate(tar.getmembers()):
             if member.isfile() and member.name.endswith(".json"):
-                target = os.path.join(out_dir, os.path.basename(member.name))
+                flat = member.name.replace("/", "__").replace("\\", "__")
+                # the index prefix guarantees uniqueness even when two
+                # flattened names coincide; stripping leading '.'/'_'
+                # keeps Spark's reader from treating the file as hidden
+                flat = f"m{i:04d}__" + (flat.lstrip("._") or "member.json")
+                target = os.path.join(out_dir, flat)
                 with tar.extractfile(member) as src, open(target, "wb") as dst:
                     dst.write(src.read())
                 extracted.append(target)
@@ -129,8 +142,16 @@ def validate_documents(
 ) -> tuple[DataFrame, DataFrame]:
     """T5: require an id and at least one text field; returns
     (valid, quarantine) — invalid rows are preserved, not dropped
-    (reference app/services/document_service.py:166-190)."""
+    (reference app/services/document_service.py:166-190).
+
+    A column entirely ABSENT from the input schema (JSON inference
+    creates no column when no document carries the field) counts as
+    null for every row: validation is the bad-input stage, so it must
+    quarantine such batches, not die resolving the missing column."""
     text_fields = text_fields or ["shortDescription_airgas_text"]
+    for c in [id_field, *text_fields]:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
     has_text = None
     for tf in text_fields:
         cond = F.col(tf).isNotNull() & (F.trim(F.col(tf)) != "")
@@ -252,6 +273,13 @@ def import_delta(
     flows into the expensive downstream stages (embedding, indexing) —
     and against a bucketed table (sources/layout) only the changed
     keys' bucket directories are rewritten.
+
+    Rows absent from the delta are CLASSIFIED but never deleted —
+    reference parity: its delta import only upserts changed docs
+    (app/services/document_service.py:477-517); deletion is the
+    separate full-sync cleanup op (M3). The report key is therefore
+    ``delete_candidates``, so a client reconciling against the counts
+    cannot read a number of rows that were never removed as deletes.
     """
     from . import layout
 
@@ -268,6 +296,8 @@ def import_delta(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    if "delete" in counts:
+        counts["delete_candidates"] = counts.pop("delete")
     if bucketed:
         # merge only the inserted/updated slice: unchanged keys' buckets
         # are never read, never written (dynamic partition overwrite)

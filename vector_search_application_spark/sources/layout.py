@@ -66,13 +66,72 @@ def is_bucketed(spark: SparkSession, path: str) -> bool:
     return st is not None and len(st) > 0
 
 
+LAYOUT_META = "_LAYOUT.json"
+
+
 def write_bucketed(
     df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS
 ) -> None:
-    """I4 index build: persist hash-bucketed by the lookup key."""
+    """I4 index build: persist hash-bucketed by the lookup key. The
+    bucket count is part of the LAYOUT, not of any one query — it is
+    persisted next to the data so readers derive it from the table
+    instead of trusting a free parameter (a mod-8 table probed with
+    mod-16 prunes to a bucket that cannot contain the row and silently
+    returns empty; an upsert with the wrong count writes rows into
+    buckets correct lookups never scan)."""
+    import json as _json
+
     df.withColumn(BUCKET_COL, _bucket_of(F.col(key_col), n_buckets)).write.mode(
         "overwrite"
     ).partitionBy(BUCKET_COL).parquet(path)
+    spark = df.sparkSession
+    fs, _, jvm = _fs(spark, path)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + LAYOUT_META),
+        True,
+    )
+    out.write(bytearray(_json.dumps(
+        {"key_col": key_col, "n_buckets": n_buckets}
+    ).encode("utf-8")))
+    out.close()
+
+
+def stored_n_buckets(spark: SparkSession, path: str) -> int | None:
+    """The bucket count the layout was WRITTEN with, or None for a
+    pre-metadata table."""
+    import json as _json
+
+    fs, _, jvm = _fs(spark, path)
+    meta = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + LAYOUT_META)
+    if not fs.exists(meta):
+        return None
+    stream = fs.open(meta)
+    try:
+        # py4j passes byte[] buffers by VALUE, so stream.read(buf)
+        # cannot fill a Python bytearray — read through a Java-side
+        # string conversion instead (commons-io ships with Hadoop)
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return int(_json.loads(text)["n_buckets"])
+
+
+def _resolve_n_buckets(
+    spark: SparkSession, path: str, n_buckets: int | None
+) -> int:
+    """Stored count wins; an explicit caller value that CONTRADICTS the
+    stored layout is a hard error, never a silent empty result."""
+    stored = stored_n_buckets(spark, path)
+    if stored is None:
+        return N_BUCKETS if n_buckets is None else n_buckets
+    if n_buckets is not None and n_buckets != stored:
+        raise ValueError(
+            f"layout at {path} was written with n_buckets={stored}, "
+            f"caller passed {n_buckets}"
+        )
+    return stored
 
 
 def indexed_lookup(
@@ -80,7 +139,7 @@ def indexed_lookup(
     path: str,
     key_col: str,
     query: str,
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Exact lookup over the bucketed layout: the bucket predicate is
     derived from the query literal (constant-folded), so only one
@@ -96,6 +155,7 @@ def indexed_lookup(
     xxhash64(bigint 5) != xxhash64(string '5') — an uncast string
     lookup against a numeric key would prune to a bucket that cannot
     contain the row and silently return empty."""
+    n_buckets = _resolve_n_buckets(spark, path, n_buckets)
     table = spark.read.parquet(path)
     key_type = dict(table.dtypes)[key_col]
     q = F.lit(query).cast(key_type)
@@ -112,7 +172,7 @@ def bucketed_upsert(
     path: str,
     updates: DataFrame,
     key_col: str,
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """M1 upsert that rewrites ONLY the buckets containing changed keys.
 
@@ -126,6 +186,7 @@ def bucketed_upsert(
     read, never written. This is exactly what a Delta/Iceberg MERGE
     does at file granularity — expressed with stock Spark partitioning.
     """
+    n_buckets = _resolve_n_buckets(spark, path, n_buckets)
     up = updates.withColumn(BUCKET_COL, _bucket_of(F.col(key_col), n_buckets))
     touched = [r[BUCKET_COL] for r in up.select(BUCKET_COL).distinct().collect()]
     current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
