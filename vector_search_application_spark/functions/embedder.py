@@ -45,7 +45,12 @@ def hash_dim_sql(h: str, dim: int = HASH_EMBED_DIM) -> str:
 
 
 def hash_sign(h: Column) -> Column:
-    """+1.0 / -1.0 from bit 6 (first bit not used by a dim<=64 index)."""
+    """+1.0 / -1.0 from bit 6 — the first bit not used by a dim<=64
+    index. UNSAFE above 64 dims: h % dim determines bit 6 whenever
+    128 divides dim (e.g. 384), making every token in a given dim
+    carry the SAME sign — signed cancellation vanishes and the vector
+    degenerates to per-dim counts. embed_postings enforces the
+    bound."""
     return F.when(F.shiftright(h, 6) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
@@ -63,6 +68,12 @@ def embed_postings(
     the (id, dim) grouping. Docs with no tokens produce no rows (the
     zero vector's sparse representation).
     """
+    if dim > 64:
+        raise ValueError(
+            f"signed-hash embedding supports dim <= 64 (got {dim}): the "
+            "sign bit (bit 6) is only independent of the dim index below "
+            "that bound — see hash_sign"
+        )
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(P.tokens(F.col(text_col))).alias("term"),

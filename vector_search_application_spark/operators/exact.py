@@ -23,8 +23,12 @@ from ..plans.constants import EXACT_PRIMARY_SCORE, EXACT_SECONDARY_SCORE
 
 
 def clean_query(q: str) -> Column:
-    """C2: strip().upper() (reference search_service.py:214)."""
-    return F.upper(F.trim(F.lit(q)))
+    """C2: strip().upper() (reference search_service.py:214). The
+    strip happens in PYTHON before the literal is built — F.trim
+    strips only ASCII spaces, so a pasted query with a trailing
+    tab/newline would silently miss the exact match the reference's
+    str.strip() finds."""
+    return F.lit(q.strip().upper())
 
 
 def exact_match_branch(
@@ -55,20 +59,27 @@ def exact_cascade(
     limit: int = 10,
     id_col: str = "id",
 ) -> DataFrame:
-    """Q1/F5: primary-field matches, else secondary-field matches."""
+    """Q1/F5: primary-field matches, else secondary-field matches.
+
+    The gate is a window over the UNION of the two (already
+    limit-pruned, <= 2*limit rows) branches: secondary rows survive
+    only when no primary row exists. The previous broadcast-count gate
+    embedded the primary subtree a second time — Spark does not dedup
+    common subplans, so every serving call scanned the corpus three
+    times instead of twice."""
     primary = exact_match_branch(
         df, primary_field, query, EXACT_PRIMARY_SCORE, limit, id_col
-    )
+    ).withColumn("__p", F.lit(1))
     secondary = exact_match_branch(
         df, secondary_field, query, EXACT_SECONDARY_SCORE, limit, id_col
+    ).withColumn("__p", F.lit(0))
+    w = Window.partitionBy(F.lit(1))
+    return (
+        primary.unionByName(secondary)
+        .withColumn("__has_primary", F.max("__p").over(w))
+        .filter((F.col("__p") == 1) | (F.col("__has_primary") == 0))
+        .drop("__p", "__has_primary")
     )
-    primary_count = primary.agg(F.count(F.lit(1)).alias("__n_primary"))
-    gated_secondary = (
-        secondary.crossJoin(F.broadcast(primary_count))
-        .filter(F.col("__n_primary") == 0)
-        .drop("__n_primary")
-    )
-    return primary.unionByName(gated_secondary)
 
 
 def exact_cascade_batch(
@@ -99,7 +110,11 @@ def exact_cascade_batch(
     """
     qs = queries.select(
         F.col(qid_col).alias("query_id"),
-        F.upper(F.trim(F.col(q_col))).alias("__q"),
+        # regexp strip, not F.trim: str.strip() fidelity for queries
+        # carrying tabs/newlines (oracle twin: regexp_replace in SQL)
+        F.upper(
+            F.regexp_replace(F.col(q_col), r"^\s+|\s+$", "")
+        ).alias("__q"),
     )
 
     def branch(field: str, score: float) -> DataFrame:

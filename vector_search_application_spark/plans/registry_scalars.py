@@ -27,6 +27,18 @@ CLASSIFIER_LITERALS = [
 ]
 
 
+def _classifier_literal_inputs(spark: SparkSession) -> DataFrame:
+    """The golden classifier literals as a JVM-built table (explode of
+    an array literal — no Python workers, required for the driver's
+    vanilla session). Shared by both C1 queries so the no-workers idiom
+    lives in one place."""
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in CLASSIFIER_LITERALS])).alias(
+            "query_text"
+        )
+    )
+
+
 @declare(
     "partno_classifier",
     f"""
@@ -51,11 +63,7 @@ def q_partno_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The literal rows are built JVM-side (explode of an array literal,
     no Python workers — required for the driver's vanilla session)."""
-    lits = spark.range(1).select(
-        F.explode(F.array(*[F.lit(s) for s in CLASSIFIER_LITERALS])).alias(
-            "query_text"
-        )
-    )
+    lits = _classifier_literal_inputs(spark)
     part = corpus._read(spark, sf_dir, "part").filter(F.col("p_partkey") < 10)
     pn = part.select(
         F.concat(
@@ -90,11 +98,7 @@ FROM inputs
 def q_partno_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1 explain variant (reference scripts/partno_classifier.py:146-282):
     per-feature integer contributions whose sum is the score."""
-    lits = spark.range(1).select(
-        F.explode(F.array(*[F.lit(s) for s in CLASSIFIER_LITERALS])).alias(
-            "query_text"
-        )
-    )
+    lits = _classifier_literal_inputs(spark)
     return lits.select(
         "query_text",
         *classifier.partno_explain_cols(F.col("query_text")),
@@ -297,8 +301,13 @@ def q_event_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = corpus._read(spark, sf_dir, "events").select(
         "event_type", "value", "event_id"
     )
+    # asc_nulls_last pins the rank against the DuckDB twin: Spark's
+    # F.asc sorts NULLS FIRST, DuckDB's ASC sorts them LAST — a NULL
+    # value anywhere in a group would shift every rank and change which
+    # row the (n+1) DIV 2 pick lands on (current fixtures carry no
+    # NULLs, so values are unchanged; this closes the latent divergence)
     w = Window.partitionBy("event_type").orderBy(
-        F.asc("value"), F.asc("event_id")
+        F.asc_nulls_last("value"), F.asc("event_id")
     )
     wn = Window.partitionBy("event_type")
     ranked = events.select(
