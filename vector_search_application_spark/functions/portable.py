@@ -23,6 +23,8 @@ MMR round-before-max), lives in PARITY.md at the repo root.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -110,24 +112,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Fixed-dimension dot product as a flat codegen'd expression.
-
-    Bit-identical to ``dot`` (same left-associated double accumulation,
-    fold seed 0.0 + t1 = t1) but ~3x faster: no interpreted lambda per
-    element. Out-of-range element_at yields NULL, propagating to a NULL
-    sum exactly like zip_with's null padding on a short array.
-    """
-    s = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
-    for i in range(2, dim + 1):
-        s = s + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return s
-
-
-def norm_unrolled(a: Column, dim: int) -> Column:
-    return F.sqrt(dot_unrolled(a, a, dim))
-
-
 def dot_sql(a: str, b: str) -> str:
     return f"list_dot_product(({a})::DOUBLE[], ({b})::DOUBLE[])"
 
@@ -166,19 +150,22 @@ def cosine_sql(a: str, b: str) -> str:
     )
 
 
+_QUANTA: dict[int, "decimal.Decimal"] = {}
+
+
 def round_half_up(x: float, digits: int = ROUND_DIGITS) -> float:
     """Python twin of Spark ROUND on DOUBLE: HALF_UP over the SHORTEST
     decimal repr of the double (BigDecimal.valueOf = Double.toString,
     which Python's repr() also produces) — NOT over the exact binary
     expansion, and NOT Python round()'s banker's rounding. Any
     driver-side value that must compare equal to an engine-rounded
-    value goes through this."""
-    import decimal
-
+    value goes through this. Called from per-candidate scoring loops
+    (rerank, ann), so the quantum is cached per digit count."""
+    q = _QUANTA.get(digits)
+    if q is None:
+        q = _QUANTA.setdefault(digits, decimal.Decimal(1).scaleb(-digits))
     return float(
-        decimal.Decimal(repr(x)).quantize(
-            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
-        )
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
     )
 
 

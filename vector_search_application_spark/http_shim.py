@@ -243,7 +243,10 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     and parsed.path.endswith("/stats")
                 ):
                     name = parsed.path[len("/api/collections/"):-len("/stats")]
-                    self._send(200, engine.collection_stats(name))
+                    if not name:  # bare /api/collections/stats
+                        self._send(404, {"error": f"unknown route {parsed.path}"})
+                    else:
+                        self._send(200, engine.collection_stats(name))
                 else:
                     self._send(404, {"error": f"unknown route {parsed.path}"})
             except KeyError as e:  # missing required query param
@@ -321,19 +324,22 @@ def make_server(engine: Engine, host: str = "127.0.0.1", port: int = 0):
                     self._send(400, {"error": "expected a JSON array of documents"})
                     return
                 work = tempfile.mkdtemp(prefix="load_data_")
-                upload = os.path.join(work, "upload.json")
-                with open(upload, "w", encoding="utf-8") as f:
-                    json.dump(docs, f)
-                table_dir = qs.get("table", os.path.join(work, "table"))
-                n = engine.load_data(upload, table_dir)
-                # the upload landing file is scratch — remove it; the
-                # parquet at table_dir is NOT scratch: load_data absorbs
-                # it into the serving lineage, so it must outlive the
-                # request
                 try:
-                    os.remove(upload)
-                except OSError:
-                    pass
+                    upload = os.path.join(work, "upload.json")
+                    with open(upload, "w", encoding="utf-8") as f:
+                        json.dump(docs, f)
+                    table_dir = qs.get("table", os.path.join(work, "table"))
+                    n = engine.load_data(upload, table_dir)
+                finally:
+                    # the whole work dir is scratch: _absorb_locked
+                    # localCheckpoints the merged corpus EAGERLY, so
+                    # serving never re-reads the landed parquet — and a
+                    # failed load must not leave a copy of the upload
+                    # on disk. A user-named ?table= lives outside work
+                    # and is untouched.
+                    import shutil
+
+                    shutil.rmtree(work, ignore_errors=True)
                 self._send(200, {
                     "success": True,
                     "message": f"Successfully loaded {n} documents",

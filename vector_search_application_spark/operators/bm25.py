@@ -69,7 +69,15 @@ def build_postings(
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:
-    """One-row (n_docs, avgdl) DataFrame, meant to be broadcast."""
+    """One-row (n_docs, avgdl) DataFrame, meant to be broadcast.
+
+    DELIBERATE: stats derive from the postings, so documents that
+    tokenize to ZERO terms (empty/None/all-separator text) are outside
+    N and avgdl. Such docs can never match any query; their only
+    effect would be to nudge idf/avgdl marginally. The DuckDB oracle
+    (sqlfrag.postings_ctes) defines the stats identically, so the two
+    engines agree by construction — this line documents the choice so
+    it reads as a decision, not an accident."""
     return (
         postings.select("id", "doc_len")
         .distinct()
@@ -96,8 +104,32 @@ def query_terms(spark, query_text: str) -> DataFrame:
         .select(
             F.explode(F.array_distinct(P.tokens(F.lit(query_text)))).alias("term")
         )
-        .drop("id")
     )
+
+
+def _bm25_weight(k1: float, b: float):
+    """The per-(doc, term) BM25 weight idf * tf_part as a Column —
+    ONE definition shared by the single-query and batch scorers (the
+    oracle side is centralized the same way in sqlfrag.bm25_scored_cte;
+    a drift between two Spark copies would silently break single-vs-
+    batch score equality)."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf").cast("double")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doc_len").cast("double") / F.col("avgdl")
+            )
+        )
+    )
+    return idf * tf_part
 
 
 def bm25_score_terms(
@@ -118,24 +150,9 @@ def bm25_score_terms(
     probed = postings.join(F.broadcast(qterms), "term")
     dfreq = doc_frequency(probed)
     matched = probed.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (
-        F.col("tf").cast("double")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * F.col("doc_len").cast("double") / F.col("avgdl")
-            )
-        )
-    )
+    w = _bm25_weight(k1, b)
     return (
-        matched.select("id", (idf * tf_part).alias("w"))
+        matched.select("id", w.alias("w"))
         .groupBy("id")
         .agg(P.rounded(F.sum("w")).alias("score"))
     )
@@ -203,24 +220,9 @@ def bm25_score_terms_batch(
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (
-        F.col("tf").cast("double")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * F.col("doc_len").cast("double") / F.col("avgdl")
-            )
-        )
-    )
+    w = _bm25_weight(k1, b)
     return (
-        matched.select("query_id", "id", (idf * tf_part).alias("w"))
+        matched.select("query_id", "id", w.alias("w"))
         .groupBy("query_id", "id")
         .agg(P.rounded(F.sum("w")).alias("score"))
     )
