@@ -486,3 +486,27 @@ def test_stream_sessionize_incremental_evicts_closed_state(spark, tmp_path):
     assert max(state_rows) == 2 * n_users < total_sessions
     # (c) open final-epoch sessions remain in state at end-of-stream
     assert state_rows[-1] == n_users
+
+
+def test_stream_dedup_ingest_null_text_across_batches(spark, tmp_path):
+    """NULL-text docs hash to NULL, and a LEFT ANTI equi-join never
+    matches NULL = NULL — without the sentinel coalesce, every batch's
+    NULL-text doc reached the table while the oracle's PARTITION BY
+    sha256(text) keeps exactly one. Two NULL-text docs land in
+    different micro-batch shards; only the lower doc_id may survive."""
+    from vector_search_application_spark.streaming.ingest import (
+        stream_dedup_ingest,
+    )
+
+    sf = tmp_path / "null_sf"
+    os.makedirs(sf)
+    spark.sql(
+        "SELECT id AS doc_id,"
+        " CASE WHEN id IN (3, 77) THEN CAST(NULL AS STRING)"
+        "      ELSE concat('doc text ', id) END AS text,"
+        " 'src' AS source"
+        " FROM range(100)"
+    ).write.parquet(str(sf / "documents.parquet"))
+    got = stream_dedup_ingest(spark, str(sf))
+    null_rows = got.filter(F.col("text").isNull()).collect()
+    assert len(null_rows) == 1 and null_rows[0]["doc_id"] == 3

@@ -348,6 +348,37 @@ def ivf_assign(
     return vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(*cols)
 
 
+def _ivf_search(
+    searched: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    qvec: list[float],
+    probe_cells: list[int],
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The shared IVF probe plan: broadcast literal cents -> per-row
+    cell argmax -> probe-cell filter -> literal-query cosine ->
+    TakeOrderedAndProject. One body for the seeded and trained paths so
+    the probe/score/tie-break contract cannot drift between them; the
+    literal centroid table is the no-I/O path (the engine-side
+    centroid_table subtree re-scanned the corpus head and ran a
+    sort-aggregate job per query for centroids the caller had already
+    collected)."""
+    spark = searched.sparkSession
+    cent_tbl = centroid_table_lit(spark, cents)
+    cell = _cell_over_cents_sql(vec_col)
+    score = _cos_lit_sql(vec_col, qvec)
+    return (
+        searched.crossJoin(F.broadcast(cent_tbl))
+        .selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
+        .filter(F.col("cell").isin(probe_cells))
+        .select("id", "score")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -383,21 +414,10 @@ def ivf_topk(
     ]
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
-
-    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
     searched = (
         vectors if payload_filter is None else vectors.filter(payload_filter)
     )
-    cell = _cell_over_cents_sql(vec_col)
-    score = _cos_lit_sql(vec_col, qvec)
-    return (
-        searched.crossJoin(F.broadcast(cent_tbl))
-        .selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
-        .filter(F.col("cell").isin(probe_cells))
-        .select("id", "score")
-        .orderBy(F.desc("score"), F.asc("id"))
-        .limit(k)
-    )
+    return _ivf_search(searched, cents, qvec, probe_cells, k, id_col, vec_col)
 
 
 def _probe_over_cents_sql(
@@ -579,20 +599,9 @@ def ivf_topk_trained(
     ivf_topk (broadcast cents -> per-row cell argmax -> probe filter ->
     literal-query cosine -> TakeOrderedAndProject), but the cells come
     from index metadata instead of the first-N corpus vectors."""
-    spark = vectors.sparkSession
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
-    cent_tbl = centroid_table_lit(spark, cents)
-    cell = _cell_over_cents_sql(vec_col)
-    score = _cos_lit_sql(vec_col, qvec)
-    return (
-        vectors.crossJoin(F.broadcast(cent_tbl))
-        .selectExpr(f"{id_col} AS id", f"{cell} AS cell", f"{score} AS score")
-        .filter(F.col("cell").isin(probe_cells))
-        .select("id", "score")
-        .orderBy(F.desc("score"), F.asc("id"))
-        .limit(k)
-    )
+    return _ivf_search(vectors, cents, qvec, probe_cells, k, id_col, vec_col)
 
 
 def mllib_lsh_index(
@@ -826,7 +835,10 @@ def ivfpq_topk(
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
 
-    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    # literal cents from the already-collected metadata — the engine-
+    # side centroid_table subtree would re-scan the corpus head and run
+    # a sort-aggregate job per query (see _ivf_search)
+    cent_tbl = centroid_table_lit(vectors.sparkSession, cents)
     cells = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{id_col} AS vec_id", f"{_cell_over_cents_sql(vec_col)} AS cell"
     )

@@ -60,7 +60,14 @@ def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     match no part file and silently stream NOTHING). Every streaming
     entry point goes through here so the directory-table case cannot
     silently regress one copy at a time."""
-    if os.path.isdir(path):
+    from ..sources.layout import _fs
+
+    # the directory test must go through the Hadoop FileSystem API:
+    # os.path.isdir is local-FS-only, so an s3a/hdfs directory table
+    # would take the file branch, glob-filter on its own directory
+    # name, match nothing, and silently stream zero batches
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath) and fs.getFileStatus(hpath).isDirectory():
         return spark.readStream.schema(schema).parquet(path)
     return (
         spark.readStream.schema(schema)
@@ -98,7 +105,10 @@ def windowed_event_counts(
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
         .select(
-            (F.unix_timestamp(F.col("__w.start")) * 1000).alias("window_start_ms"),
+            # unix_millis, not unix_timestamp*1000: the latter
+            # truncates to whole seconds, collapsing sub-second windows
+            # onto one key (identical values for whole-second callers)
+            F.unix_millis(F.col("__w.start")).alias("window_start_ms"),
             "event_type",
             "n_events",
             "sum_value",
@@ -374,8 +384,10 @@ def stateful_ema(
     stream = _file_stream(spark, events_path, schema)
     # the memory sink cannot recover from a checkpoint; append each
     # update batch to a parquet log tied to the checkpoint so a resumed
-    # run extends the same output
-    out_dir = checkpoint_dir.rstrip("/") + "_out"
+    # run extends the same output. The log lives INSIDE the checkpoint
+    # dir: a sibling '<ckpt>_out' was never registered for atexit
+    # cleanup, so every default-checkpoint run leaked one parquet dir
+    out_dir = checkpoint_dir.rstrip("/") + "/__out"
 
     def append_batch(batch: DataFrame, batch_id: int) -> None:
         batch.write.mode("append").parquet(out_dir)
@@ -527,7 +539,15 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        hashed = batch.withColumn("__h", F.sha2(F.col("text"), 256))
+        # coalesce the NULL-text hash to a sentinel: sha2(NULL) is
+        # NULL, and the cross-batch LEFT ANTI join's equality semantics
+        # never match NULL = NULL, so NULL-text docs in different
+        # batches would all reach the table while the oracle's
+        # PARTITION BY sha256(text) keeps exactly one
+        hashed = batch.withColumn(
+            "__h",
+            F.coalesce(F.sha2(F.col("text"), 256), F.lit("__NULL_TEXT__")),
+        )
         w_min = F.min("doc_id").over(Window.partitionBy("__h"))
         in_batch = hashed.withColumn("__cid", w_min).filter(
             F.col("doc_id") == F.col("__cid")
