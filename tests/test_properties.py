@@ -289,3 +289,40 @@ def test_consuming_gram_extraction_is_complete(text, n):
             got.append(tuple(t[i : i + n]))
             i += n
     assert sorted(got) == want
+
+
+def test_classifier_agrees_across_engines_on_control_whitespace(spark):
+    """Java '$' matches before a final line terminator, RE2 does not,
+    and Java '.' excludes \\r where RE2 matches it — the regexp-strip
+    cleanup plus the [^\\n] length class must keep the two engines
+    decision-identical on queries carrying newlines/CRs."""
+    import duckdb
+
+    from vector_search_application_spark.functions import classifier as C
+    from pyspark.sql import functions as F
+
+    cases = ["RAD123456\n", "RAD123456", " HYP220479\t\n", "AB\rC12",
+             "gas torch\n", "X1\n2Y34567", "\nMIL0007"]
+    rows = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({i})" for i in range(len(cases)))
+        + " AS t(i)"
+    ).withColumn(
+        "q",
+        F.element_at(F.array(*[F.lit(c) for c in cases]), F.col("i") + 1),
+    )
+    got = {
+        r["i"]: (r["score"], r["flag"])
+        for r in rows.select(
+            "i",
+            C.partno_score(F.col("q")).alias("score"),
+            C.is_part_number(F.col("q")).alias("flag"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, q in enumerate(cases):
+        lit = "'" + q.replace("'", "''").replace("\n", "' || chr(10) || '").replace("\r", "' || chr(13) || '").replace("\t", "' || chr(9) || '") + "'"
+        score, flag = con.execute(
+            f"SELECT {C.partno_score_sql(lit)}, {C.is_part_number_sql(lit)}"
+        ).fetchone()
+        assert got[i] == (score, flag), (q, got[i], (score, flag))

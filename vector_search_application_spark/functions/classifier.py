@@ -31,7 +31,9 @@ THRESHOLD = 4
 # (RE2 on the DuckDB side doesn't support them) — conjunctions instead
 _FEATURES: list[tuple[int, tuple[str, ...]]] = [
     (3, (r"^[A-Z0-9/#. -]+$", "[A-Z]", "[0-9]")),       # letter+digit mix
-    (2, (r"^.{5,16}$",)),                               # plausible length
+    # [^\n] not '.': Java '.' excludes \r, RE2 '.' matches it — the
+    # explicit class behaves identically in both engines
+    (2, (r"^[^\n]{5,16}$",)),                          # plausible length
     (2, (r"[-/#.]",)),                                  # separator chars
     (3, (rf"^({KNOWN_PREFIXES})[0-9]",)),               # known mfr prefix
     (1, (r"[0-9]{3,}$",)),                              # trailing digit run
@@ -47,7 +49,11 @@ _SHORT_PENALTY = -1                                   # < 5 chars
 
 
 def _cleaned(q: Column) -> Column:
-    return F.upper(F.trim(q))
+    # regexp strip, not trim: trim removes only spaces, and a trailing
+    # newline is where Java and RE2 regex semantics part ways (Java '$'
+    # matches before a final line terminator, RE2 does not) — stripping
+    # ALL edge whitespace keeps the two engines decision-identical
+    return F.upper(F.regexp_replace(q, r"^\s+|\s+$", ""))
 
 
 def partno_score(q: Column) -> Column:
@@ -72,7 +78,7 @@ def is_part_number(q: Column) -> Column:
 
 
 def _sql_cleaned(expr: str) -> str:
-    return f"upper(trim({expr}))"
+    return f"upper(regexp_replace({expr}, '^\\s+|\\s+$', '', 'g'))"
 
 
 def partno_score_sql(expr: str) -> str:
@@ -116,12 +122,20 @@ FEATURE_NAMES = [
 ]
 
 
+# p_many_words / p_short are appended manually below — the zip must
+# cover exactly the regex features or a future addition silently
+# mislabels every column after it
+assert len(FEATURE_NAMES) == len(_FEATURES) + len(_PENALTIES) + 2
+
+
 def partno_explain_cols(q: Column) -> list[Column]:
     """One aliased integer column per feature, same order/semantics as
     partno_score (which is their sum)."""
     c = _cleaned(q)
     cols = []
-    for name, (pts, pats) in zip(FEATURE_NAMES, _FEATURES + _PENALTIES):
+    for name, (pts, pats) in zip(
+        FEATURE_NAMES[:-2], _FEATURES + _PENALTIES, strict=True
+    ):
         cond = c.rlike(pats[0])
         for pat in pats[1:]:
             cond = cond & c.rlike(pat)

@@ -126,13 +126,22 @@ def current_versions(events: DataFrame, key: str, order_cols: list[str]) -> Data
 def version_history(
     events: DataFrame, key: str, order_cols: list[str], n: int
 ) -> DataFrame:
-    """M6: per-key history, newest first, limit n."""
-    versioned = with_versions(events, key, order_cols)
-    wdesc = Window.partitionBy(key).orderBy(F.desc("version"))
+    """M6: per-key history — the newest n versions of each key.
+
+    Two window aggregates (version rank + per-key max), not the three
+    the with_versions + desc-rank formulation paid: "newest n" is just
+    version > max(version) - n, no second sort and no is_current
+    column computed only to be dropped. Same rows, same columns;
+    presentation order is the caller's ORDER BY."""
+    asc = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order_cols])
+    versioned = events.withColumn(
+        "version", F.row_number().over(asc).cast("bigint")
+    )
+    wmax = Window.partitionBy(key)
     return (
-        versioned.withColumn("__rn", F.row_number().over(wdesc))
-        .filter(F.col("__rn") <= n)
-        .drop("__rn", "is_current")
+        versioned.withColumn("__mx", F.max("version").over(wmax))
+        .filter(F.col("version") > F.col("__mx") - n)
+        .drop("__mx")
     )
 
 

@@ -35,6 +35,25 @@ DESC_NULL_MOD = 50   # ~2% shortDescription null
 IMG_NULL_MOD = 5     # ~20% image null
 
 
+def padded_key(col: Column) -> Column:
+    """p_partkey as a fixed-width-or-wider string. lpad TRUNCATES
+    values longer than the pad width — identically in both engines, so
+    the parity gate could never catch it — which at SF >= 50
+    (p_partkey >= 10,000,000) would collide distinct parts into one
+    partNumber/_id/id and let upsert/dedup silently merge products.
+    Keys of 7+ digits pass through unpadded. PADDED_KEY_SQL is the
+    oracle twin; every derivation of the part number must use this
+    pair, never a raw lpad."""
+    sc = col.cast("string")
+    return F.when(F.length(sc) >= 7, sc).otherwise(F.lpad(sc, 7, "0"))
+
+
+PADDED_KEY_SQL = (
+    "CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR"
+    " ELSE lpad" + "(p_partkey::VARCHAR, 7, '0') END"
+)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp columns arrive as whatever the generator wrote — parquet
     # TIMESTAMP(NANOS) (Spark 4 rejects it unless read as BIGINT nanos)
@@ -58,7 +77,15 @@ def ts_us(df: DataFrame, col: str = "ts") -> Column:
     """
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
-        return F.expr(f"CAST({col} DIV 1000 AS BIGINT)")
+        # floor semantics, not DIV truncation: the oracle's epoch_us
+        # FLOORS, and Spark's DIV truncates toward zero — a pre-epoch
+        # nanos value with sub-microsecond remainder would land one
+        # microsecond apart. Subtracting pmod makes the dividend an
+        # exact multiple, where truncation equals floor (integer
+        # arithmetic throughout — int64 nanos exceed double precision).
+        return F.expr(
+            f"CAST((`{col}` - pmod(`{col}`, 1000)) DIV 1000 AS BIGINT)"
+        )
     if isinstance(dt, TimestampNTZType):
         return F.expr(
             f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
@@ -94,11 +121,11 @@ def products(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _read(spark, sf_dir, "part")
     pn = F.concat(
         F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-        F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+        padded_key(F.col("p_partkey")),
     )
     mfr = F.when(
         F.col("p_partkey") % MFR_NULL_MOD != 0,
-        F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+        padded_key(F.col("p_partkey")),
     )
     desc = F.when(F.col("p_partkey") % DESC_NULL_MOD != 7, F.col("p_name"))
     staged = part.select(
@@ -139,17 +166,17 @@ def products(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRODUCTS_CTE = f"""
 products_stage AS (
     SELECT
-        upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0')
+        upper(replace(p_brand, '#', '')) || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END
             AS partNumber_airgas_text,
         CASE WHEN p_partkey % {MFR_NULL_MOD} <> 0
-             THEN lpad(p_partkey::VARCHAR, 7, '0') END
+             THEN CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END END
             AS manufacturerPartNumber_text,
         CASE WHEN p_partkey % {DESC_NULL_MOD} <> 7 THEN p_name END
             AS shortDescription_airgas_text,
         round(p_retailprice, 2)::DECIMAL(18,2)::VARCHAR AS onlinePrice_string,
         CASE WHEN p_partkey % {IMG_NULL_MOD} <> 3
              THEN '/images/' || upper(replace(p_brand, '#', ''))
-                  || lpad(p_partkey::VARCHAR, 7, '0') || '.jpg' END
+                  || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END || '.jpg' END
             AS img_270Wx270H_string
     FROM part
 ),

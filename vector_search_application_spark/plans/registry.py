@@ -437,7 +437,7 @@ def q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CASCADE_QS_CTE = """
 qs AS (
-    SELECT upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0') AS q
+    SELECT upper(replace(p_brand, '#', '')) || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END AS q
     FROM part WHERE p_partkey = 123
 )
 """.strip()
@@ -783,8 +783,8 @@ qs AS (
     SELECT p_partkey AS query_id,
            CASE WHEN p_partkey <= {CASCADE_BATCH_PRIMARY_N}
                 THEN upper(replace(p_brand, '#', ''))
-                     || lpad(p_partkey::VARCHAR, 7, '0')
-                ELSE lpad(p_partkey::VARCHAR, 7, '0') END AS q
+                     || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END
+                ELSE CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END END AS q
     FROM part WHERE p_partkey <= {CASCADE_BATCH_N}
     UNION ALL
     SELECT {CASCADE_BATCH_N + 1} AS query_id, 'NONEXISTENT123' AS q
@@ -839,10 +839,10 @@ def q_exact_cascade_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey") <= CASCADE_BATCH_PRIMARY_N,
             F.concat(
                 F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-                F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+                corpus.padded_key(F.col("p_partkey")),
             ),
         )
-        .otherwise(F.lpad(F.col("p_partkey").cast("string"), 7, "0"))
+        .otherwise(corpus.padded_key(F.col("p_partkey")))
         .alias("q"),
     )
     miss = part.filter(F.col("p_partkey") == 1).select(
@@ -872,7 +872,7 @@ WITH {corpus.PRODUCTS_CTE},
 qs AS (
     SELECT p_partkey AS query_id,
            upper(replace(p_brand, '#', ''))
-               || lpad(p_partkey::VARCHAR, 7, '0') AS q
+               || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END AS q
     FROM part WHERE p_partkey <= {FUSION_BATCH_NQ}
 ),
 exact_b AS (
@@ -944,7 +944,7 @@ def q_fusion_max_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("query_id"),
         F.concat(
             F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-            F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+            corpus.padded_key(F.col("p_partkey")),
         ).alias("q"),
     )
     exact_br = (

@@ -399,7 +399,7 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat(
                 F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-                F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+                corpus.padded_key(F.col("p_partkey")),
             ).alias("q")
         )
         .first()["q"]

@@ -68,7 +68,7 @@ def q_partno_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pn = part.select(
         F.concat(
             F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-            F.lpad(F.col("p_partkey").cast("string"), 7, "0"),
+            corpus.padded_key(F.col("p_partkey")),
         ).alias("query_text")
     )
     names = part.select(F.col("p_name").alias("query_text"))

@@ -20,6 +20,15 @@ def get_spark(
 ) -> SparkSession:
     active = SparkSession.getActiveSession()
     if active is not None:
+        # an explicit shuffle_partitions must take effect even on a
+        # reused session — it is a runtime conf, and a bench or test
+        # that asked for 8 partitions silently running under the old
+        # session's 32 would skew every number it records (app_name
+        # cannot change on reuse; that is cosmetic)
+        if shuffle_partitions is not None:
+            active.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_partitions)
+            )
         return active
     # Python workers hang resolving a non-loopback hostname in this
     # environment; pin everything to 127.0.0.1.
@@ -37,11 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # some testdata generations write parquet TIMESTAMP(NANOS),
+        # which Spark 4 rejects unless read as BIGINT nanos; setting it
+        # at the factory means every reader inherits it (plans/corpus
+        # re-sets it defensively for sessions built elsewhere)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-
-
-def read_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver-generated parquet tables."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
