@@ -18,8 +18,18 @@ from . import portable as P
 
 FP_MOD = 1_000_000_007  # fingerprint modulus (keeps sums in int64)
 
-# regex-token pattern: word / number / single symbol (BPE-ish pre-tokenizer)
-RE_TOKEN_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+# Portable whitespace class: Java \s includes \x0B (vertical tab),
+# RE2's does not — any twin pattern using \s diverges on VT-bearing
+# text. Every whitespace reference in a paired pattern spells the
+# class out instead.
+WS_CLASS = r"\t\n\x0B\f\r "
+
+# regex-token pattern: word / number / single symbol (BPE-ish
+# pre-tokenizer). Whitespace is excluded from the symbol branch —
+# counting every tab/newline as a token skewed n_re_tokens by ~2 per
+# line on multi-line text (both engines agreed, so the gate never saw
+# it; the STATISTIC was wrong).
+RE_TOKEN_PAT = f"[a-z]+|[0-9]+|[^a-z0-9{WS_CLASS}]"
 
 
 def stopword_ratio(text: Column) -> Column:
@@ -137,9 +147,12 @@ def quality_features(text: Column) -> Column:
     Math is identical to punct_ratio / uniq_token_ratio /
     quality_score / token_count / stopword_ratio."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    pr = punct_ratio(text)
 
-    def build(toks: Column) -> Column:
+    def build(bound: Column) -> Column:
+        # punct_ratio binds alongside the token array: HOF lambdas get
+        # no CSE, so an unbound pr referenced twice (low_punct + the
+        # rounded struct field) paid two lower+translate passes per row
+        toks, pr = bound["toks"], bound["pr"]
         n = F.size(toks)
         n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
         swr = F.when(n > 0, n_sw.cast("double") / n).otherwise(F.lit(0.0))
@@ -163,16 +176,28 @@ def quality_features(text: Column) -> Column:
             swr.alias("stopword_ratio"),
         )
 
-    return F.transform(F.array(P.tokens(text)), build)
+    return F.transform(
+        F.array(
+            F.struct(
+                P.tokens(text).alias("toks"),
+                punct_ratio(text).alias("pr"),
+            )
+        ),
+        build,
+    )
 
 
 def ws_token_count(text: Column) -> Column:
-    return F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")))
+    return F.size(
+        F.filter(
+            F.split(F.trim(text), f"[{WS_CLASS}]+"), lambda t: t != F.lit("")
+        )
+    )
 
 
 def ws_token_count_sql(expr: str) -> str:
     return (
-        f"len(list_filter(string_split_regex(trim({expr}), '\\s+'),"
+        f"len(list_filter(string_split_regex(trim({expr}), '[{WS_CLASS}]+'),"
         " t -> t <> ''))"
     )
 
@@ -545,7 +570,9 @@ def dup_ngram_ratio_sql(expr: str, n: int = 3) -> str:
 # punctuation runs; its real pattern needs lookahead + unicode
 # categories, which RE2 (DuckDB) lacks — this is the lookahead-free
 # ASCII projection, identical under Java regex and RE2.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9" + WS_CLASS + "]+"
+)
 
 
 def bpe_tokens(text):

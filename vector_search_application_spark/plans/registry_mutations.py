@@ -46,10 +46,11 @@ def _enc(field: str) -> str:
     )
 
 
+# iterate DOC_COLS, never a literal tuple: the Spark side hashes
+# exactly DOC_COLS (mutations.content_hash(DOC_COLS)), so one constant
+# must govern both twins or an edit drifts them apart silently
 _HASH_SQL = (
-    "sha256(concat("
-    + ", ".join(_enc(f) for f in ("text", "lang", "source", "n_chars"))
-    + "))"
+    "sha256(concat(" + ", ".join(_enc(f) for f in DOC_COLS) + "))"
 )
 
 
@@ -249,7 +250,11 @@ def q_version_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally, so the materialized layout must hold exactly the
     superseded versions (every key's rows minus its current one)."""
     import os as _os
-    import tempfile as _tempfile
+
+    # atexit-registered scratch (streaming/ingest._scratch_dir): a bare
+    # mkdtemp left the full main+history parquet copies behind on every
+    # gate/bench execution of this query
+    from ..streaming.ingest import _scratch_dir
 
     events = corpus._read(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
@@ -257,7 +262,7 @@ def q_version_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     main, history = mutations.versioned_tables(
         events, "user_id", ["ts", "event_id"]
     )
-    work = _tempfile.mkdtemp(prefix="version_pair_")
+    work = _scratch_dir("version_pair_")
     main_dir = _os.path.join(work, "events_main")
     hist_dir = _os.path.join(work, "events_history")
     main.write.mode("overwrite").parquet(main_dir)
