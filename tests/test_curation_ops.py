@@ -227,3 +227,25 @@ def test_quality_score_delegation_parity(spark):
         .first()["n"]
     )
     assert n == 0
+
+
+def test_bpe_survives_pairless_vocabulary(spark, tmp_path):
+    """A corpus whose words are all single symbols yields NO adjacent
+    pairs: the merge loop's empty top-1 table must not annihilate the
+    vocabulary state (the bare crossJoin did; the oracle's scalar-
+    subquery replace keeps every row)."""
+    from vector_search_application_spark.plans.registry_curation import (
+        _bpe_train,
+    )
+
+    import os
+
+    sf = tmp_path / "pairless_sf"
+    os.makedirs(sf)
+    spark.sql(
+        "SELECT id AS doc_id, 'a b c d e' AS text, 'src' AS source"
+        " FROM range(4)"
+    ).write.parquet(str(sf / "documents.parquet"))
+    merges, state = _bpe_train(spark, str(sf))
+    assert merges.count() == 0  # nothing to merge...
+    assert state.count() == 5   # ...but the vocab survives every round

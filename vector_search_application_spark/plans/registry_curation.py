@@ -88,8 +88,17 @@ def chunk_windows(docs: DataFrame) -> DataFrame:
         "doc_id",
         "toks",
         F.size("toks").alias("n"),
+        # CASE-total despite the size>=1 filter upstream: explode()
+        # lets InferFiltersFromGenerate push a derived predicate
+        # containing this expression below the guard, where
+        # sequence(0, -1, 30) throws on an empty doc (the trap
+        # operators/dedup.py shingle_arrays documents)
         F.explode(
-            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+            F.expr(
+                f"CASE WHEN size(toks) >= 1 THEN"
+                f" sequence(0, size(toks) - 1, {CHUNK_STRIDE})"
+                f" ELSE CAST(array() AS ARRAY<INT>) END"
+            )
         ).alias("s"),
     )
     return st.filter(
@@ -743,8 +752,17 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "toks",
         F.size("toks").alias("n"),
+        # CASE-total despite the size>=1 filter upstream: explode()
+        # lets InferFiltersFromGenerate push a derived predicate
+        # containing this expression below the guard, where
+        # sequence(0, -1, 30) throws on an empty doc (the trap
+        # operators/dedup.py shingle_arrays documents)
         F.explode(
-            F.expr(f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")
+            F.expr(
+                f"CASE WHEN size(toks) >= 1 THEN"
+                f" sequence(0, size(toks) - 1, {CHUNK_STRIDE})"
+                f" ELSE CAST(array() AS ARRAY<INT>) END"
+            )
         ).alias("s"),
     ).filter(
         (F.col("s") == 0)
@@ -816,8 +834,14 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_chunks"),
     )
-    ndims = sums.filter(F.col("s") != 0).groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dims")
+    # count non-zero dims WITHOUT a pre-filter: a doc whose every
+    # dim-sum cancels to zero must keep its row (n_dims = 0) — the
+    # oracle's count(*) FILTER (WHERE s <> 0) does, and a filtered
+    # groupBy feeding the inner join below would drop the doc entirely
+    ndims = sums.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") != 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dims")
     )
     return buckets.join(nchunks, "doc_id").join(ndims, "doc_id").select(
         "doc_id", "bucket", "n_chunks", "n_dims"
@@ -1075,8 +1099,24 @@ def _bpe_train_uncached(spark: SparkSession, sf_dir: str):
             .select(F.lit(k).cast("bigint").alias("rank"), "a", "b", "freq")
         )
         merges = top if merges is None else merges.unionByName(top)
+        # the state update must survive an EMPTY top (a corpus whose
+        # words are all single symbols has no adjacent pairs): a bare
+        # crossJoin with an empty 1-row table annihilates the whole
+        # vocabulary, where the oracle's scalar-subquery replace keeps
+        # every row — union a no-op pair ('\\x00' cannot occur in the
+        # '.x.'-encoded symbols) and keep the real top when present
+        noop = spark.range(1).selectExpr(
+            "1 AS __prio", "'\\u0000' AS a", "'\\u0000' AS b"
+        )
+        pick = (
+            top.selectExpr("0 AS __prio", "a", "b")
+            .unionByName(noop)
+            .orderBy(F.asc("__prio"))
+            .limit(1)
+            .select("a", "b")
+        )
         state = tracked_persist(
-            state.crossJoin(F.broadcast(top.select("a", "b")))
+            state.crossJoin(F.broadcast(pick))
             .select(
                 "w",
                 "cnt",

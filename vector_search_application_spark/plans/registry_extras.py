@@ -145,7 +145,9 @@ def q_export_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, n = json_source.export_documents_sharded(
         prods, out, order_cols=_PRODUCT_EXPORT_COLS
     )
-    assert n == prods.count()
+    n_src = prods.count()
+    if n != n_src:  # explicit raise: assert vanishes under python -O
+        raise RuntimeError(f"sharded export wrote {n} of {n_src} rows")
     return (
         spark.read.schema(_PRODUCT_EXPORT_SCHEMA)
         .json(out)
@@ -366,7 +368,7 @@ def q_compare_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {corpus.PRODUCTS_CTE},
 qs AS (
-    SELECT upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0') AS q
+    SELECT upper(replace(p_brand, '#', '')) || {corpus.PADDED_KEY_SQL} AS q
     FROM part WHERE p_partkey = 123
 )
 SELECT id, partNumber_airgas_text, 1.0::DOUBLE AS score
@@ -507,10 +509,11 @@ _PQ_DIST_DUCK = (
 _PQ_QSUB_DUCK = "list_slice(q.qvec, c.s*{d}+1, c.s*{d}+{d})".format(d=PQ_SUBDIM)
 
 
-@declare(
-    "pq_topk",
-    f"""
-WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+# Shared PQ code-build CTE stack (subs/cbsrc/cb/xs/dists/codes):
+# ONE source for all three PQ queries — the batch twin once silently
+# lost the s-ordered ADC fold the others carried (triple-maintained
+# SQL drifts; single-sourced it cannot).
+_PQ_CODE_CTES = f"""subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
 cbsrc AS (
     SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS j
     FROM embeddings WHERE vec_id < {PQ_CODEWORDS}
@@ -536,7 +539,13 @@ codes AS (
                    PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
         FROM dists
     ) WHERE rn = 1
-),
+)"""
+
+
+@declare(
+    "pq_topk",
+    f"""
+WITH {_PQ_CODE_CTES},
 q AS {corpus.query_vector_cte(QUERY_VEC_ID)},
 lut AS (
     SELECT c.s, c.j,
@@ -592,7 +601,7 @@ from .constants import IVF_CENTROIDS, IVF_PROBES  # noqa: E402
 @declare(
     "ivfpq_topk",
     f"""
-WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
+WITH {_PQ_CODE_CTES},
 cents AS (
     SELECT vec_id AS centroid_id, embedding AS cvec
     FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
@@ -616,32 +625,6 @@ qcells AS (
     )
     ORDER BY cscore DESC, centroid_id ASC
     LIMIT {IVF_PROBES}
-),
-cbsrc AS (
-    SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS j
-    FROM embeddings WHERE vec_id < {PQ_CODEWORDS}
-),
-cb AS (
-    SELECT s, j,
-           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
-    FROM cbsrc CROSS JOIN subs
-),
-xs AS (
-    SELECT vec_id, s,
-           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS xv
-    FROM embeddings CROSS JOIN subs
-),
-dists AS (
-    SELECT x.vec_id, x.s, c.j, {_PQ_DIST_DUCK} AS dist
-    FROM xs x JOIN cb c ON c.s = x.s
-),
-codes AS (
-    SELECT vec_id, s, j AS code FROM (
-        SELECT vec_id, s, j,
-               row_number() OVER (
-                   PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
-        FROM dists
-    ) WHERE rn = 1
 ),
 lut AS (
     SELECT c.s, c.j,
@@ -696,33 +679,7 @@ PQ_BATCH_NQ = 5
 @declare(
     "pq_topk_batch",
     f"""
-WITH subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS s),
-cbsrc AS (
-    SELECT embedding, row_number() OVER (ORDER BY vec_id ASC) - 1 AS j
-    FROM embeddings WHERE vec_id < {PQ_CODEWORDS}
-),
-cb AS (
-    SELECT s, j,
-           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS cw
-    FROM cbsrc CROSS JOIN subs
-),
-xs AS (
-    SELECT vec_id, s,
-           list_slice(embedding, s*{PQ_SUBDIM}+1, s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS xv
-    FROM embeddings CROSS JOIN subs
-),
-dists AS (
-    SELECT x.vec_id, x.s, c.j, {_PQ_DIST_DUCK} AS dist
-    FROM xs x JOIN cb c ON c.s = x.s
-),
-codes AS (
-    SELECT vec_id, s, j AS code FROM (
-        SELECT vec_id, s, j,
-               row_number() OVER (
-                   PARTITION BY vec_id, s ORDER BY dist ASC, j ASC) AS rn
-        FROM dists
-    ) WHERE rn = 1
-),
+WITH {_PQ_CODE_CTES},
 qs AS (
     SELECT vec_id AS query_id, embedding AS qvec
     FROM embeddings WHERE vec_id < {PQ_BATCH_NQ}
@@ -736,7 +693,12 @@ lut AS (
     FROM cb c CROSS JOIN qs q
 ),
 adc AS (
-    SELECT l.query_id, cd.vec_id, round(CAST(sum(l.w) AS DOUBLE), 6) AS score
+    -- ordered left fold, NOT sum(): the Spark side folds the LUT in
+    -- s-order, and an arbitrary-order GROUP BY sum could round-flip a
+    -- tie at the oversample cut (the same pinned discipline as
+    -- pq_topk / ivfpq_topk above; PARITY.md ADC row)
+    SELECT l.query_id, cd.vec_id,
+           round(CAST(list_aggregate(list(l.w ORDER BY cd.s), 'sum') AS DOUBLE), 6) AS score
     FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
     GROUP BY l.query_id, cd.vec_id
 ),
@@ -854,15 +816,26 @@ def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.agg(
         F.sum("qty").cast("bigint").alias("sum_qty"),
         P.rounded(F.sum("price_c").cast("double") / 100).alias("sum_base_price"),
+        # the money PRODUCTS sum in DECIMAL(38,0): a per-row charge is
+        # ~1e11 basis-point-squared cents, so a group's LONG sum wraps
+        # silently past ~9.2e18 (TPC-H SF >~ 160) while DuckDB promotes
+        # sum(BIGINT) to exact HUGEINT — decimal keeps Spark exact to
+        # 38 digits and the final double cast rounds identically
         P.rounded(
-            F.sum(F.col("price_c") * (100 - F.col("disc_bp"))).cast("double")
+            F.sum(
+                (F.col("price_c") * (100 - F.col("disc_bp"))).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
             / 10000
         ).alias("sum_disc_price"),
         P.rounded(
             F.sum(
-                F.col("price_c")
-                * (100 - F.col("disc_bp"))
-                * (100 + F.col("tax_bp"))
+                (
+                    F.col("price_c")
+                    * (100 - F.col("disc_bp"))
+                    * (100 + F.col("tax_bp"))
+                ).cast("decimal(38,0)")
             ).cast("double")
             / 1000000
         ).alias("sum_charge"),
@@ -905,6 +878,11 @@ def q_top_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey, and the dollar rendering happens after the cut."""
     li = corpus._read(spark, sf_dir, "lineitem").select(
         "l_orderkey",
+        # rev_e4 sums stay BIGINT end-to-end: per-customer groups are
+        # small, and at the SF where a group could exceed int64 BOTH
+        # engines fail loudly and consistently (Spark ANSI sum throws,
+        # DuckDB ::BIGINT errors) — unlike the pricing summary's
+        # ~1e11/row charge products, which needed the decimal sum
         (
             F.round(F.col("l_extendedprice") * 100).cast("bigint")
             * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
