@@ -188,7 +188,7 @@ def main(ks: list[int]) -> int:
     lines = []
     results: dict[int, dict[str, float]] = {}
     stream_results: dict[int, dict[str, float | int]] = {}
-    cal_results: dict[int, float] = {}
+    cal_results: dict[int, tuple[float, float]] = {}
     for k in [1] + ks:
         if k == 1:
             sf_dir = BASE

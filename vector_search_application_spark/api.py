@@ -445,9 +445,12 @@ class Engine:
         into the live Qdrant collection (app/main.py:106-160) — a load
         that reported success but never became searchable would be a
         silent parity break. New rows win on id (M1 upsert semantics);
-        the corpus and both derived indexes re-point and re-persist,
-        with the ingested parquet at ``table_dir`` becoming part of the
-        serving lineage (callers must not delete it)."""
+        the corpus and both derived indexes re-point and re-persist.
+        The merged corpus is eagerly localCheckpoint'ed below, which
+        cuts lineage to ``table_dir`` — so the ingested parquet is
+        safe for the caller to delete once this returns (http_shim's
+        load-data path relies on exactly that to clean its scratch
+        dir)."""
         import gc
 
         old_products, old_dense, old_sparse = self._snapshot()

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .text import WS_CLASS
+
 KNOWN_PREFIXES = (
     "RAD|PIP|MIL|LIN|NOR|MSA|ESA|HYP|KOI|WBU|CBR|HOU|BOS|VIC|AMS|E57|NI"
 )
@@ -52,8 +54,11 @@ def _cleaned(q: Column) -> Column:
     # regexp strip, not trim: trim removes only spaces, and a trailing
     # newline is where Java and RE2 regex semantics part ways (Java '$'
     # matches before a final line terminator, RE2 does not) — stripping
-    # ALL edge whitespace keeps the two engines decision-identical
-    return F.upper(F.regexp_replace(q, r"^\s+|\s+$", ""))
+    # ALL edge whitespace keeps the two engines decision-identical.
+    # WS_CLASS spelled out, not \s: Java \s includes \x0B, RE2's does
+    # not (functions/text.py:25) — a VT-edged query would otherwise
+    # clean differently per engine.
+    return F.upper(F.regexp_replace(q, rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", ""))
 
 
 def partno_score(q: Column) -> Column:
@@ -65,7 +70,7 @@ def partno_score(q: Column) -> Column:
         for pat in pats[1:]:
             cond = cond & c.rlike(pat)
         score = score + F.when(cond, F.lit(pts)).otherwise(F.lit(0))
-    n_words = F.size(F.split(F.trim(q), r"\s+"))
+    n_words = F.size(F.split(F.trim(q), rf"[{WS_CLASS}]+"))
     score = score + F.when(n_words >= 4, F.lit(_MANY_WORDS_PENALTY)).otherwise(
         F.lit(0)
     )
@@ -78,7 +83,11 @@ def is_part_number(q: Column) -> Column:
 
 
 def _sql_cleaned(expr: str) -> str:
-    return f"upper(regexp_replace({expr}, '^\\s+|\\s+$', '', 'g'))"
+    # twin of _cleaned — same spelled-out whitespace class
+    return (
+        f"upper(regexp_replace({expr},"
+        f" '^[{WS_CLASS}]+|[{WS_CLASS}]+$', '', 'g'))"
+    )
 
 
 def partno_score_sql(expr: str) -> str:
@@ -91,7 +100,7 @@ def partno_score_sql(expr: str) -> str:
         )
         terms.append(f"CASE WHEN {conds} THEN {pts} ELSE 0 END")
     terms.append(
-        f"CASE WHEN len(string_split_regex(trim({expr}), '\\s+')) >= 4"
+        f"CASE WHEN len(string_split_regex(trim({expr}), '[{WS_CLASS}]+')) >= 4"
         f" THEN {_MANY_WORDS_PENALTY} ELSE 0 END"
     )
     terms.append(
@@ -124,8 +133,15 @@ FEATURE_NAMES = [
 
 # p_many_words / p_short are appended manually below — the zip must
 # cover exactly the regex features or a future addition silently
-# mislabels every column after it
-assert len(FEATURE_NAMES) == len(_FEATURES) + len(_PENALTIES) + 2
+# mislabels every column after it. Explicit raise, not assert: the
+# guard must survive python -O (same rationale as the explicit raises
+# in registry_extras.py).
+if len(FEATURE_NAMES) != len(_FEATURES) + len(_PENALTIES) + 2:
+    raise RuntimeError(
+        "FEATURE_NAMES out of sync with _FEATURES/_PENALTIES"
+        f" ({len(FEATURE_NAMES)} names vs"
+        f" {len(_FEATURES) + len(_PENALTIES)} regex features + 2 manual)"
+    )
 
 
 def partno_explain_cols(q: Column) -> list[Column]:
@@ -142,7 +158,7 @@ def partno_explain_cols(q: Column) -> list[Column]:
         cols.append(
             F.when(cond, F.lit(pts)).otherwise(F.lit(0)).cast("int").alias(name)
         )
-    n_words = F.size(F.split(F.trim(q), r"\s+"))
+    n_words = F.size(F.split(F.trim(q), rf"[{WS_CLASS}]+"))
     cols.append(
         F.when(n_words >= 4, F.lit(_MANY_WORDS_PENALTY))
         .otherwise(F.lit(0))
@@ -171,8 +187,9 @@ def partno_explain_sql(expr: str) -> list[str]:
             f"CAST(CASE WHEN {conds} THEN {pts} ELSE 0 END AS INTEGER) AS {name}"
         )
     frags.append(
-        f"CAST(CASE WHEN len(string_split_regex(trim({expr}), '\\s+')) >= 4"
-        f" THEN {_MANY_WORDS_PENALTY} ELSE 0 END AS INTEGER) AS p_many_words"
+        f"CAST(CASE WHEN len(string_split_regex(trim({expr}), '[{WS_CLASS}]+'))"
+        f" >= 4 THEN {_MANY_WORDS_PENALTY} ELSE 0 END AS INTEGER)"
+        " AS p_many_words"
     )
     frags.append(
         f"CAST(CASE WHEN length({c}) < 5 THEN {_SHORT_PENALTY} ELSE 0 END"

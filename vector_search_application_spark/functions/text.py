@@ -24,6 +24,13 @@ FP_MOD = 1_000_000_007  # fingerprint modulus (keeps sums in int64)
 # class out instead.
 WS_CLASS = r"\t\n\x0B\f\r "
 
+# The same set as literal characters, for Python-side str.strip() on
+# query literals (str.strip() with no args strips full Unicode
+# whitespace — broader than either engine's regex \s, so a NBSP-edged
+# query would clean differently in the Python path vs the batch/SQL
+# twins unless the set is pinned here too).
+WS_CHARS = "\t\n\x0b\f\r "
+
 # regex-token pattern: word / number / single symbol (BPE-ish
 # pre-tokenizer). Whitespace is excluded from the symbol branch —
 # counting every tab/newline as a token skewed n_re_tokens by ~2 per

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WS_CHARS, WS_CLASS
 from ..plans.constants import EXACT_PRIMARY_SCORE, EXACT_SECONDARY_SCORE
 
 
@@ -27,8 +28,11 @@ def clean_query(q: str) -> Column:
     strip happens in PYTHON before the literal is built — F.trim
     strips only ASCII spaces, so a pasted query with a trailing
     tab/newline would silently miss the exact match the reference's
-    str.strip() finds."""
-    return F.lit(q.strip().upper())
+    str.strip() finds. Strips exactly WS_CHARS (not bare .strip()):
+    bare str.strip() removes Unicode whitespace (NBSP, \\x1c-\\x1f)
+    that the batch/SQL twins' spelled-out WS_CLASS does not — an
+    NBSP-edged query must clean identically in every path."""
+    return F.lit(q.strip(WS_CHARS).upper())
 
 
 def exact_match_branch(
@@ -111,9 +115,12 @@ def exact_cascade_batch(
     qs = queries.select(
         F.col(qid_col).alias("query_id"),
         # regexp strip, not F.trim: str.strip() fidelity for queries
-        # carrying tabs/newlines (oracle twin: regexp_replace in SQL)
+        # carrying tabs/newlines (oracle twin: regexp_replace in SQL).
+        # WS_CLASS spelled out — Java \s vs RE2 \s differ on \x0B.
         F.upper(
-            F.regexp_replace(F.col(q_col), r"^\s+|\s+$", "")
+            F.regexp_replace(
+                F.col(q_col), rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", ""
+            )
         ).alias("__q"),
     )
 

@@ -451,14 +451,14 @@ prim AS (
     SELECT id, 1.0::DOUBLE AS score,
            'partNumber_airgas_text' AS matched_field
     FROM products, qs
-    WHERE partNumber_airgas_text = upper(regexp_replace(qs.q, '^\s+|\s+$', '', 'g'))
+    WHERE partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
     ORDER BY id ASC LIMIT 10
 ),
 sec AS (
     SELECT id, 0.9::DOUBLE AS score,
            'manufacturerPartNumber_text' AS matched_field
     FROM products, qs
-    WHERE manufacturerPartNumber_text = upper(regexp_replace(qs.q, '^\s+|\s+$', '', 'g'))
+    WHERE manufacturerPartNumber_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
     ORDER BY id ASC LIMIT 10
 )
 SELECT * FROM prim
@@ -536,7 +536,7 @@ qt AS (
 exact_br AS (
     SELECT id, 1.0::DOUBLE AS score, 'exact' AS search_type
     FROM products, qs
-    WHERE partNumber_airgas_text = upper(regexp_replace(qs.q, '^\s+|\s+$', '', 'g'))
+    WHERE partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
     ORDER BY id ASC LIMIT 10
 ),
 unioned AS (
@@ -804,7 +804,7 @@ prim AS (
                row_number() OVER (
                    PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
         FROM products p JOIN qs
-          ON p.partNumber_airgas_text = upper(regexp_replace(qs.q, '^\s+|\s+$', '', 'g'))
+          ON p.partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
     ) WHERE rn <= 10
 ),
 sec AS (
@@ -815,7 +815,7 @@ sec AS (
                row_number() OVER (
                    PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
         FROM products p JOIN qs
-          ON p.manufacturerPartNumber_text = upper(regexp_replace(qs.q, '^\s+|\s+$', '', 'g'))
+          ON p.manufacturerPartNumber_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
     ) WHERE rn <= 10
 )
 SELECT * FROM prim
@@ -882,7 +882,7 @@ exact_b AS (
                row_number() OVER (
                    PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
         FROM products p JOIN qs
-          ON p.partNumber_airgas_text = upper(regexp_replace(qs.q, '^\s+|\s+$', '', 'g'))
+          ON p.partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
     ) WHERE rn <= 10
 ),
 qterms_b AS (

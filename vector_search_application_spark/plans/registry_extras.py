@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions.text import WS_CHARS
 from . import corpus
 from .constants import K, PREVIEW_K, QUERY_VEC_ID
 from .registry import (
@@ -409,7 +410,7 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C2 query cleanup happens BEFORE the bucket is derived (the lookup
     # itself matches the stored key exactly, layout.indexed_lookup)
     hit = layout.indexed_lookup(
-        spark, work, "partNumber_airgas_text", q.strip().upper()
+        spark, work, "partNumber_airgas_text", q.strip(WS_CHARS).upper()
     )
     return hit.select(
         "id", "partNumber_airgas_text", F.lit(1.0).cast("double").alias("score")
