@@ -991,35 +991,39 @@ from . import registry_curation  # noqa: E402,F401
 # pq_topk, doc_fingerprint, token_stats_bpe, ...).
 
 DRIVER_WINDOW = [
-    # TPC-H join/agg family — held one more round (r6 review)
-    "lineitem_pricing_summary", "top_customer_revenue",
-    "revenue_by_nation", "order_priority_semijoin",
-    "local_supplier_revenue", "returned_item_report",
-    # mutation / versioning / ingest — content-hash encoding changed 680d083
-    # (version_history/archive/get rotated out: r6-green, untouched since)
-    "doc_content_hash", "upsert_merge", "cleanup_old", "version_current",
-    "ingest_products", "delta_classify", "stream_ingest_upsert",
-    # text family — tokenizer changed r6, repetition featurization r7
-    "text_repetition", "text_pii_scrub", "text_langid", "text_quality",
-    "token_stats", "dedup_canonical_quality",
-    # hashed-shingle pipelines — gram keys became xxhash64 longs late r7
-    # (fedef6b/7646fb6); the driver must hash-verify the changed plans
-    "training_manifest_full", "benchmark_decontaminate",
-    "dedup_ngram_jaccard", "boilerplate_ngrams",
-    # exact cascade (exact.py changed r6) + normalization (last windowed
-    # r4; z_score sibling yields its slot to the hashed-shingle family)
-    "exact_cascade_primary", "exact_cascade_secondary", "exact_cascade_miss",
-    "normalize_min_max",
-    # single-query fusion/search variants (shared-exchange change r6)
-    "hybrid_rrf", "linear_fusion", "fusion_max_dedup", "bm25_topk",
-    # oldest evidence: r1 trio, then the r3 remainder
-    "embed_documents", "embed_query", "directory_import_full",
-    "dense_topk_batch_salted", "scroll_page", "dedup_components",
-    # oldest r4 slots, declaration order
-    "dense_topk", "dense_topk_batch", "dense_threshold", "dense_postfilter",
-    "validate_quarantine", "partno_classifier", "search_details_projection",
-    "keyset_page", "corpus_counts", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "embedding_neardup",
+    # r8 rotation (oldest-first, r7 VERDICT task 1): the 19 stalest
+    # hash slots (last driver row r3/r4) plus the three r5 stragglers,
+    # so every hash query's last driver row lands >= r6 after this
+    # window runs.
+    "normalize_z_score",
+    "bpe_train_merges", "dedup_components_star", "domain_mix_weights",
+    "embed_search_topk", "event_asof_join", "event_sessionize",
+    "ivf_index_lookup", "ivf_topk", "ivfpq_topk",
+    "json_export_roundtrip", "multimodal_byte_features",
+    "payload_index_lookup", "quantized_topk", "semantic_dedup",
+    "sequence_pack", "stream_events_window", "targz_import",
+    "training_manifest",
+    "doc_fingerprint", "pq_topk", "token_stats_bpe",
+    # code changed THIS round: whitespace-class unification in the
+    # classifier / exact-cascade cleaners, and the banded-LSH recall
+    # rework re-pins embedding_neardup (semantic_dedup is above)
+    "partno_classifier", "partno_explain",
+    "exact_cascade_primary", "exact_cascade_secondary",
+    "exact_cascade_miss", "exact_cascade_batch",
+    "embedding_neardup",
+    # r6-verified slots sitting on code edited in r7: version windows
+    # (2-window fix), chunk stride CASE-total, event NULLS ordering,
+    # tokenizer/BPE regex, streaming NULL-sentinel, retrieval n_dims,
+    # PQ oracle CTE unification, ann.py edits (160af18)
+    "version_history", "version_archive", "version_get",
+    "doc_chunk_windows", "event_value_median", "bpe_encode_stats",
+    "stream_dedup_ingest", "stream_embed_ingest", "stream_sessionize",
+    "retrieval_manifest", "pq_topk_batch",
+    "ivf_topk_batch", "ivf_topk_filtered", "binary_quantized_topk",
+    # remaining r6-verified re-confirmations (batch fusion/search)
+    "compare_preview", "search_ids_projection", "dense_prefilter",
+    "mmr_rerank_topk", "hybrid_rrf_batch", "fusion_max_dedup_batch",
+    "bm25_topk_batch",
 ]
 
 
