@@ -306,3 +306,58 @@ def test_ivf_kmeans_trained_recall(spark):
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.4, f"trained-IVF mean recall regressed: {mean} ({recalls})"
     assert min(recalls) >= 0.2, f"trained-IVF worst query collapsed: {recalls}"
+
+
+def test_banded_lsh_boundary_recall(spark):
+    """OR-amplification guarantee AT the 0.95 threshold (r7 VERDICT
+    task 2): for pairs sitting just above the threshold (cosine
+    0.951), per-band collision is p^16 ~ 0.186 (p = 1 - theta/pi), so
+    8 bands give ~0.81 expected recall while 16 bands give ~0.96.
+    The fixture pairs are built at cosine exactly ~0.951 via an
+    orthogonal-rotation construction; the floor (0.85) sits ~5 sigma
+    above the 8-band expectation and ~8 sigma below... i.e. the test
+    FAILS on an 8-band config and passes with margin at 16 bands."""
+    import numpy as np
+
+    from vector_search_application_spark.plans.constants import (
+        LSH_BANDS,
+        NEARDUP_COSINE_THRESHOLD,
+    )
+
+    assert LSH_BANDS >= 16  # the config this guarantee is computed for
+
+    rng = np.random.default_rng(8)
+    n, dim, target_cos = 300, 64, 0.951
+    rows = []
+    for i in range(n):
+        u = rng.standard_normal(dim)
+        u /= np.linalg.norm(u)
+        w = rng.standard_normal(dim)
+        w -= w.dot(u) * u  # orthogonal component
+        w /= np.linalg.norm(w)
+        v = target_cos * u + np.sqrt(1.0 - target_cos**2) * w
+        rows.append((i, [float(x) for x in u]))
+        rows.append((i + 100_000, [float(x) for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann.lsh_neardup_pairs(vecs, NEARDUP_COSINE_THRESHOLD).collect()
+    }
+    # float32 storage + rounding can nudge a pair's cosine below the
+    # threshold; recall is judged against the pairs that truly qualify
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_b") == F.col("id_a") + 100_000)
+        .select(
+            "id_a", "id_b",
+            P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("c"),
+        )
+        .filter(F.col("c") >= NEARDUP_COSINE_THRESHOLD)
+        .collect()
+    }
+    assert len(exact) >= n * 0.9  # construction sanity: pairs sit above 0.95
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"boundary recall regressed: {recall:.3f}"

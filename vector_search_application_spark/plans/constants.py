@@ -84,11 +84,19 @@ LSH_PLANES = 8             # single-table hyperplane LSH (decontamination)
 # probe (SCALING_DEDUP.md) showed the single 8-plane table going
 # quadratic: 256 buckets is a fixed denominator, so candidates grow
 # N^2/256 (2.0s -> 384.5s from x10 to x100). 16-bit bands give 65536
-# buckets per band (candidates N^2*B/2^16) AND higher recall for
-# pairs at the 0.95 threshold: 1-(1-(1-theta/pi)^16)^8 ~ 0.80 vs
-# (1-theta/pi)^8 ~ 0.43 single-table. Scale rule: band width should
-# grow with log2(N) to hold bucket occupancy constant.
-LSH_BANDS = 8
+# buckets per band (candidates N^2*B/2^16, linear in B) and the band
+# count is the OR-amplification knob for recall at the threshold
+# boundary: a pair at cosine exactly 0.95 collides per band with
+# p^16 = (1-theta/pi)^16 ~ 0.182, so
+#   8 bands  -> 1-(1-0.182)^8  ~ 0.80   (r7 config)
+#   16 bands -> 1-(1-0.182)^16 ~ 0.96   (current; >= the 0.95-recall
+#                                        discipline SURVEY §7 pins)
+# Pairs above the threshold collide faster (p grows with cosine) —
+# measured recall on the fixture corpus is 1.0 (SCALING_DEDUP.md).
+# Scale rule: band width should grow with log2(N) to hold bucket
+# occupancy constant; band count buys back the recall wider bands
+# cost (suggested_band_planes in operators/ann.py).
+LSH_BANDS = 16
 LSH_BAND_PLANES = 16
 
 # IVF
