@@ -434,6 +434,25 @@ def main() -> None:
     qps_normalized = {
         f"{k}_normalized": round(v["qps"] * cal_ratio, 1) for k, v in gates.items()
     }
+    # Window-health gate (r7 VERDICT task 7): this box has multi-minute
+    # windows where identical plans run 5-6x slower. A start-vs-end
+    # calibration spread past 1.5 means the machine's speed CHANGED
+    # mid-bench — per-query medians then mix two regimes and the
+    # normalized numbers overstate interpreted-HOF costs. Flag in the
+    # payload + stderr (the driver records stdout; a refusing bench
+    # would leave the round with no numbers at all) so the reader and
+    # any interactive run know to rerun rather than publish.
+    calibration["degraded_window"] = calibration["start_end_spread"] > 1.5
+    if calibration["degraded_window"]:
+        print(
+            "WARNING: calibration start/end spread "
+            f"{calibration['start_end_spread']} > 1.5 — the machine's "
+            "speed changed mid-bench; rerun rather than publish these "
+            "numbers (SCALING.md header documents the slow-window "
+            "pathology).",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     payload = {

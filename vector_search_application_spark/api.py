@@ -490,10 +490,17 @@ class Engine:
         # freed by the ContextCleaner once the RDD is unreachable, so
         # drop the references and nudge GC rather than letting stale
         # full-corpus checkpoint copies pile up across a tight
-        # import loop.
+        # import loop. The sparse postings went through
+        # tracked_persist, whose STRONG registry ref would otherwise
+        # keep the superseded plan — and, through its lineage, the
+        # previous corpus's checkpoint RDD — reachable forever:
+        # cache.release() unpersists AND forgets it (measured: one
+        # orphaned corpus checkpoint per absorb without this).
+        from .functions.cache import release as _cache_release
+
         old_products.unpersist()
         old_dense.unpersist()
-        old_sparse.unpersist()
+        _cache_release(old_sparse)
         del old_products, old_dense, old_sparse, merged, loaded
         gc.collect()
 

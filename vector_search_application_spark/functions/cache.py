@@ -33,6 +33,26 @@ def tracked_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return out
 
 
+def release(df: DataFrame) -> None:
+    """Unpersist ONE tracked DataFrame and drop its registry entry.
+
+    For long-lived owners (Engine._absorb_locked) that supersede a
+    tracked intermediate mid-session: unpersist() alone frees the
+    cached blocks, but the strong _LIVE ref keeps the superseded
+    plan — and everything its lineage pins, e.g. the previous
+    corpus's localCheckpoint RDD — reachable until some future
+    release_all(). Measured: one orphaned corpus checkpoint per
+    import cycle (tests/test_http_shim.py multi-cycle test)."""
+    try:
+        df.unpersist()
+    except Exception:  # session already stopped — nothing to free
+        pass
+    for i, d in enumerate(_LIVE):
+        if d is df:
+            del _LIVE[i]
+            break
+
+
 def on_release(hook) -> None:
     """Register a callback run by release_all() — for operator-local
     memo tables that hand out references to tracked DataFrames (the
