@@ -467,10 +467,14 @@ def ivf_topk(
     top-k (the oversample-and-hope shape). Centroids still come from
     the UNFILTERED corpus: the index is built once, filters arrive per
     query."""
-    cents = [
+    # sorted: collect() yields scan order, but the argmax tie-break
+    # contract (first max in array order == lowest cid, matching the
+    # oracle's ORDER BY cosine DESC, centroid_id ASC) needs cid-ascending
+    # centroid tables — same ordering _centroid_table_from sort_array's.
+    cents = sorted(
         (r[id_col], list(r[vec_col]))
         for r in vectors.filter(F.col(id_col) < n_centroids).collect()
-    ]
+    )
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
     searched = (
@@ -887,10 +891,14 @@ def ivfpq_topk(
     bytes per vector), making the probe filter partition pruning and
     the ADC scan a read of codes only — full vectors load just for the
     k*oversample rescore rows."""
-    cents = [
+    # sorted: collect() yields scan order, but the argmax tie-break
+    # contract (first max in array order == lowest cid, matching the
+    # oracle's ORDER BY cosine DESC, centroid_id ASC) needs cid-ascending
+    # centroid tables — same ordering _centroid_table_from sort_array's.
+    cents = sorted(
         (r[id_col], list(r[vec_col]))
         for r in vectors.filter(F.col(id_col) < n_centroids).collect()
-    ]
+    )
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
 

@@ -194,10 +194,21 @@ def lsh_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(candidates: DataFrame, sh: DataFrame) -> DataFrame:
+def jaccard_verify(
+    candidates: DataFrame, sh: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """True shingle-set Jaccard for each candidate pair (the
-    verification stage after LSH blocking)."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_sh"))
+    verification stage after LSH blocking).
+
+    sizes: optional (id, n_sh) set-size table. Callers holding the
+    (id, shs) ARRAY table should pass size(shs) — a shuffle-free
+    per-row map (arrays are array_distinct'ed, so size == exploded
+    count); the groupBy fallback shuffles the whole shingle table just
+    to rebuild it."""
+    if sizes is None:
+        sizes = sh.groupBy("id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh")
+        )
     # two-key equi-join on (id_b, sh): the shared shingle IS a join key,
     # never a post-join filter, so no |sh_a| x |sh_b| blowup per pair
     inter = (
@@ -235,7 +246,8 @@ def minhash_dedup_pairs(
     bands = tracked_persist(lsh_band_keys(minhash_signatures(sharr)))
     cands = lsh_candidates(bands)
     sh = sharr.select("id", F.explode("shs").alias("sh"))
-    verified = jaccard_verify(cands, sh)
+    sizes = sharr.select("id", F.size("shs").cast("bigint").alias("n_sh"))
+    verified = jaccard_verify(cands, sh, sizes)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -281,7 +293,10 @@ def jaccard_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
+    sizes = sharr.select("id", F.size("shs").cast("bigint").alias("n_sh"))
+    return jaccard_verify(cands, sh, sizes).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions import portable as P
 from ..plans.constants import K, LINEAR_ALPHA, RRF_RANK_K
+from .topk import topk_per_group
 
 
 def _ranked(branch: DataFrame, id_col: str) -> DataFrame:
@@ -43,6 +44,8 @@ def rrf_fuse(
     1/(rank_k + rank); per-list rank+score kept as diagnostics
     (reference scripts/indexing.py:707-774). Output score := rrf.
     """
+    if not branches:
+        raise ValueError("rrf_fuse requires at least one branch")
     labeled = None
     for name, df in branches.items():
         b = _ranked(df.select(id_col, "score"), id_col).select(
@@ -198,6 +201,8 @@ def rrf_fuse_batch(
     — a subset-key hash partitioning satisfies its clustering — and the
     final per-query top-k window. Net: one shuffle of tiny per-query
     candidate lists for the whole fusion stage."""
+    if not branches:
+        raise ValueError("rrf_fuse_batch requires at least one branch")
     labeled = None
     for name, df in branches.items():
         w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
@@ -230,12 +235,7 @@ def rrf_fuse_batch(
             .alias(f"{name}_rank")
         )
     fused = labeled.repartition(group_col).groupBy(group_col, id_col).agg(*aggs)
-    wk = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        fused.withColumn("__rn", F.row_number().over(wk))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return topk_per_group(fused, group_col, k, id_col=id_col)
 
 
 def max_dedup_fuse_batch(
@@ -280,9 +280,4 @@ def max_dedup_fuse_batch(
             F.when(F.col("_has_vector"), F.lit("vector")),
         ).alias("search_type"),
     )
-    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        labeled.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return topk_per_group(labeled, group_col, k, id_col=id_col)

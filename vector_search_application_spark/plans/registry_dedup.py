@@ -549,20 +549,37 @@ def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB serving shape — one directory per cell), then the query's
     probe predicate prunes every other cell directory BEFORE file I/O
     (PartitionFilters, asserted in tests/test_ann.py). Each execution
-    rebuilds the layout in a fresh temp dir: a correctness gate for
-    build+lookup together, like payload_index_lookup."""
-    import os as _os
-    import tempfile as _tempfile
-
+    rebuilds the layout (overwrite) in one per-process temp dir —
+    removed at exit, so repeated gate/bench runs don't accumulate
+    corpus copies — a correctness gate for build+lookup together, like
+    payload_index_lookup."""
     vecs = corpus.vectors(spark, sf_dir)
-    cents = [
+    cents = sorted(
         (r["vec_id"], list(r["embedding"]))
-        for r in vecs.filter(F.col("vec_id") < 8).collect()
-    ]
-    path = _os.path.join(_tempfile.mkdtemp(prefix="ivf_index_"), "vectors")
-    ann.write_ivf_indexed(vecs, path, n_centroids=8)
+        for r in vecs.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+    )
+    path = _ivf_index_scratch()
+    ann.write_ivf_indexed(vecs, path, n_centroids=IVF_CENTROIDS)
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
     return ann.ivf_indexed_topk(spark, path, q, cents)
+
+
+_IVF_SCRATCH: list[str] = []
+
+
+def _ivf_index_scratch() -> str:
+    """One mkdtemp per process for the IVF layout rebuild, rmtree'd at
+    exit. write_ivf_indexed overwrites, so reuse is safe in-process."""
+    if not _IVF_SCRATCH:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ivf_index_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _IVF_SCRATCH.append(os.path.join(root, "vectors"))
+    return _IVF_SCRATCH[0]
 
 
 # --- canonical selection by quality: components + text scoring ------------
