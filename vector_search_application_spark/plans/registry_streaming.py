@@ -30,7 +30,6 @@ GROUP BY 1, 2
 def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup via readStream + watermark +
     memory sink; equals the batch GROUP BY under AvailableNow."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # ~3.6k (window, event_type) groups at sf0.1: a handful of state
     # stores suffices; at production key cardinality this scales up
     return ingest.stream_events_window(
@@ -42,7 +41,6 @@ def q_stream_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed readStream -> foreachBatch keyed merge into a fresh
     parquet table; the settled table equals the keyed source."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return ingest.stream_ingest_documents(spark, sf_dir)
 
 
@@ -139,7 +137,6 @@ def q_stream_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming embed ingest: each micro-batch embeds ONLY its own
     docs (the expensive stage runs incrementally); the settled postings
     table equals the batch corpus embed."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return ingest.stream_embed_documents(spark, sf_dir)
 
 
@@ -190,7 +187,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges per-user session state across micro-batches — the stateful
     path the batch window-function formulation never exercises. ~150
     users at sf0.01 -> a handful of state partitions."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return ingest.stream_sessionize(
         spark, os.path.join(sf_dir, "events.parquet"), state_partitions=8
     )

@@ -251,9 +251,7 @@ def export_documents_sharded(
         for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(path + "/part-*"))
     )
     manifest = {"rows": n, "key_order": cols, "shards": shards}
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(path + "/_MANIFEST.json"), True)
-    out.write(bytearray(json.dumps(manifest, indent=1).encode("utf-8")))
-    out.close()
+    layout.write_json_meta(spark, path, "_MANIFEST.json", manifest)
     return path, n
 
 

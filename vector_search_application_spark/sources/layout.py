@@ -69,40 +69,27 @@ def is_bucketed(spark: SparkSession, path: str) -> bool:
 LAYOUT_META = "_LAYOUT.json"
 
 
-def write_bucketed(
-    df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS
-) -> None:
-    """I4 index build: persist hash-bucketed by the lookup key. The
-    bucket count is part of the LAYOUT, not of any one query — it is
-    persisted next to the data so readers derive it from the table
-    instead of trusting a free parameter (a mod-8 table probed with
-    mod-16 prunes to a bucket that cannot contain the row and silently
-    returns empty; an upsert with the wrong count writes rows into
-    buckets correct lookups never scan)."""
+def write_json_meta(spark: SparkSession, path: str, name: str, obj) -> None:
+    """Write a small JSON metadata file next to a table through the
+    Hadoop FS API (works on s3a/hdfs/file alike). Shared by the
+    _LAYOUT.json write here and json_source's _MANIFEST.json."""
     import json as _json
 
-    df.withColumn(BUCKET_COL, _bucket_of(F.col(key_col), n_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy(BUCKET_COL).parquet(path)
-    spark = df.sparkSession
     fs, _, jvm = _fs(spark, path)
     out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + LAYOUT_META),
-        True,
+        jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name), True
     )
-    out.write(bytearray(_json.dumps(
-        {"key_col": key_col, "n_buckets": n_buckets}
-    ).encode("utf-8")))
+    out.write(bytearray(_json.dumps(obj).encode("utf-8")))
     out.close()
 
 
-def stored_n_buckets(spark: SparkSession, path: str) -> int | None:
-    """The bucket count the layout was WRITTEN with, or None for a
-    pre-metadata table."""
+def read_json_meta(spark: SparkSession, path: str, name: str):
+    """Read a JSON metadata file written by write_json_meta, or None if
+    absent."""
     import json as _json
 
     fs, _, jvm = _fs(spark, path)
-    meta = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + LAYOUT_META)
+    meta = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + name)
     if not fs.exists(meta):
         return None
     stream = fs.open(meta)
@@ -110,26 +97,71 @@ def stored_n_buckets(spark: SparkSession, path: str) -> int | None:
         # py4j passes byte[] buffers by VALUE, so stream.read(buf)
         # cannot fill a Python bytearray — read through a Java-side
         # string conversion instead (commons-io ships with Hadoop)
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
     finally:
         stream.close()
-    return int(_json.loads(text)["n_buckets"])
+    return _json.loads(text)
+
+
+def write_bucketed(
+    df: DataFrame, path: str, key_col: str, n_buckets: int = N_BUCKETS
+) -> None:
+    """I4 index build: persist hash-bucketed by the lookup key. The
+    bucket count AND key column are part of the LAYOUT, not of any one
+    query — both are persisted next to the data so readers derive them
+    from the table instead of trusting free parameters (a mod-8 table
+    probed with mod-16, or a doc_id-bucketed table probed on source,
+    prunes to a bucket that cannot contain the row and silently returns
+    empty; an upsert with either wrong writes rows into buckets correct
+    lookups never scan)."""
+    df.withColumn(BUCKET_COL, _bucket_of(F.col(key_col), n_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(path)
+    write_json_meta(
+        df.sparkSession,
+        path,
+        LAYOUT_META,
+        {"key_col": key_col, "n_buckets": n_buckets},
+    )
+
+
+def stored_layout(spark: SparkSession, path: str) -> dict | None:
+    """The {key_col, n_buckets} the layout was WRITTEN with, or None
+    for a pre-metadata table."""
+    return read_json_meta(spark, path, LAYOUT_META)
+
+
+def stored_n_buckets(spark: SparkSession, path: str) -> int | None:
+    """The bucket count the layout was WRITTEN with, or None for a
+    pre-metadata table."""
+    meta = stored_layout(spark, path)
+    return None if meta is None else int(meta["n_buckets"])
 
 
 def _resolve_n_buckets(
-    spark: SparkSession, path: str, n_buckets: int | None
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None,
+    key_col: str | None = None,
 ) -> int:
-    """Stored count wins; an explicit caller value that CONTRADICTS the
-    stored layout is a hard error, never a silent empty result."""
-    stored = stored_n_buckets(spark, path)
-    if stored is None:
+    """Stored layout wins; an explicit caller value that CONTRADICTS
+    the stored layout — bucket count OR key column — is a hard error,
+    never a silent empty result."""
+    meta = stored_layout(spark, path)
+    if meta is None:
         return N_BUCKETS if n_buckets is None else n_buckets
+    stored = int(meta["n_buckets"])
     if n_buckets is not None and n_buckets != stored:
         raise ValueError(
             f"layout at {path} was written with n_buckets={stored}, "
             f"caller passed {n_buckets}"
+        )
+    stored_key = meta.get("key_col")
+    if key_col is not None and stored_key is not None and key_col != stored_key:
+        raise ValueError(
+            f"layout at {path} is bucketed on {stored_key!r}, "
+            f"caller asked for {key_col!r} — the lookup would prune to "
+            f"a bucket that cannot contain the row"
         )
     return stored
 
@@ -155,7 +187,7 @@ def indexed_lookup(
     xxhash64(bigint 5) != xxhash64(string '5') — an uncast string
     lookup against a numeric key would prune to a bucket that cannot
     contain the row and silently return empty."""
-    n_buckets = _resolve_n_buckets(spark, path, n_buckets)
+    n_buckets = _resolve_n_buckets(spark, path, n_buckets, key_col=key_col)
     table = spark.read.parquet(path)
     key_type = dict(table.dtypes)[key_col]
     q = F.lit(query).cast(key_type)
@@ -186,7 +218,7 @@ def bucketed_upsert(
     read, never written. This is exactly what a Delta/Iceberg MERGE
     does at file granularity — expressed with stock Spark partitioning.
     """
-    n_buckets = _resolve_n_buckets(spark, path, n_buckets)
+    n_buckets = _resolve_n_buckets(spark, path, n_buckets, key_col=key_col)
     up = updates.withColumn(BUCKET_COL, _bucket_of(F.col(key_col), n_buckets))
     touched = [r[BUCKET_COL] for r in up.select(BUCKET_COL).distinct().collect()]
     current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))

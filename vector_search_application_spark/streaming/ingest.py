@@ -76,6 +76,50 @@ def _file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def _read_source(spark: SparkSession, path: str) -> DataFrame:
+    """Batch-read a streaming entry's parquet source. Testdata
+    generations may carry TIMESTAMP(NANOS) columns, which Spark rejects
+    without the legacy nanosAsLong escape hatch — set it HERE, the one
+    read path every streaming entry's schema/source read goes through,
+    instead of re-incanting it in each registry wrapper (a new entry
+    that forgot it would fail only on nanos-typed generations)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def _run_to_memory_sink(
+    spark: SparkSession,
+    agg: DataFrame,
+    name: str,
+    output_mode: str,
+    state_partitions: int | None,
+) -> tuple[DataFrame, list[dict]]:
+    """Run a streaming aggregation to a memory sink under
+    Trigger.AvailableNow and return (settled table, progress dicts).
+
+    state_partitions pins spark.sql.shuffle.partitions for the run (the
+    number of state store instances — AQE does not re-plan streaming
+    stages, so this is fixed at query start); the previous value is
+    restored after. One body for every run-to-sink entry so conf
+    save/restore and progress capture cannot drift copy by copy."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in (q.recentProgress or []) if p is not None]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name), progress
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
@@ -133,25 +177,13 @@ def stream_events_window(
     Size it to the GROUP-BY KEY cardinality, not the corpus: each
     partition carries commit/snapshot overhead every micro-batch.
     """
-    schema = spark.read.parquet(events_path).schema
+    schema = _read_source(spark, events_path).schema
     stream = _file_stream(spark, events_path, schema)
     agg = windowed_event_counts(stream, window_duration, watermark_delay)
-    name = "stream_events_window_sink"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    settled, _ = _run_to_memory_sink(
+        spark, agg, "stream_events_window_sink", "complete", state_partitions
+    )
+    return settled
 
 
 def session_rollup(
@@ -220,28 +252,14 @@ def stream_sessionize(
     table) or a parquet DIRECTORY of part files (any Spark-written
     table, e.g. the scale probe's replicated corpus — the glob filter
     would match no part file and silently stream nothing)."""
-    schema = spark.read.parquet(events_path).schema
+    schema = _read_source(spark, events_path).schema
     stream = _file_stream(spark, events_path, schema)
     agg = session_rollup(stream, gap, watermark_delay)
-    name = "stream_sessionize_sink"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        LAST_SESSIONIZE_PROGRESS[:] = [
-            p for p in (q.recentProgress or []) if p is not None
-        ]
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    settled, progress = _run_to_memory_sink(
+        spark, agg, "stream_sessionize_sink", "complete", state_partitions
+    )
+    LAST_SESSIONIZE_PROGRESS[:] = progress
+    return settled
 
 
 def stream_sessionize_incremental(
@@ -270,30 +288,16 @@ def stream_sessionize_incremental(
     events_path must be a parquet DIRECTORY whose files arrive in
     event-time order (the probe/test writes epoch-ordered files with
     increasing mtimes; the file source processes oldest-first)."""
-    schema = spark.read.parquet(events_path).schema
+    schema = _read_source(spark, events_path).schema
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(events_path)
     )
     agg = session_rollup(stream, gap, watermark_delay)
-    name = "stream_sessionize_incr_sink"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        progress = [p for p in (q.recentProgress or []) if p is not None]
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name), progress
+    return _run_to_memory_sink(
+        spark, agg, "stream_sessionize_incr_sink", "append", state_partitions
+    )
 
 
 def stream_upsert(
@@ -318,7 +322,7 @@ def stream_upsert(
     """
     from ..sources import layout
 
-    schema = spark.read.parquet(source_path).schema
+    schema = _read_source(spark, source_path).schema
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         b = batch.dropDuplicates([key])
@@ -365,7 +369,7 @@ def stateful_ema(
 
     if checkpoint_dir is None:
         checkpoint_dir = _scratch_dir("stateful_ema_ckpt_")
-    schema = spark.read.parquet(events_path).schema
+    schema = _read_source(spark, events_path).schema
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -418,8 +422,13 @@ def stateful_ema(
     # runs on this checkpoint; the row with the highest n per key is the
     # settled state. A source with zero files produces no micro-batch,
     # so the log may not exist yet — that is an empty result, not an
-    # error (the resume contract).
-    if not os.path.isdir(out_dir):
+    # error (the resume contract). Existence goes through the Hadoop
+    # FS API: checkpoint_dir exists so durable resume works on
+    # s3a/hdfs too, where os.path.isdir always returns False and would
+    # silently discard the remote log.
+    from ..sources import layout as _layout
+
+    if not _layout.table_has_data(spark, out_dir):
         return spark.createDataFrame([], "event_type string, ema double, n bigint")
     sink = spark.read.parquet(out_dir)
     w_last = (
@@ -460,10 +469,17 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "postings")
     ckpt = os.path.join(work, "checkpoint")
     source = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(source).schema
+    schema = _read_source(spark, source).schema
 
     def embed_batch(batch: DataFrame, batch_id: int) -> None:
-        E.embed_postings(batch, "doc_id", "text").write.mode("append").parquet(out)
+        # one OVERWRITTEN directory per batch id, not a shared append:
+        # foreachBatch is at-least-once, and a replayed batch (driver
+        # died after the append committed but before the offset log
+        # recorded it) would duplicate its postings in a shared append
+        # table; overwriting batch={id} makes the replay idempotent
+        E.embed_postings(batch, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"batch={batch_id}"))
 
     stream = _file_stream(spark, source, schema)
     q = (
@@ -473,7 +489,11 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out).withColumnRenamed("id", "doc_id")
+    return (
+        spark.read.parquet(out)
+        .drop("batch")
+        .withColumnRenamed("id", "doc_id")
+    )
 
 
 def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,8 +511,13 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     already exists in the SINK TABLE — the accumulated table IS the
     seen-hash state, so there is no separate state store and a
     checkpointed restart resumes with exactly the hashes it already
-    wrote. At scale the anti-join probes only the batch's hashes
-    against a hash-bucketed table, not corpus x corpus.
+    wrote. The sink is hash-bucketed on the content hash
+    (sources/layout partitioning), so the anti-join's seen-side read
+    prunes to the bucket directories the BATCH's hashes land in — per
+    micro-batch the probe reads ~|batch buckets|/n_buckets of the
+    accumulated table, not all of it (the full-table re-scan per batch
+    is the term that grows O(n_batches * corpus) in an unbounded
+    deployment).
 
     Settled table = first occurrence per hash in doc_id order, i.e.
     exactly the batch exact-dedup canonical set (the oracle).
@@ -508,31 +533,37 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SFs — text_pii_scrub's seeding convention): one clique spanning
     # every shard, so BOTH the within-batch min-per-hash and the
     # cross-batch anti-join provably drop rows; doc 0 survives for it.
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _read_source(spark, os.path.join(sf_dir, "documents.parquet"))
     docs = docs.withColumn(
         "text",
         F.when(
             F.col("doc_id") % 10 == 0, F.lit("duplicate seed block")
         ).otherwise(F.col("text")),
     )
-    hi = docs.agg(F.max("doc_id").alias("m")).first()["m"] or 0
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"] or 0, bounds["hi"] or 0
     n_shards = 4
-    step = hi // n_shards + 1
+    step = (hi - lo) // n_shards + 1
     import glob as _glob
 
     for i in range(n_shards):
         shard_dir = os.path.join(work, f"shard{i}")
-        (
-            docs.filter(
-                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
-            )
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(shard_dir)
-        )
-        part = _glob.glob(os.path.join(shard_dir, "part-*.parquet"))[0]
+        # first/last shards are open-ended so ids outside [lo, hi)
+        # arithmetic (negative keys, the max row) cannot fall between
+        # ranges and silently skip ingest
+        pred = F.lit(True)
+        if i > 0:
+            pred = pred & (F.col("doc_id") >= lo + i * step)
+        if i < n_shards - 1:
+            pred = pred & (F.col("doc_id") < lo + (i + 1) * step)
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(shard_dir)
+        parts = _glob.glob(os.path.join(shard_dir, "part-*.parquet"))
+        if not parts:  # empty source writes no part file; skip, don't crash
+            continue
         dst = os.path.join(src_dir, f"{i:02d}.parquet")
-        shutil.move(part, dst)
+        shutil.move(parts[0], dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     schema = docs.schema
@@ -554,10 +585,31 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("__cid")
         from ..sources import layout as _layout
 
+        in_batch = in_batch.withColumn(
+            _layout.BUCKET_COL,
+            _layout._bucket_of(F.col("__h"), _layout.N_BUCKETS),
+        )
         if _layout.table_has_data(s, out):
-            seen = s.read.parquet(out).select("__h").distinct()
+            # prune the seen-side read to the batch's buckets: the
+            # touched-bucket list is <= N_BUCKETS ids (bounded driver
+            # collect), and the IN predicate is a PartitionFilter on
+            # the bucketed sink — only those directories are scanned
+            touched = [
+                r[_layout.BUCKET_COL]
+                for r in in_batch.select(_layout.BUCKET_COL)
+                .distinct()
+                .collect()
+            ]
+            seen = (
+                s.read.parquet(out)
+                .filter(F.col(_layout.BUCKET_COL).isin(touched))
+                .select("__h")
+                .distinct()
+            )
             in_batch = in_batch.join(seen, "__h", "left_anti")
-        in_batch.write.mode("append").parquet(out)
+        in_batch.write.mode("append").partitionBy(_layout.BUCKET_COL).parquet(
+            out
+        )
 
     stream = (
         spark.readStream.schema(schema)
@@ -571,5 +623,13 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out).drop("__h")
+    from ..sources import layout as _layout
+
+    if not _layout.table_has_data(spark, out):
+        # empty source -> no micro-batch ever wrote the sink; the
+        # dedup of nothing is nothing, not a missing-path error.
+        # limit(0) keeps the empty relation JVM-only (createDataFrame
+        # from a list needs Python workers — vanilla-session hazard)
+        return docs.limit(0)
+    return spark.read.parquet(out).drop("__h", _layout.BUCKET_COL)
 
