@@ -300,3 +300,14 @@ def test_max_dedup_fuse_batch_matches_single(spark):
             expected[(qid, r.id)] = (r.score, r.search_type)
     assert got == expected
     assert got[(1, 7)] == (0.95, "exact+vector")
+
+
+def test_rrf_fuse_empty_branches_raises(spark):
+    """An empty branches dict (a caller's dynamic mode-filter removed
+    them all) must raise a named error, not NoneType.groupBy."""
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one branch"):
+        fusion.rrf_fuse({})
+    with pytest.raises(ValueError, match="at least one branch"):
+        fusion.rrf_fuse_batch({})

@@ -332,3 +332,22 @@ def test_import_delta_reports_delete_candidates(spark, tmp_path):
     assert "delete" not in counts
     remaining = {r["_id"] for r in spark.read.parquet(table).collect()}
     assert remaining == {"K1", "K2"}  # K2 classified, NOT deleted
+
+
+def test_indexed_lookup_rejects_wrong_key_col(spark, tmp_path):
+    """key_col is LAYOUT metadata too: probing a doc_id-bucketed table
+    on another column derives the bucket from the wrong hash and would
+    silently return empty — must be a hard error instead."""
+    from vector_search_application_spark.sources import layout
+
+    table = spark.range(20).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v")
+    )
+    path = str(tmp_path / "bucketed_wrong_key")
+    layout.write_bucketed(table, path, "doc_id")
+    with pytest.raises(ValueError, match="bucketed on 'doc_id'"):
+        layout.indexed_lookup(spark, path, "v", "9")
+    with pytest.raises(ValueError, match="bucketed on 'doc_id'"):
+        layout.bucketed_upsert(
+            spark, path, table.limit(1), key_col="v"
+        )

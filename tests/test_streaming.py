@@ -510,3 +510,39 @@ def test_stream_dedup_ingest_null_text_across_batches(spark, tmp_path):
     got = stream_dedup_ingest(spark, str(sf))
     null_rows = got.filter(F.col("text").isNull()).collect()
     assert len(null_rows) == 1 and null_rows[0]["doc_id"] == 3
+
+
+def test_stream_dedup_ingest_empty_source_and_negative_ids(spark, tmp_path):
+    """Two shard-construction edges the range math used to mishandle:
+    an EMPTY corpus crashed on the missing part file (the oracle would
+    return an empty set), and doc_ids below 0 fell outside every
+    [0, 4*step) shard and silently never reached the sink."""
+    from vector_search_application_spark.streaming.ingest import (
+        stream_dedup_ingest,
+    )
+
+    empty_sf = tmp_path / "empty_sf"
+    os.makedirs(empty_sf)
+    spark.sql(
+        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text,"
+        " 'src' AS source FROM range(0)"
+    ).write.parquet(str(empty_sf / "documents.parquet"))
+    assert stream_dedup_ingest(spark, str(empty_sf)).count() == 0
+
+    neg_sf = tmp_path / "neg_sf"
+    os.makedirs(neg_sf)
+    spark.sql(
+        "SELECT id - 5 AS doc_id, concat('doc text ', id) AS text,"
+        " 'src' AS source FROM range(40)"
+    ).write.parquet(str(neg_sf / "documents.parquet"))
+    got = stream_dedup_ingest(spark, str(neg_sf))
+    ids = sorted(r["doc_id"] for r in got.collect())
+    # every 10th id becomes the seeded duplicate block; min id wins.
+    # negative ids must be PRESENT (they used to fall between shards)
+    assert ids[0] == -5
+    expected = sorted(
+        {i - 5 for i in range(40)}
+        - {i - 5 for i in range(40) if (i - 5) % 10 == 0}
+        | {min(i - 5 for i in range(40) if (i - 5) % 10 == 0)}
+    )
+    assert ids == expected
