@@ -17,6 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from vector_search_application_spark.plans.registry import REGISTRY
+from vector_search_application_spark.plans.registry_core import (
+    ensure_curated,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,8 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    ensure_curated()  # raises on a typo'd/undeclared DRIVER_WINDOW name
     return {d.name: d.spark for d in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
+    ensure_curated()
     return {d.name: d.sql for d in REGISTRY if d.sql is not None}

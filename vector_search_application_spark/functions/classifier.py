@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .text import WS_CLASS
+from .text import WS_CLASS, duck_ws_strip_sql, ws_strip_upper
 
 KNOWN_PREFIXES = (
     "RAD|PIP|MIL|LIN|NOR|MSA|ESA|HYP|KOI|WBU|CBR|HOU|BOS|VIC|AMS|E57|NI"
@@ -51,14 +51,12 @@ _SHORT_PENALTY = -1                                   # < 5 chars
 
 
 def _cleaned(q: Column) -> Column:
-    # regexp strip, not trim: trim removes only spaces, and a trailing
-    # newline is where Java and RE2 regex semantics part ways (Java '$'
-    # matches before a final line terminator, RE2 does not) — stripping
-    # ALL edge whitespace keeps the two engines decision-identical.
-    # WS_CLASS spelled out, not \s: Java \s includes \x0B, RE2's does
-    # not (functions/text.py:25) — a VT-edged query would otherwise
-    # clean differently per engine.
-    return F.upper(F.regexp_replace(q, rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", ""))
+    # the shared pinned-class strip (text.ws_strip_upper): trim removes
+    # only spaces, and a trailing newline is where Java and RE2 regex
+    # semantics part ways (Java '$' matches before a final line
+    # terminator, RE2 does not) — stripping ALL edge whitespace keeps
+    # the two engines decision-identical.
+    return ws_strip_upper(q)
 
 
 def partno_score(q: Column) -> Column:
@@ -83,11 +81,8 @@ def is_part_number(q: Column) -> Column:
 
 
 def _sql_cleaned(expr: str) -> str:
-    # twin of _cleaned — same spelled-out whitespace class
-    return (
-        f"upper(regexp_replace({expr},"
-        f" '^[{WS_CLASS}]+|[{WS_CLASS}]+$', '', 'g'))"
-    )
+    # twin of _cleaned — both halves come from functions/text.py
+    return f"upper({duck_ws_strip_sql(expr)})"
 
 
 def partno_score_sql(expr: str) -> str:

@@ -31,6 +31,32 @@ WS_CLASS = r"\t\n\x0B\f\r "
 # twins unless the set is pinned here too).
 WS_CHARS = "\t\n\x0b\f\r "
 
+
+def duck_ws_strip_sql(expr: str) -> str:
+    """The DuckDB-SQL twin of ``value.strip(WS_CHARS)``: strip the
+    pinned whitespace class from both ends. Every oracle that pairs
+    with a Python/Spark strip interpolates THIS fragment instead of
+    hand-spelling the class, so a change to the pinned set can never
+    drift the engine and oracle halves apart ('g' is DuckDB's
+    replace-all flag — this fragment is for oracle SQL, not
+    Spark SQL)."""
+    return (
+        f"regexp_replace({expr}, '^[{WS_CLASS}]+|[{WS_CLASS}]+$', '', 'g')"
+    )
+
+
+def ws_strip_upper(col: Column) -> Column:
+    """The Spark twin of ``upper(duck_ws_strip_sql(...))``: strip the
+    pinned whitespace class from both ends, then uppercase. Every
+    Spark-side query cleaner paired with that oracle fragment calls
+    THIS (classifier._cleaned, exact.exact_match_batch) so the two
+    halves can only change together. regexp strip, not F.trim or \\s:
+    Java \\s includes \\x0B, RE2's does not, and trim strips only
+    ASCII space."""
+    return F.upper(
+        F.regexp_replace(col, rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", "")
+    )
+
 # regex-token pattern: word / number / single symbol (BPE-ish
 # pre-tokenizer). Whitespace is excluded from the symbol branch —
 # counting every tab/newline as a token skewed n_re_tokens by ~2 per

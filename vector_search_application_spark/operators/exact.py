@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import WS_CHARS, WS_CLASS
+from ..functions.text import WS_CHARS, WS_CLASS, ws_strip_upper
 from ..plans.constants import EXACT_PRIMARY_SCORE, EXACT_SECONDARY_SCORE
 
 
@@ -86,6 +86,45 @@ def exact_cascade(
     )
 
 
+def exact_match_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    field: str,
+    score: float,
+    limit: int = 10,
+    id_col: str = "id",
+    qid_col: str = "query_id",
+    q_col: str = "q",
+) -> DataFrame:
+    """One exact-equality branch over a BATCH of query strings: clean
+    each query, broadcast-probe ``field``, per-query limit in id order.
+    The cascade composes two of these with a primary-hit gate; callers
+    needing only one field (e.g. the fusion exact branch) use this
+    directly instead of building the second branch just to filter it
+    away."""
+    qs = queries.select(
+        F.col(qid_col).alias("query_id"),
+        # the shared pinned-class strip (text.ws_strip_upper):
+        # str.strip() fidelity for queries carrying tabs/newlines,
+        # oracle twin duck_ws_strip_sql — one module owns both halves
+        ws_strip_upper(F.col(q_col)).alias("__q"),
+    )
+    matched = df.join(
+        F.broadcast(qs), F.col(field) == F.col("__q"), "inner"
+    ).select(
+        "query_id",
+        F.col(id_col),
+        F.lit(score).alias("score"),
+        F.lit(field).alias("matched_field"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc(id_col))
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .drop("__rn")
+    )
+
+
 def exact_cascade_batch(
     df: DataFrame,
     queries: DataFrame,
@@ -112,36 +151,14 @@ def exact_cascade_batch(
     a broadcast left-anti join on the query id — the batch twin of the
     single query's broadcast 1-row count gate.
     """
-    qs = queries.select(
-        F.col(qid_col).alias("query_id"),
-        # regexp strip, not F.trim: str.strip() fidelity for queries
-        # carrying tabs/newlines (oracle twin: regexp_replace in SQL).
-        # WS_CLASS spelled out — Java \s vs RE2 \s differ on \x0B.
-        F.upper(
-            F.regexp_replace(
-                F.col(q_col), rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", ""
-            )
-        ).alias("__q"),
+    primary = exact_match_batch(
+        df, queries, primary_field, EXACT_PRIMARY_SCORE,
+        limit, id_col, qid_col, q_col,
     )
-
-    def branch(field: str, score: float) -> DataFrame:
-        matched = df.join(
-            F.broadcast(qs), F.col(field) == F.col("__q"), "inner"
-        ).select(
-            "query_id",
-            F.col(id_col),
-            F.lit(score).alias("score"),
-            F.lit(field).alias("matched_field"),
-        )
-        w = Window.partitionBy("query_id").orderBy(F.asc(id_col))
-        return (
-            matched.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= limit)
-            .drop("__rn")
-        )
-
-    primary = branch(primary_field, EXACT_PRIMARY_SCORE)
-    secondary = branch(secondary_field, EXACT_SECONDARY_SCORE)
+    secondary = exact_match_batch(
+        df, queries, secondary_field, EXACT_SECONDARY_SCORE,
+        limit, id_col, qid_col, q_col,
+    )
     primary_hit_qids = primary.select("query_id").distinct()
     gated_secondary = secondary.join(
         F.broadcast(primary_hit_qids), "query_id", "left_anti"

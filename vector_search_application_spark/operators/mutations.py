@@ -31,6 +31,33 @@ from pyspark.sql import functions as F
 
 NULL_FIELD_MARK = "n"  # can't open a non-null encoding (digit-first)
 
+# column types whose cast-to-string rendering is identical in Spark and
+# DuckDB. Doubles are NOT here (Spark '1.0E9' vs DuckDB '1000000000.0',
+# plans/corpus.py), nor timestamps/decimals/arrays — a caller hashing
+# one would silently drift the Spark hash from the _HASH_SQL oracle twin.
+HASHABLE_TYPES = {
+    "string", "tinyint", "smallint", "int", "bigint", "date", "boolean",
+}
+
+
+def check_hash_cols(df: DataFrame, cols: list[str]) -> None:
+    """Reject hash columns whose string rendering diverges across
+    engines — the drift would be invisible to both (each engine is
+    self-consistent) until the oracle comparison silently checks two
+    different hashes. Only the ORACLE-PAIRED call sites
+    (plans/registry_mutations) need this; Spark-only hash-to-hash
+    comparisons (delta_classify) are engine-consistent by construction
+    and take any type whose dtypes match on both sides."""
+    bad = [
+        (c, t) for c, t in df.select(*cols).dtypes if t not in HASHABLE_TYPES
+    ]
+    if bad:
+        raise TypeError(
+            f"content_hash columns with engine-divergent string "
+            f"renderings: {bad} — cast to a {sorted(HASHABLE_TYPES)} "
+            f"type (with an explicit, documented format) first"
+        )
+
 
 def content_hash(cols: list[str]) -> Column:
     """T4/C5: sha256 over a fixed field order (the reference hashes
@@ -45,7 +72,12 @@ def content_hash(cols: list[str]) -> Column:
     impossible, with ONE hash pass instead of the per-field-md5
     encoding's N+1 (that fix was correct but ~60% slower on the
     upsert family). The DuckDB twin is
-    plans/registry_mutations._HASH_SQL — change both together."""
+    plans/registry_mutations._HASH_SQL — change both together.
+
+    Columns must be HASHABLE_TYPES (validated by check_hash_cols at
+    the df-aware call sites): each field is encoded via cast('string')
+    vs the twin's ::VARCHAR, and only those types render identically
+    in both engines."""
     parts = []
     for c in cols:
         s = F.col(c).cast("string")
@@ -84,6 +116,23 @@ def delta_classify(
     import skips them (app/services/document_service.py:391-421).
     One full-outer join on the key; hashes computed map-side.
     """
+    # both hashes are Spark-rendered, so ANY column type is
+    # self-consistent — but only if old and new agree on it: a bigint-5
+    # vs double-5.0 pair renders '5' vs '5.0' and every such row would
+    # silently classify as 'update'
+    o_types = dict(old.select(*hash_cols).dtypes)
+    n_types = dict(new.select(*hash_cols).dtypes)
+    mismatched = [
+        (c, o_types[c], n_types[c])
+        for c in hash_cols
+        if o_types[c] != n_types[c]
+    ]
+    if mismatched:
+        raise TypeError(
+            f"delta_classify hash columns typed differently in old vs "
+            f"new (col, old, new): {mismatched} — align the schemas "
+            f"(explicit read schema / cast) before classifying"
+        )
     o = old.select(F.col(key), content_hash(hash_cols).alias("old_hash"))
     n = new.select(F.col(key), content_hash(hash_cols).alias("new_hash"))
     joined = o.join(n, key, "full_outer")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
+from ..functions import text as T
 from ..operators import bm25, exact, fusion, topk
 from . import corpus, sqlfrag
 from .constants import (
@@ -435,9 +436,9 @@ def q_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q1/F5 — exact-match cascade over products
 # ---------------------------------------------------------------------------
 
-_CASCADE_QS_CTE = """
+_CASCADE_QS_CTE = f"""
 qs AS (
-    SELECT upper(replace(p_brand, '#', '')) || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END AS q
+    SELECT upper(replace(p_brand, '#', '')) || {corpus.PADDED_KEY_SQL} AS q
     FROM part WHERE p_partkey = 123
 )
 """.strip()
@@ -451,14 +452,14 @@ prim AS (
     SELECT id, 1.0::DOUBLE AS score,
            'partNumber_airgas_text' AS matched_field
     FROM products, qs
-    WHERE partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
+    WHERE partNumber_airgas_text = upper({T.duck_ws_strip_sql('qs.q')})
     ORDER BY id ASC LIMIT 10
 ),
 sec AS (
     SELECT id, 0.9::DOUBLE AS score,
            'manufacturerPartNumber_text' AS matched_field
     FROM products, qs
-    WHERE manufacturerPartNumber_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
+    WHERE manufacturerPartNumber_text = upper({T.duck_ws_strip_sql('qs.q')})
     ORDER BY id ASC LIMIT 10
 )
 SELECT * FROM prim
@@ -536,7 +537,7 @@ qt AS (
 exact_br AS (
     SELECT id, 1.0::DOUBLE AS score, 'exact' AS search_type
     FROM products, qs
-    WHERE partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
+    WHERE partNumber_airgas_text = upper({T.duck_ws_strip_sql('qs.q')})
     ORDER BY id ASC LIMIT 10
 ),
 unioned AS (
@@ -783,8 +784,8 @@ qs AS (
     SELECT p_partkey AS query_id,
            CASE WHEN p_partkey <= {CASCADE_BATCH_PRIMARY_N}
                 THEN upper(replace(p_brand, '#', ''))
-                     || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END
-                ELSE CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END END AS q
+                     || {corpus.PADDED_KEY_SQL}
+                ELSE {corpus.PADDED_KEY_SQL} END AS q
     FROM part WHERE p_partkey <= {CASCADE_BATCH_N}
     UNION ALL
     SELECT {CASCADE_BATCH_N + 1} AS query_id, 'NONEXISTENT123' AS q
@@ -804,7 +805,7 @@ prim AS (
                row_number() OVER (
                    PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
         FROM products p JOIN qs
-          ON p.partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
+          ON p.partNumber_airgas_text = upper({T.duck_ws_strip_sql('qs.q')})
     ) WHERE rn <= 10
 ),
 sec AS (
@@ -815,7 +816,7 @@ sec AS (
                row_number() OVER (
                    PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
         FROM products p JOIN qs
-          ON p.manufacturerPartNumber_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
+          ON p.manufacturerPartNumber_text = upper({T.duck_ws_strip_sql('qs.q')})
     ) WHERE rn <= 10
 )
 SELECT * FROM prim
@@ -872,7 +873,7 @@ WITH {corpus.PRODUCTS_CTE},
 qs AS (
     SELECT p_partkey AS query_id,
            upper(replace(p_brand, '#', ''))
-               || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END AS q
+               || {corpus.PADDED_KEY_SQL} AS q
     FROM part WHERE p_partkey <= {FUSION_BATCH_NQ}
 ),
 exact_b AS (
@@ -882,7 +883,7 @@ exact_b AS (
                row_number() OVER (
                    PARTITION BY qs.query_id ORDER BY p.id ASC) AS rn
         FROM products p JOIN qs
-          ON p.partNumber_airgas_text = upper(regexp_replace(qs.q, '^[\\t\\n\\x0B\\f\\r ]+|[\\t\\n\\x0B\\f\\r ]+$', '', 'g'))
+          ON p.partNumber_airgas_text = upper({T.duck_ws_strip_sql('qs.q')})
     ) WHERE rn <= 10
 ),
 qterms_b AS (
@@ -947,13 +948,12 @@ def q_fusion_max_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus.padded_key(F.col("p_partkey")),
         ).alias("q"),
     )
-    exact_br = (
-        exact.exact_cascade_batch(
-            prods, qs, "partNumber_airgas_text", "manufacturerPartNumber_text"
-        )
-        .filter(F.col("matched_field") == "partNumber_airgas_text")
-        .select("query_id", "id", "score", F.lit("exact").alias("search_type"))
-    )
+    # primary-only batch match, NOT the full cascade filtered down: the
+    # oracle has no secondary branch, and building one just to discard
+    # it constructs a corpus probe + window + anti-join of pure waste
+    exact_br = exact.exact_match_batch(
+        prods, qs, "partNumber_airgas_text", exact.EXACT_PRIMARY_SCORE
+    ).select("query_id", "id", "score", F.lit("exact").alias("search_type"))
     qterms = part.filter(F.col("p_partkey") <= FUSION_BATCH_NQ).select(
         F.col("p_partkey").alias("query_id"),
         F.explode(F.array_distinct(P.tokens(F.col("p_name")))).alias("term"),
@@ -1027,15 +1027,11 @@ DRIVER_WINDOW = [
 ]
 
 
-def _curate_window() -> None:
-    assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-    declared = {d.name for d in REGISTRY}
-    missing = [n for n in DRIVER_WINDOW if n not in declared]
-    assert not missing, f"DRIVER_WINDOW names not in REGISTRY: {missing}"
-    pos = {n: i for i, n in enumerate(DRIVER_WINDOW)}
-    # stable sort: windowed queries first in curated order, the rest keep
-    # their declaration order after the window
-    REGISTRY.sort(key=lambda d: pos.get(d.name, len(pos)))
+# curation lives in registry_core: it applies as soon as every
+# windowed name is declared, which in the sibling-first import
+# direction is AFTER this module's body ends (the sibling's remaining
+# declares retry it). Consumers of the curated order call
+# registry_core.ensure_curated(), which raises on a typo'd name.
+from .registry_core import set_driver_window  # noqa: E402
 
-
-_curate_window()
+set_driver_window(DRIVER_WINDOW)

@@ -21,13 +21,16 @@
 from __future__ import annotations
 
 import os
-import tempfile
+
+# atexit-registered scratch: a bare mkdtemp left an O(corpus) temp
+# copy behind on every gate/bench execution of these roundtrip queries
+from ..streaming.ingest import _scratch_dir  # noqa: E402
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..functions.text import WS_CHARS
+from ..functions.text import WS_CHARS, duck_ws_strip_sql
 from . import corpus
 from .constants import K, PREVIEW_K, QUERY_VEC_ID
 from .registry import (
@@ -54,7 +57,7 @@ def q_json_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Export the documents table to JSON (S6: ordered projection,
     distributed write) and scan it back (S1); the oracle reads the
     source parquet, so the JSON roundtrip must be lossless."""
-    out = os.path.join(tempfile.mkdtemp(prefix="json_roundtrip_"), "docs")
+    out = os.path.join(_scratch_dir("json_roundtrip_"), "docs")
     docs = corpus.docs(spark, sf_dir).select(*_DOC_COLS)
     docs.write.mode("overwrite").json(out)
     # explicit schema: skips the inference double-read, pins types
@@ -95,7 +98,7 @@ def q_directory_import_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     export -> array-parse -> table roundtrip must be lossless."""
     from ..sources import json_source
 
-    work = tempfile.mkdtemp(prefix="dir_import_")
+    work = _scratch_dir("dir_import_")
     imp, table = os.path.join(work, "import"), os.path.join(work, "table")
     docs = corpus.docs(spark, sf_dir).select(*_DOC_COLS)
     _write_doc_json_arrays(docs, imp)
@@ -141,7 +144,7 @@ def q_export_sharded_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     as nulls under the explicit read schema."""
     from ..sources import json_source
 
-    out = os.path.join(tempfile.mkdtemp(prefix="sharded_export_"), "products")
+    out = os.path.join(_scratch_dir("sharded_export_"), "products")
     prods = corpus.products(spark, sf_dir)
     _, n = json_source.export_documents_sharded(
         prods, out, order_cols=_PRODUCT_EXPORT_COLS
@@ -181,7 +184,7 @@ def q_targz_import(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import json_source
 
-    work = tempfile.mkdtemp(prefix="targz_import_")
+    work = _scratch_dir("targz_import_")
     imp = os.path.join(work, "inner")
     docs = corpus.docs(spark, sf_dir).select(*_DOC_COLS)
     _write_doc_json_arrays(docs, imp)
@@ -374,7 +377,7 @@ qs AS (
 )
 SELECT id, partNumber_airgas_text, 1.0::DOUBLE AS score
 FROM products, qs
-WHERE partNumber_airgas_text = upper(trim(qs.q))
+WHERE partNumber_airgas_text = upper({duck_ws_strip_sql('qs.q')})
 """,
     survey_ids="I4,I5",
 )
@@ -393,10 +396,10 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sources.py."""
     from ..sources import layout
 
-    work = os.path.join(tempfile.mkdtemp(prefix="payload_idx_"), "products")
+    work = os.path.join(_scratch_dir("payload_idx_"), "products")
     prods = corpus.products(spark, sf_dir)
     layout.write_bucketed(prods, work, "partNumber_airgas_text")
-    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    part = corpus._read(spark, sf_dir, "part")
     q = (
         part.filter(F.col("p_partkey") == 123)
         .select(

@@ -88,6 +88,9 @@ FROM documents
 )
 def q_doc_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.docs(spark, sf_dir)
+    # oracle-paired: the whitelist rejects types whose cast('string')
+    # rendering diverges from the _HASH_SQL twin's ::VARCHAR
+    mutations.check_hash_cols(docs, DOC_COLS)
     return docs.select(
         "doc_id", mutations.content_hash(DOC_COLS).alias("content_hash")
     )
@@ -138,6 +141,7 @@ def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = mutations.upsert(
         corpus.docs(spark, sf_dir), new_docs(spark, sf_dir), "doc_id"
     )
+    mutations.check_hash_cols(merged, DOC_COLS)
     return merged.select(
         "doc_id", mutations.content_hash(DOC_COLS).alias("content_hash")
     )
