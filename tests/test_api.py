@@ -371,3 +371,41 @@ def test_reset_leaves_engine_serviceable(spark):
     after = [r["id"] for r in e.search_ultra_fast("large widget", 5).collect()]
     assert after == before
     e.reset()
+
+
+def test_load_data_duplicate_id_last_wins(engine, tmp_path):
+    """An upload repeating an _id must leave exactly ONE served row
+    (the reference's Qdrant upsert applies points in order — last
+    wins). Two rows would double the id in search results, pool both
+    docs into one dense vector, and make BM25's doc_len run-dependent."""
+    docs = [
+        {"partNumber_airgas_text": "DUP0000001",
+         "shortDescription_airgas_text": "first version"},
+        {"partNumber_airgas_text": "DUP0000001",
+         "shortDescription_airgas_text": "second version"},
+    ]
+    src = tmp_path / "dup_upload.json"
+    src.write_text(json.dumps(docs))
+    engine.load_data(str(src), str(tmp_path / "dup_table"))
+    served, _, _ = engine._snapshot()
+    rows = served.filter(
+        F.col("partNumber_airgas_text") == "DUP0000001"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["shortDescription_airgas_text"] == "second version"
+
+
+def test_embed_postings_drops_null_ids(spark):
+    """A doc without an id cannot be indexed (same rule as the BM25
+    postings pair): without the filter every NULL-id doc's tokens sum
+    into ONE phantom dense entry that outranks real results and joins
+    to no document."""
+    from vector_search_application_spark.functions import embedder as E
+
+    docs = spark.sql(
+        "SELECT CASE WHEN id < 2 THEN NULL ELSE id END AS doc_id,"
+        " 'shared phantom tokens' AS text FROM range(4)"
+    )
+    emb = E.embed_postings(docs, "doc_id", "text")
+    assert emb.filter(F.col("id").isNull()).count() == 0
+    assert emb.select("id").distinct().count() == 2

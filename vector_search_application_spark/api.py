@@ -224,27 +224,28 @@ class Engine:
         self._track(f"query_{mode}", (time.perf_counter() - t0) * 1000)
         return out
 
-    def search_ultra_fast(self, q: str, count: int = 10) -> DataFrame:
+    def _tracked_dense(self, bucket: str, q: str, count: int) -> DataFrame:
+        """One copy of the dense serving body for the three aliased
+        endpoints (the reference keeps them as distinct routes with
+        their own perf buckets; compare() promises identical results,
+        so the logic must not fork per alias)."""
         t0 = time.perf_counter()
         out = self._dense_branch(q, count).localCheckpoint(eager=True)
-        self._track("ultra_fast", (time.perf_counter() - t0) * 1000)
+        self._track(bucket, (time.perf_counter() - t0) * 1000)
         return out
 
+    def search_ultra_fast(self, q: str, count: int = 10) -> DataFrame:
+        return self._tracked_dense("ultra_fast", q, count)
+
     def search_lean(self, q: str, count: int = 10) -> DataFrame:
-        t0 = time.perf_counter()
-        out = self._dense_branch(q, count).localCheckpoint(eager=True)
-        self._track("lean", (time.perf_counter() - t0) * 1000)
-        return out
+        return self._tracked_dense("lean", q, count)
 
     def search_really_fast(self, q: str, count: int = 10) -> DataFrame:
         """GET /api/search/really-fast: the reference keeps this as a
         backward-compatibility alias of ultra-fast (its own docstring,
         app/api/endpoints/search.py:257-262) — same dense path, its own
         perf-stats bucket."""
-        t0 = time.perf_counter()
-        out = self._dense_branch(q, count).localCheckpoint(eager=True)
-        self._track("really_fast", (time.perf_counter() - t0) * 1000)
-        return out
+        return self._tracked_dense("really_fast", q, count)
 
     def optimize(self) -> dict:
         """POST /api/search/optimize (reference
@@ -463,6 +464,22 @@ class Engine:
             # path applies
             loaded = json_source.transform_products(loaded)
         loaded = loaded.select(*old_products.columns)
+        # an id may repeat WITHIN one upload; the reference's Qdrant
+        # upsert applies points in order so the LAST wins. Without
+        # this both rows land in the served corpus: search returns
+        # the id twice, embed_postings sums both docs into one
+        # phantom vector, and build_postings' first('doc_len') turns
+        # BM25 run-dependent. __seq is the scratch table's read order
+        # (array order for the single-file upload path).
+        from pyspark.sql import Window as _W
+
+        w_last = _W.partitionBy("id").orderBy(F.desc("__seq"))
+        loaded = (
+            loaded.withColumn("__seq", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w_last))
+            .filter(F.col("__rn") == 1)
+            .drop("__seq", "__rn")
+        )
         merged = loaded.unionByName(
             old_products.join(
                 loaded.select("id").distinct(), "id", "left_anti"

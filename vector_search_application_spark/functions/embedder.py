@@ -74,7 +74,12 @@ def embed_postings(
             "sign bit (bit 6) is only independent of the dim index below "
             "that bound — see hash_sign"
         )
-    toks = docs.select(
+    # NULL ids are unindexable (T5: the reference requires _id at
+    # upload) — same exclusion as bm25.build_postings; without it
+    # groupBy treats every NULL-id doc as ONE group, pooling their
+    # tokens into a phantom dense-index entry that can outrank real
+    # top-k rows and joins to no document
+    toks = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(P.tokens(F.col(text_col))).alias("term"),
     )
@@ -102,8 +107,11 @@ def embed_postings_cte(
     h = P.md5_long_sql("term")
     return f"""
 {name}_tok AS (
+    -- NULL ids are unindexable (same exclusion as the engine's
+    -- embed_postings and the BM25 postings pair)
     SELECT {id_expr} AS id, unnest({P.tokens_sql(text_expr)}) AS term
     FROM {source}
+    WHERE {id_expr} IS NOT NULL
 ),
 {name}_sums AS (
     SELECT id, {hash_dim_sql(h, dim)} AS dim,

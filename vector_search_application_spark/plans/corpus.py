@@ -88,7 +88,7 @@ def ts_us(df: DataFrame, col: str = "ts") -> Column:
         )
     if isinstance(dt, TimestampNTZType):
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
         )
     if isinstance(dt, TimestampType):
         return F.unix_micros(F.col(col))
@@ -166,17 +166,17 @@ def products(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRODUCTS_CTE = f"""
 products_stage AS (
     SELECT
-        upper(replace(p_brand, '#', '')) || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END
+        upper(replace(p_brand, '#', '')) || {PADDED_KEY_SQL}
             AS partNumber_airgas_text,
         CASE WHEN p_partkey % {MFR_NULL_MOD} <> 0
-             THEN CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END END
+             THEN {PADDED_KEY_SQL} END
             AS manufacturerPartNumber_text,
         CASE WHEN p_partkey % {DESC_NULL_MOD} <> 7 THEN p_name END
             AS shortDescription_airgas_text,
         round(p_retailprice, 2)::DECIMAL(18,2)::VARCHAR AS onlinePrice_string,
         CASE WHEN p_partkey % {IMG_NULL_MOD} <> 3
              THEN '/images/' || upper(replace(p_brand, '#', ''))
-                  || CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR ELSE lpad(p_partkey::VARCHAR, 7, '0') END || '.jpg' END
+                  || {PADDED_KEY_SQL} || '.jpg' END
             AS img_270Wx270H_string
     FROM part
 ),
