@@ -76,7 +76,13 @@ def embed_map_in_pandas(
                 "(reference scripts/indexing.py:326-340)"
             ) from e
 
-    narrowed = docs.select(docs[id_col].alias("id"), docs[text_col].alias("t"))
+    # NULL ids are unindexable — same exclusion as the declarative
+    # embed_postings this stage must stay row-compatible with (a
+    # NULL-id doc's postings would pool into one phantom entry in any
+    # downstream groupBy('id'))
+    narrowed = docs.filter(docs[id_col].isNotNull()).select(
+        docs[id_col].alias("id"), docs[text_col].alias("t")
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

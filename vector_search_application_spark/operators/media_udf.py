@@ -24,6 +24,8 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame
 
+from ..functions.portable import round_half_up as _round_half_up
+
 
 def _require(lib: str):
     raise NotImplementedError(
@@ -59,7 +61,10 @@ def image_features(media: DataFrame, backend: str = "fake") -> DataFrame:
                 px = np.frombuffer(blob or b"", dtype=np.uint8)
                 px = np.pad(px[:n], (0, max(0, n - len(px))))
                 ids.append(i)
-                means.append(round(float(px.mean()), 6) if n else 0.0)
+                # HALF_UP, not Python round()'s banker's rounding —
+                # the repo-wide discipline for floats meant to match
+                # engine rounding (see embed_udf._round_half_up note)
+                means.append(_round_half_up(float(px.mean())) if n else 0.0)
                 mins.append(int(px.min()) if n else 0)
                 maxs.append(int(px.max()) if n else 0)
             yield pd.DataFrame(

@@ -207,9 +207,20 @@ def versioned_tables(
     history = every superseded version, id'd ``{key}_v{version}``,
               key column replaced by ``original_id``
 
-    One window pass derives both; at scale this is a single shuffle on
-    the key, and the two writes partition the same scan."""
-    v = with_versions(events, key, order_cols)
+    One window pass derives both. NOTE: two separate write ACTIONS on
+    the returned frames each re-run the scan+window — a caller writing
+    both tables should materialize the shared base once
+    (with_versions(...).localCheckpoint(eager=True)) and derive via
+    versioned_tables_from, as q_version_archive does."""
+    return versioned_tables_from(with_versions(events, key, order_cols), key)
+
+
+def versioned_tables_from(
+    v: DataFrame, key: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (main, history) pair from an already-built with_versions
+    frame — lets callers materialize the expensive window once and
+    feed both table writes from it."""
     main = v.filter(F.col("is_current")).drop("is_current")
     history = (
         v.filter(~F.col("is_current"))

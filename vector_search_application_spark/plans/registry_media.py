@@ -29,10 +29,9 @@ def q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {M.MEDIA_CORPUS_CTE},
 feat AS (
-    SELECT media_type,
-           md5(lower(hex(content))) AS digest,
-           octet_length(content)::BIGINT AS n_bytes
-    FROM media
+    -- projection over the ONE byte-feature fragment (the digest
+    -- derivation has a subtle hex-encoding rationale; no third copy)
+    SELECT media_type, digest, n_bytes FROM ({M.BYTE_FEATURES_SQL})
 )
 SELECT media_type,
        count(*)::BIGINT AS n_assets,

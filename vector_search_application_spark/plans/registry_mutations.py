@@ -263,9 +263,14 @@ def q_version_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = corpus._read(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
-    main, history = mutations.versioned_tables(
+    # materialize the versioning window ONCE: the main and history
+    # writes are separate actions and would otherwise each re-run the
+    # full scan+window shuffle (localCheckpoint blocks are freed by
+    # the ContextCleaner when the RDD drops out of scope)
+    v = mutations.with_versions(
         events, "user_id", ["ts", "event_id"]
-    )
+    ).localCheckpoint(eager=True)
+    main, history = mutations.versioned_tables_from(v, "user_id")
     work = _scratch_dir("version_pair_")
     main_dir = _os.path.join(work, "events_main")
     hist_dir = _os.path.join(work, "events_history")

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import classifier, portable as P, scalars
-from ..operators import topk
+from ..operators import fusion, topk
 from . import corpus
 from .registry import FUSION_BLOCK, declare, q_fusion_max_dedup
 
@@ -46,7 +46,7 @@ WITH inputs AS (
     SELECT unnest([{', '.join("'" + s.replace("'", "''") + "'" for s in CLASSIFIER_LITERALS)}])
         AS query_text
     UNION ALL
-    SELECT upper(replace(p_brand, '#', '')) || lpad(p_partkey::VARCHAR, 7, '0')
+    SELECT upper(replace(p_brand, '#', '')) || {corpus.PADDED_KEY_SQL}
     FROM part WHERE p_partkey < 10
     UNION ALL
     SELECT p_name FROM part WHERE p_partkey < 10
@@ -146,15 +146,7 @@ def q_search_details_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fused list is K rows, so the payload join broadcasts the list
     side — at 100 TB the products table is never shuffled for a lookup."""
     fused = q_fusion_max_dedup(spark, sf_dir)
-    w = Window.partitionBy()
-    s = F.col("score")
-    lo, hi = F.min(s).over(w), F.max(s).over(w)
-    normed = fused.withColumn(
-        "norm_score",
-        P.rounded(
-            F.when(hi == lo, F.lit(1.0)).otherwise((s - lo) / (hi - lo))
-        ),
-    )
+    normed = fusion.normalize_scores(fused, "min_max", "id")
     prods = corpus.products(spark, sf_dir)
     return prods.join(F.broadcast(normed), "id").select(
         scalars.normalize_image_url(F.col("img_270Wx270H_string")).alias("image"),

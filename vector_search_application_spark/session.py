@@ -19,6 +19,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
 ) -> SparkSession:
     active = SparkSession.getActiveSession()
+    if active is None:
+        # getActiveSession is JVM-thread-local: a session created on
+        # another thread (conftest's, the HTTP shim's) is visible only
+        # through the default slot. Without this, the builder path
+        # below would "create" a session that getOrCreate actually
+        # reuses — while applying EVERY builder option to it,
+        # clobbering e.g. the creator's shuffle_partitions=8 with 32
+        active = getattr(SparkSession, "_instantiatedSession", None)
     if active is not None:
         # an explicit shuffle_partitions must take effect even on a
         # reused session — it is a runtime conf, and a bench or test
@@ -34,7 +42,10 @@ def get_spark(
     # environment; pin everything to 127.0.0.1.
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sp = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+    sp = shuffle_partitions
+    if sp is None:
+        # SPARK_GRAFT_CPUS='*' is valid for local[*] but not int()
+        sp = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
     return (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
