@@ -309,6 +309,13 @@ def main(ks: list[int]) -> int:
             "candidate\ngeneration stayed bucketed (band keys, "
             "hyperplanes, centroids) — a\nquadratic blowup would show "
             "up here first.\n"
+            "`benchmark_decontaminate`'s ~83x is small-sample variance, "
+            "not sub-linear\ncandidates: its row count is contaminated "
+            "EVAL DOCS, and each renamed\nreplica re-draws the "
+            "hash-bucket train/test split over fresh doc_ids —\nthe x1 "
+            "draw (47) sits above the per-replica mean (~39-42). The "
+            "underlying\nshingle-collision join's hit pairs scale "
+            "linearly (the wall ratio is the\nreal signal).\n"
         )
         f.write(
             """
@@ -343,6 +350,11 @@ because BUCKET COUNT, not plan shape, is the quadratic term:
    general rule either way: band width must grow ~log2(N) to hold
    bucket occupancy constant (band count then buys recall back); at
    100 TB both are config knobs, not rewrites.
+
+Round 8 re-measured after removing jaccard_verify's per-pipeline
+shingle-size shuffle (sizes now come from size(shs) on the persisted
+array table — a per-row map): dedup_minhash_lsh 41.6s -> 28.4s and
+dedup_ngram_jaccard 30.6s -> 23.3s at x100, identical verified pairs.
 """
         )
     print(f"wrote {out}", file=sys.stderr)
