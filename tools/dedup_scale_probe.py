@@ -246,6 +246,10 @@ def main(ks: list[int]) -> int:
             shutil.rmtree(d, ignore_errors=True)
 
     kmax = max(results)
+    # column/ratio order must not depend on CLI argument order
+    ordered = sorted(results)
+    decon_x1 = results[ordered[0]]["benchmark_decontaminate"]["rows"]
+    decon_mean = results[kmax]["benchmark_decontaminate"]["rows"] / kmax
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING_DEDUP.md",
@@ -283,15 +287,15 @@ def main(ks: list[int]) -> int:
         )
         f.write(
             "| query | "
-            + " | ".join(f"x{k} sec" for k in results)
+            + " | ".join(f"x{k} sec" for k in ordered)
             + f" | x{kmax}/x1 | "
-            + " | ".join(f"x{k} rows" for k in results)
+            + " | ".join(f"x{k} rows" for k in ordered)
             + " | rows x{m}/x1 |\n".replace("{m}", str(kmax))
         )
         f.write("|---|" + "---|" * (2 * len(results) + 2) + "\n")
         for name in DEDUP_QUERIES:
-            secs = [results[k][name]["sec"] for k in results]
-            rows = [results[k][name]["rows"] for k in results]
+            secs = [results[k][name]["sec"] for k in ordered]
+            rows = [results[k][name]["rows"] for k in ordered]
             t_ratio = secs[-1] / secs[0] if secs[0] > 0 else float("inf")
             r_ratio = rows[-1] / rows[0] if rows[0] > 0 else float("inf")
             f.write(
@@ -309,13 +313,14 @@ def main(ks: list[int]) -> int:
             "candidate\ngeneration stayed bucketed (band keys, "
             "hyperplanes, centroids) — a\nquadratic blowup would show "
             "up here first.\n"
-            "`benchmark_decontaminate`'s ~83x is small-sample variance, "
-            "not sub-linear\ncandidates: its row count is contaminated "
-            "EVAL DOCS, and each renamed\nreplica re-draws the "
-            "hash-bucket train/test split over fresh doc_ids —\nthe x1 "
-            "draw (47) sits above the per-replica mean (~39-42). The "
-            "underlying\nshingle-collision join's hit pairs scale "
-            "linearly (the wall ratio is the\nreal signal).\n"
+            "`benchmark_decontaminate`'s row ratio drifts off Kx by "
+            "small-sample variance,\nnot sub-linear candidates: its row "
+            "count is contaminated EVAL DOCS, and each\nrenamed replica "
+            "re-draws the hash-bucket train/test split over fresh\n"
+            f"doc_ids — this run's x1 draw is {decon_x1} docs vs a "
+            f"per-replica mean of {decon_mean:.1f}\nat x{kmax}. The "
+            "underlying shingle-collision join's hit pairs scale "
+            "linearly\n(the wall ratio is the real signal).\n"
         )
         f.write(
             """

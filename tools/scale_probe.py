@@ -172,6 +172,19 @@ def build_scaled_dir(spark, out_dir: str, k: int) -> None:
         json.dump({"base": BASE, "k": k, "builder_version": BUILDER_VERSION}, f)
 
 
+def _table_counts(spark, sf_dir: str) -> dict[str, int]:
+    """Actual row counts of the probed dir (parquet footer counts —
+    cheap), replacing the old hardcoded sf0.1-base arithmetic that went
+    silently wrong under SPARK_GRAFT_SF_DIR overrides."""
+    out = {}
+    for t in ("embeddings", "documents", "part", "events",
+              "lineitem", "orders", "customer"):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            out[t] = spark.read.parquet(path).count()
+    return out
+
+
 def main(ks: list[int]) -> int:
     # the x100 corpus (60M-row lineitem shuffles + the ~9.5M-row
     # complete-mode session state + MemorySink) does not fit the 8g
@@ -186,6 +199,7 @@ def main(ks: list[int]) -> int:
     spark = get_spark("scale-probe")
     by_name = {d.name: d.spark for d in REGISTRY}
     lines = []
+    built_dirs: dict[int, str] = {}  # k -> corpus dir (for counts/cleanup)
     results: dict[int, dict[str, float]] = {}
     stream_results: dict[int, dict[str, float | int]] = {}
     cal_results: dict[int, tuple[float, float]] = {}
@@ -221,8 +235,21 @@ def main(ks: list[int]) -> int:
             sf_dir = os.path.join(tempfile.mkdtemp(prefix=f"scale_probe_x{k}_"))
             t0 = time.perf_counter()
             build_scaled_dir(spark, sf_dir, k)
-            print(f"built x{k} corpus in {time.perf_counter()-t0:.1f}s",
-                  file=sys.stderr, flush=True)
+            built_dirs[k] = sf_dir
+            # print the path so SPARK_GRAFT_PROBE_DIR_X{k} reuse is
+            # actually usable; removed at exit unless KEEP is set (a
+            # leaked x100 corpus is tens of GB of /tmp per run)
+            keep = os.environ.get("SPARK_GRAFT_PROBE_KEEP") == "1"
+            print(
+                f"built x{k} corpus in {time.perf_counter()-t0:.1f}s at "
+                f"{sf_dir}"
+                + ("" if keep else
+                   " (removed at exit; SPARK_GRAFT_PROBE_KEEP=1 keeps it"
+                   f" for SPARK_GRAFT_PROBE_DIR_X{k} reuse)"),
+                file=sys.stderr, flush=True)
+            if not keep:
+                import atexit
+                atexit.register(shutil.rmtree, sf_dir, ignore_errors=True)
         # per-K machine-speed calibration (see calibration.py): the box
         # has 5-6x slow windows, so every K's timings carry the same-
         # loop calibration; a K whose cal ratio is far from 1 ran in a
@@ -453,10 +480,11 @@ def main(ks: list[int]) -> int:
             "by one trigger — the steady-state bound is open\nsessions "
             "of ~2 epochs, not the whole log), and final_state_rows is "
             "just the\nlast epoch's still-open sessions.\n")
-        f.write(f"\nRow counts at x{kmax}: embeddings {2000*kmax:,}, documents "
-                f"{5000*kmax:,}, part {20000*kmax:,}, events {100000*kmax:,}, "
-                f"lineitem {600000*kmax:,}, orders {150000*kmax:,}, "
-                f"customer {15000*kmax:,}.\n")
+        counted = _table_counts(spark, built_dirs.get(kmax) or
+                                os.environ.get(f"SPARK_GRAFT_PROBE_DIR_X{kmax}", BASE))
+        f.write("\nRow counts at x" + str(kmax) + ": "
+                + ", ".join(f"{t} {n:,}" for t, n in counted.items())
+                + ".\n")
         f.write("""
 Reading the ratios: x1 timings are dominated by fixed per-job costs
 (stage scheduling, broadcast builds), so a ratio far below the data
