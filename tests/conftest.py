@@ -40,7 +40,7 @@ def register_views(con, sf_dir: str) -> None:
         )
 
 
-def compare_spark_duckdb(sdf, con, sql: str, approx: bool = False):
+def compare_spark_duckdb(sdf, con, sql: str):
     """Mirror the driver's correctness gate: row count, schema (sorted
     column names), and order-insensitive value comparison."""
     spark_rows = sdf.collect()
@@ -68,10 +68,7 @@ def compare_spark_duckdb(sdf, con, sql: str, approx: bool = False):
     s_sorted = sorted(map(norm_s, spark_rows), key=_key)
     d_sorted = sorted(map(norm_d, duck_rows), key=_key)
     for i, (a, b) in enumerate(zip(s_sorted, d_sorted)):
-        if approx:
-            assert _approx_eq(a, b), f"row {i} mismatch:\n spark={a}\n duck ={b}"
-        else:
-            assert a == b, f"row {i} mismatch:\n spark={a}\n duck ={b}"
+        assert _eq(a, b), f"row {i} mismatch:\n spark={a}\n duck ={b}"
 
 
 def _norm(v):
@@ -80,13 +77,29 @@ def _norm(v):
     return v
 
 
+def _canon(x):
+    """Sort-key canonicalization: values that compare equal must sort
+    identically, or the zip pairing misaligns rows that actually match.
+    -0.0 stringifies differently from 0.0 (while -0.0 == 0.0), and NaN
+    never equals itself — both would scramble the str()-based sort."""
+    if isinstance(x, tuple):
+        return tuple(_canon(v) for v in x)
+    if isinstance(x, float):
+        if x != x:
+            return "__nan__"
+        return x + 0.0  # folds -0.0 onto 0.0
+    return x
+
+
 def _key(row):
-    return tuple((x is None, str(x)) for x in row)
+    return tuple((x is None, str(x)) for x in _canon(row))
 
 
-def _approx_eq(a, b, tol=1e-9):
-    if type(a) is tuple:
-        return len(a) == len(b) and all(_approx_eq(x, y, tol) for x, y in zip(a, b))
-    if isinstance(a, float) and isinstance(b, float):
-        return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+def _eq(a, b):
+    """== plus NaN == NaN (identical NaNs from both engines must not
+    fail the gate; a one-sided NaN still does)."""
+    if type(a) is tuple and type(b) is tuple:
+        return len(a) == len(b) and all(_eq(x, y) for x, y in zip(a, b))
+    if isinstance(a, float) and isinstance(b, float) and a != a and b != b:
+        return True
     return a == b

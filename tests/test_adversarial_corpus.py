@@ -19,14 +19,14 @@ from vector_search_application_spark.plans.registry import REGISTRY
 
 ADVERSARIAL_DOCS = [
     # (doc_id, text, lang, source, n_chars)
-    (0, "the quick brown fox jumps over the lazy dog", "en", "web", 44),
+    (0, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
     (1, "", "en", "web", 0),
     (2, "   \t  ", "en", "web", 6),
     (3, "naïve café résumé — émigré über straße", "fr", "web", 38),
     (4, "日本語のテキスト 中文文本 한국어", "ja", "web", 17),
     (5, "emoji 😀😀 and symbols @#$%^&*() mixed 123", "en", "web", 40),
     (6, "single", "en", "web", 6),
-    (7, "the quick brown fox jumps over the lazy dog", "en", "crawl", 44),  # dup of 0
+    (7, "the quick brown fox jumps over the lazy dog", "en", "crawl", 43),  # dup of 0
     (8, "UPPER lower MiXeD case TOKENS tokens", "en", "web", 36),
     (9, "a b a b a b a b a b a b a b", "en", "web", 27),
     (10, "x" * 500, "en", "web", 500),

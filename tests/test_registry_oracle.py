@@ -10,10 +10,14 @@ from vector_search_application_spark.plans.registry import REGISTRY
 FORBIDDEN_PLAN_NODES = (
     # Python-worker stages: the round driver's vanilla session hangs on
     # them (no loopback pinning) — declared plans must stay JVM-only
-    "BatchEvalPython",
-    "ArrowEvalPython",
-    "MapInPandas",
-    "FlatMapGroupsInPandas",
+    # generic needles, not an exhaustive node list: every Python-worker
+    # physical node on this Spark version contains one of these
+    # substrings (BatchEvalPython, ArrowEvalPython, MapInPandas,
+    # FlatMapGroupsInPandas, FlatMapCoGroupsInPandas, AggregateInPandas,
+    # WindowInPandas, MapInArrow/PythonMapInArrow, ...)
+    "EvalPython",
+    "InPandas",
+    "InArrow",
     # an unintended all-pairs join is a scale bug, always
     "CartesianProduct",
 )

@@ -58,12 +58,21 @@ def calibration_df(spark: SparkSession, start: int = 0):
     ).select(F.bit_xor(h).alias("h"))
 
 
+_warmed_sessions: set[int] = set()
+
+
 def calibration_secs(spark: SparkSession, reps: int = 3) -> list[float]:
     """Raw wall seconds per rep, each rep a fresh plan (distinct range
     start — see _rep_counter note). Callers persist these and derive
-    median/IQR; the first rep of a session includes codegen/JIT, so
-    run a throwaway ``calibration_df(spark).collect()`` first."""
+    median/IQR. The first call per session runs an UNTIMED throwaway
+    rep internally (codegen/JIT warmup) — previously a docstring
+    convention every caller had to remember, which a forgotten
+    throwaway silently violated by inflating rep 1."""
     global _rep_counter
+    sid = id(spark)
+    if sid not in _warmed_sessions:
+        calibration_df(spark).collect()
+        _warmed_sessions.add(sid)
     out = []
     for _ in range(reps):
         _rep_counter += 1
@@ -81,8 +90,13 @@ def median(xs: list[float]) -> float:
 
 
 def iqr(xs: list[float]) -> float:
+    """Interquartile range; refuses n < 4 rather than silently
+    returning the full range under the name 'iqr' (a range is ~2x more
+    outlier-sensitive — comparing it against prior rounds' quartile
+    spreads would misdiagnose exactly the machine-speed noise this
+    module exists to control for)."""
     s = sorted(xs)
     n = len(s)
     if n < 4:
-        return round(s[-1] - s[0], 4)
+        raise ValueError(f"iqr needs >= 4 samples, got {n}")
     return round(s[(3 * n) // 4] - s[n // 4], 4)

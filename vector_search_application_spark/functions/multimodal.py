@@ -36,9 +36,13 @@ def media_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     height apply to images/video, sample_rate to audio (NULL elsewhere
     — typed-metadata nullability is part of the schema under test).
     """
+    # pmod, not %: Spark % keeps the dividend's sign, so a negative
+    # doc_id would yield element_at index 0 (a hard error) where the
+    # DuckDB twin's [0] returns NULL — pmod keeps both engines on
+    # index 1..3 for every BIGINT id (oracle twin: ((id % 3)+3) % 3)
     t = F.element_at(
         F.array(*[F.lit(m) for m in MEDIA_TYPES]),
-        (F.col(id_col) % 3 + 1).cast("int"),
+        (F.pmod(F.col(id_col), F.lit(3)) + 1).cast("int"),
     )
     is_visual = t.isin("image", "video")
     return docs.select(
@@ -51,20 +55,26 @@ def media_corpus(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+# media_type derived ONCE in the inner select (no fourth copy of the
+# indexing expression to drift); ((doc_id % 3)+3) % 3 is the pmod twin
+# of the Spark side for negative ids
 MEDIA_CORPUS_CTE = """
 media AS (
     SELECT doc_id,
-           ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER] AS media_type,
+           media_type,
            encode(text) AS content,
-           CASE WHEN ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER]
-                     IN ('image', 'video')
+           CASE WHEN media_type IN ('image', 'video')
                 THEN (64 + (doc_id % 4) * 32)::INTEGER END AS width,
-           CASE WHEN ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER]
-                     IN ('image', 'video')
+           CASE WHEN media_type IN ('image', 'video')
                 THEN (48 + (doc_id % 3) * 16)::INTEGER END AS height,
-           CASE WHEN ['image', 'audio', 'video'][(doc_id % 3 + 1)::INTEGER]
-                     = 'audio' THEN 16000::INTEGER END AS sample_rate
-    FROM documents
+           CASE WHEN media_type = 'audio'
+                THEN 16000::INTEGER END AS sample_rate
+    FROM (
+        SELECT doc_id, text,
+               ['image', 'audio', 'video']
+                   [(((doc_id % 3) + 3) % 3 + 1)::INTEGER] AS media_type
+        FROM documents
+    )
 )
 """.strip()
 
