@@ -217,6 +217,7 @@ def test_python_plane_weights_match_engine_derivation(spark):
         for r in ann.plane_weights(spark, n_planes=4, dim=8).collect()
     }
     py = ann._py_plane_weights(4, 8)
+    assert len(got) == 4 * 8  # empty/partial weight table must not pass
     for (p, d), w in got.items():
         assert py[p][d - 1] == w
 

@@ -218,9 +218,13 @@ def test_quality_score_delegation_parity(spark):
     docs = corpus.docs(spark, SF_SMOKE)
     n = (
         docs.select(
+            # eqNullSafe: a delegation bug producing NULL for some
+            # rows makes (NULL != x) NULL, which sum() skips — the old
+            # != parity silently passed on one-sided NULLs
             (
-                T.quality_score(F.col("text"))
-                != T._quality_score_inline(F.col("text"))
+                ~T.quality_score(F.col("text")).eqNullSafe(
+                    T._quality_score_inline(F.col("text"))
+                )
             ).cast("int").alias("d")
         )
         .agg(F.sum("d").alias("n"))

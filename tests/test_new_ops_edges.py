@@ -11,7 +11,7 @@ from tests.conftest import SF_SMOKE
 from vector_search_application_spark.plans import corpus
 
 
-def test_sessionize_gap_boundary(spark):
+def test_sessionize_gap_boundary(spark, tmp_path):
     """An exactly-30-minute gap does NOT break a session (the break is
     strictly greater-than); one microsecond more does."""
     from vector_search_application_spark.plans.registry_streaming import (
@@ -19,8 +19,8 @@ def test_sessionize_gap_boundary(spark):
         q_event_sessionize,
     )
 
-    # build a tiny events parquet with controlled gaps
-    us = 1  # work in epoch-us, ts column stores nanos
+    # build a tiny events parquet with controlled gaps (ts stores
+    # nanos; the inline * 1000 below converts from epoch-us)
     rows = [
         # user 1: gap exactly SESSION_GAP_US -> same session
         (1, 1, "a", 0),
@@ -32,9 +32,8 @@ def test_sessionize_gap_boundary(spark):
     df = spark.createDataFrame(
         rows, "event_id bigint, user_id bigint, event_type string, ts bigint"
     )
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="sess_edge_")
+    d = str(tmp_path / "sess_edge")
+    os.makedirs(d)
     df.write.parquet(os.path.join(d, "events.parquet"))
     out = q_event_sessionize(spark, d)
     sessions = {
@@ -46,14 +45,13 @@ def test_sessionize_gap_boundary(spark):
     assert sessions == {1: 1, 2: 2}
 
 
-def test_median_even_and_odd_groups(spark):
+def test_median_even_and_odd_groups(spark, tmp_path):
     """Lower median at rn = (n+1) div 2: odd group -> true middle,
     even group -> lower of the two middles."""
     from vector_search_application_spark.plans.registry_scalars import (
         q_event_value_median,
     )
-    import tempfile
-
+    
     rows = [
         # odd group: values 1,2,3 -> median 2
         (1, "odd", 1.0), (2, "odd", 2.0), (3, "odd", 3.0),
@@ -63,7 +61,8 @@ def test_median_even_and_odd_groups(spark):
     df = spark.createDataFrame(
         rows, "event_id bigint, event_type string, value double"
     )
-    d = tempfile.mkdtemp(prefix="median_edge_")
+    d = str(tmp_path / "median_edge")
+    os.makedirs(d)
     df.write.parquet(os.path.join(d, "events.parquet"))
     got = {
         r["event_type"]: (r["n"], r["median_value"])

@@ -98,6 +98,9 @@ def test_pii_scrub_redacts_seeded_emails(spark):
     original = {
         r.doc_id: r.text for r in corpus.docs(spark, SF_SMOKE).collect()
     }
+    # coverage first: a scrub that DROPS seeded docs (instead of
+    # scrubbing them) must not pass by vanishing from the loop
+    assert set(out) == set(original)
     for doc_id, r in out.items():
         if doc_id % 10 == 0:
             assert r.n_emails >= 1
@@ -116,7 +119,7 @@ def test_vocab_topn_plans_and_values(spark):
     assert rows == sorted(rows, key=lambda t: (-t[1], t[0]))
     assert len(rows) <= RP.VOCAB_TOP_N
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "partial_count" in plan
 
 
 def test_decontaminate_flags_only_test_split_docs(spark):
@@ -126,6 +129,7 @@ def test_decontaminate_flags_only_test_split_docs(spark):
     a = sorted(map(tuple, RP.q_benchmark_decontaminate(spark, SF_SMOKE).collect()))
     b = sorted(map(tuple, RP.q_benchmark_decontaminate(spark, SF_SMOKE).collect()))
     assert a == b
+    assert a, "decontamination report must flag the seeded overlaps"
     for eval_id, n_train, max_shared, total_shared in a:
         assert split[eval_id] == "test"
         assert max_shared >= RP.DECON_MIN_OVERLAP
@@ -197,11 +201,15 @@ def test_repetition_features_matches_single_signal_fns(spark):
         T.top_ngram_ratio(F.col("text"), 2).alias("t2"),
         T.dup_ngram_ratio(F.col("text"), 3).alias("d3"),
     )
+    # full outer + eqNullSafe: an inner join with != is blind to rows
+    # the fused path DROPS (explode of an empty array) and to
+    # NULL-vs-value disagreements (NULL != x is NULL, not counted)
+    assert fused.count() == single.count()
     bad = (
-        fused.join(single, "doc_id")
+        fused.join(single, "doc_id", "full_outer")
         .filter(
-            (F.col("top_2gram_ratio") != F.col("t2"))
-            | (F.col("dup_3gram_ratio") != F.col("d3"))
+            ~F.col("top_2gram_ratio").eqNullSafe(F.col("t2"))
+            | ~F.col("dup_3gram_ratio").eqNullSafe(F.col("d3"))
         )
         .count()
     )
@@ -246,6 +254,34 @@ def test_training_manifest_composition_invariants(spark):
     its own exact-dedup canonical, carries its hash-split assignment,
     and packs contiguously within each split."""
     out = RP.q_training_manifest(spark, SF_SMOKE).collect()
+    from vector_search_application_spark.functions import text as T
+
+    docs = corpus.docs(spark, SF_SMOKE)
+    feat = docs.select(
+        "doc_id", "text", F.explode(T.quality_features(F.col("text"))).alias("qf")
+    )
+    keep_ids = {
+        r["doc_id"]
+        for r in feat.filter(
+            (F.col("qf.n_tokens") >= RP.MIN_TOKENS)
+            & (F.col("qf.stopword_ratio") >= RP.MIN_STOPWORD)
+            & (F.col("qf.quality") >= RP.MIN_QUALITY)
+        ).collect()
+    }
+    canon_ids = {
+        r["canonical_id"]
+        for r in (
+            docs.filter(F.col("doc_id").isin(list(keep_ids)))
+            .groupBy(F.sha2(F.col("text"), 256).alias("h"))
+            .agg(F.min("doc_id").alias("canonical_id"))
+            .collect()
+        )
+    }
+    manifest_ids = [r["doc_id"] for r in out]
+    # the docstring's two other promises, previously unchecked: every
+    # manifest doc passed the funnel keep rules AND is its own
+    # exact-dedup canonical (exactly the kept canonicals, once each)
+    assert sorted(manifest_ids) == sorted(canon_ids)
     split_of = {
         r["doc_id"]: r["split"]
         for r in RP.q_dataset_split(spark, SF_SMOKE).collect()

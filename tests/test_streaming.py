@@ -10,6 +10,21 @@ from vector_search_application_spark.plans import corpus
 from vector_search_application_spark.streaming import ingest
 
 
+def _bucket_files(table: str) -> dict:
+    """(file, mtime) listing per __bucket= dir — the byte-identity probe
+    both incremental-upsert tests share."""
+    out = {}
+    for d in os.listdir(table):
+        if d.startswith("__bucket="):
+            full = os.path.join(table, d)
+            out[d] = sorted(
+                (f, os.path.getmtime(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
 def test_stream_upsert_incremental_and_resume(spark, tmp_path):
     src = tmp_path / "src"
     table = str(tmp_path / "table")
@@ -30,19 +45,7 @@ def test_stream_upsert_incremental_and_resume(spark, tmp_path):
     )
     assert out1.count() == batch1.count()
 
-    def bucket_files():
-        out = {}
-        for d in os.listdir(table):
-            if d.startswith("__bucket="):
-                full = os.path.join(table, d)
-                out[d] = sorted(
-                    (f, os.path.getmtime(os.path.join(full, f)))
-                    for f in os.listdir(full)
-                    if f.endswith(".parquet")
-                )
-        return out
-
-    before = bucket_files()
+    before = _bucket_files(table)
     assert before, "stream sink should be a bucketed layout"
 
     # second run: an overlapping batch with mutated text arrives; only
@@ -75,10 +78,10 @@ def test_stream_upsert_incremental_and_resume(spark, tmp_path):
     touched = {
         f"__bucket={r['b']}"
         for r in batch2.select(
-            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(layout.N_BUCKETS)).alias("b")
+            layout._bucket_of(F.col("doc_id"), layout.N_BUCKETS).alias("b")
         ).distinct().collect()
     }
-    after = bucket_files()
+    after = _bucket_files(table)
     for d in set(before) - touched:
         assert after[d] == before[d], f"untouched bucket {d} was rewritten"
 
@@ -220,26 +223,15 @@ def test_compact_buckets_preserves_data(spark, tmp_path):
         map(tuple, spark.read.parquet(table).drop("__bucket").collect())
     )
 
-    def files_per_bucket():
-        out = {}
-        for d in os.listdir(table):
-            if d.startswith("__bucket="):
-                full = os.path.join(table, d)
-                out[d] = sorted(
-                    (f, os.path.getmtime(os.path.join(full, f)))
-                    for f in os.listdir(full)
-                    if f.endswith(".parquet")
-                )
-        return out
 
-    before = files_per_bucket()
+    before = _bucket_files(table)
     fragmented = {d for d, fl in before.items() if len(fl) > 1}
     assert fragmented, "test setup should fragment some buckets"
 
     compacted = layout.compact_buckets(spark, table)
     assert set(compacted) == fragmented
 
-    after = files_per_bucket()
+    after = _bucket_files(table)
     for d in set(before) - fragmented:  # untouched buckets: identical
         assert after[d] == before[d]
     for d in fragmented:  # compacted buckets: single file now
