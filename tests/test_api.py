@@ -29,7 +29,9 @@ def test_query_mode_dispatch(engine):
     assert {"id", "score"} <= set(engine.query(text, "dense").columns)
     hybrid_ids = {r["id"] for r in hybrid}
     branch_ids = {r["id"] for r in dense} | {r["id"] for r in sparse}
-    assert hybrid_ids <= branch_ids or len(hybrid_ids) > 0
+    # RRF can only surface ids produced by its branches (the old
+    # 'or len(hybrid_ids) > 0' disjunct was always true — dead check)
+    assert hybrid_ids <= branch_ids
     with pytest.raises(ValueError):
         engine.query(text, "bogus")
 
@@ -53,12 +55,24 @@ def test_search_details_projection(engine):
             assert r["image"].startswith("http://www.airgas.com/images/")
 
 
-def test_filtered_search_respects_filter(engine, sample):
+def test_filtered_search_respects_filter(engine):
+    # pick a row with a NON-NULL mfr (the hash-ordered first row is
+    # NULL for ~5% of keys) and a non-null description, and require a
+    # non-empty result — all() over [] passed vacuously before
+    sample = (
+        engine.products.filter(
+            F.col("manufacturerPartNumber_text").isNotNull()
+            & F.col("shortDescription_airgas_text").isNotNull()
+        )
+        .orderBy("id")
+        .first()
+    )
     mfr = sample["manufacturerPartNumber_text"]
     rows = engine.filtered_search(
         sample["shortDescription_airgas_text"],
         "manufacturerPartNumber_text", mfr, 5,
     ).collect()
+    assert rows, "filtered search must match the row it was seeded from"
     assert all(
         engine.products.filter(
             (F.col("id") == r["id"])
@@ -106,29 +120,41 @@ def test_query_embed_cache_is_lru(engine):
         engine.clear_cache()
 
 
-def test_search_postfilter_keeps_top_scored(engine):
+def test_search_postfilter_keeps_top_scored(engine, tmp_path):
     """When more rows survive the Q2 post-filter than `count`, search()
     must keep the TOP-scored survivors (the reference truncates the
-    score-ranked list) — not an arbitrary pre-sort subset."""
-    # pick a filter that many corpus rows satisfy so the limit binds
-    # (non-null: search() rejects filter_value=None by design)
-    src = (
-        engine.products.filter(F.col("manufacturerPartNumber_text").isNotNull())
-        .groupBy("manufacturerPartNumber_text")
-        .count()
-    )
-    mfr = src.orderBy(F.desc("count")).first()["manufacturerPartNumber_text"]
+    score-ranked list) — not an arbitrary pre-sort subset.
+
+    The corpus can't exercise this: manufacturerPartNumber_text is
+    UNIQUE per product (padded p_partkey), so every filter value
+    matches one row and the limit never binds. Load six docs sharing
+    one mfr whose texts carry a token UNIQUE to them (zzwidgetzz), so
+    for that query every corpus row scores 0, all six reach the
+    inflated top-k, and the truncation is real."""
+    docs = [
+        {
+            "partNumber_airgas_text": f"PF{i:07d}",
+            "manufacturerPartNumber_text": "SHAREDMFR01",
+            "shortDescription_airgas_text": f"zzwidgetzz alpha{i}",
+        }
+        for i in range(6)
+    ]
+    src_file = tmp_path / "pf_upload.json"
+    src_file.write_text(json.dumps(docs))
+    engine.load_data(str(src_file), str(tmp_path / "pf_table"))
+    mfr = "SHAREDMFR01"
     got = engine.search(
-        "widget", 3, filter_field="manufacturerPartNumber_text",
+        "zzwidgetzz", 3, filter_field="manufacturerPartNumber_text",
         filter_value=mfr, use_fusion=False,
     ).collect()
+    assert len(got) == 3  # the limit binds: >3 rows share the value
     # recompute: all survivors of the same inflated search, ranked
     from vector_search_application_spark.plans.constants import (
         POSTFILTER_INFLATION,
     )
 
     hits = engine.search_ultra_fast(
-        "widget", 3 * POSTFILTER_INFLATION
+        "zzwidgetzz", 3 * POSTFILTER_INFLATION
     ).withColumn("search_type", F.lit("vector"))
     survivors = (
         hits.join(engine.products, "id")
@@ -140,6 +166,7 @@ def test_search_postfilter_keeps_top_scored(engine):
     # banker's — use the repo's twin so exact-half scores can't diverge
     from vector_search_application_spark.functions.portable import round_half_up
 
+    assert len(survivors) > 3  # premise: more survivors than count
     want = [(r["id"], round_half_up(r["score"], 3)) for r in survivors[:3]]
     assert [(r["id"], r["score"]) for r in got] == want
 

@@ -21,7 +21,13 @@ def _run(spark, left_rows, right_rows):
         tiebreak_col="event_id",
         payload_prefix="m_",
     )
-    return {r["event_id"]: (r["m_event_id"], r["m_ts_us"]) for r in out.collect()}
+    rows = out.collect()
+    # exactly one output row per left event: the classic equal-ts
+    # regression emits one row per tied right candidate, which a dict
+    # collapse would hide (pass/fail then depends on collect order)
+    assert len(rows) == len({r["event_id"] for r in rows})
+    assert out.count() == len(rows)
+    return {r["event_id"]: (r["m_event_id"], r["m_ts_us"]) for r in rows}
 
 
 def test_backward_match_and_null(spark):

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from vector_search_application_spark.plans import corpus
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 @pytest.fixture()

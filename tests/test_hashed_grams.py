@@ -9,6 +9,8 @@ repetition stats) relies only on that equality-class identity, so
 these tests are the unit-level proof behind the oracle hash gate.
 """
 import pytest
+
+from tests.conftest import SF_SMOKE
 from pyspark.sql import functions as F
 
 from vector_search_application_spark.functions import text as T
@@ -75,7 +77,7 @@ def test_hashed_shingle_arrays_match_string_shingles(spark):
     """On the real sf0.001 documents table: per-doc shingle SET size,
     surviving doc ids, and cross-doc equality structure (distinct and
     total counts) must match the string construction."""
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     s = shingle_arrays(docs, "doc_id", "text")
     h = hashed_shingle_arrays(docs, "doc_id", "text")
     srows = {r["id"]: len(r["shs"]) for r in s.collect()}

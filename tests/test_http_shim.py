@@ -2,7 +2,10 @@
 by the stdlib shim, backed by the same Engine the library API exposes."""
 
 import json
+import urllib.parse
 import urllib.request
+
+from pyspark.sql import functions as F
 
 import pytest
 
@@ -53,13 +56,28 @@ def test_query_routes_match_engine(served):
 
 def test_search_route_with_filter(served):
     engine, base = served
-    row = engine.products.orderBy("id").first()
+    # NON-NULL mfr (the hash-ordered first row is NULL for ~5% of
+    # keys; a None would have ridden the URL as the literal 'None'
+    # and matched nothing, passing the empty loop vacuously)
+    row = (
+        engine.products.filter(
+            F.col("manufacturerPartNumber_text").isNotNull()
+            & F.col("shortDescription_airgas_text").isNotNull()
+        )
+        .orderBy("id")
+        .first()
+    )
     mfr = row["manufacturerPartNumber_text"]
+    # query with the row's own description so the (unique-mfr) row is
+    # guaranteed into the inflated top-k the post-filter prunes
     status, body = _get(
-        f"{base}/api/search?q=widget&count=3"
-        f"&filter_field=manufacturerPartNumber_text&filter_value={mfr}"
+        f"{base}/api/search?count=3"
+        "&q=" + urllib.parse.quote(row["shortDescription_airgas_text"])
+        + "&filter_field=manufacturerPartNumber_text&filter_value="
+        + urllib.parse.quote(mfr)
     )
     assert status == 200
+    assert body["results"], "filter route must match the seeded row"
     for r in body["results"]:
         assert r["Mfr Code"] == mfr
 
@@ -356,7 +374,6 @@ def test_repeated_import_cycles_stay_serving(served, tmp_path):
     imp = tmp_path / "imp"
     imp.mkdir()
     table = tmp_path / "table"
-    jsc = engine.spark.sparkContext._jsc
     cache_counts = []
     for cycle in range(3):
         # the searchable token set is the SAME every cycle: the search
