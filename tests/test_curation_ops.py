@@ -104,6 +104,24 @@ def test_semantic_dedup_catches_planted_copies(spark):
     assert len(right_rep) / len(caught) >= 0.9
 
 
+def test_semantic_dedup_kmeans_catches_planted_copies(spark):
+    """The trained-centroid sibling (MLlib KMeans at the same sqrt
+    count) must satisfy the same planted-copy contract as the seeded
+    hash query: a perturbed copy at cos≈0.999 lands in its original's
+    cluster almost surely (kmeans cells are wider than the ε-ball), so
+    >=90% detection with the right representative, and the verdict
+    table stays total."""
+    rows = RD.q_semantic_dedup_kmeans(spark, SF_SMOKE).collect()
+    n_vecs = RD.dedup_vectors(spark, SF_SMOKE).count()
+    assert len(rows) == n_vecs
+    planted = [r for r in rows if r.id >= RD.NEAR_OFFSET]
+    assert planted
+    caught = [r for r in planted if r.is_duplicate]
+    assert len(caught) / len(planted) >= 0.9
+    right_rep = [r for r in caught if r.kept_by == r.id - RD.NEAR_OFFSET]
+    assert len(right_rep) / len(caught) >= 0.9
+
+
 def test_source_data_card_counts(spark):
     """Card rows cover every source; counts are internally consistent
     (rates = counts/docs, PII incidence equals the seeded 1-in-10

@@ -223,9 +223,26 @@ def main(ks: list[int]) -> int:
                 best, n = float("inf"), 0
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    # count() IS the action of interest: the verified
-                    # pair/survivor count is the linearity witness
-                    n = by_name[name](spark, sf_dir).count()
+                    # force via an aggregate that references EVERY output
+                    # column (bench.py's hash-force pattern), never a bare
+                    # count(): under count() Catalyst join-eliminates any
+                    # stage the row count doesn't depend on — the r8 judge
+                    # showed semantic_dedup's verdict left-join AND its
+                    # intra-cell all-pairs inner join both pruned away,
+                    # making its "0.7x at x100" row vacuous. The hash pins
+                    # the values too, so the row count can't silently keep
+                    # passing while a stage produces garbage. bit_xor, not
+                    # sum: ANSI mode overflows on summed hashes.
+                    from pyspark.sql import functions as F
+
+                    df = by_name[name](spark, sf_dir)
+                    agg = df.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.bit_xor(
+                            F.xxhash64(*[F.col(c) for c in df.columns])
+                        ).alias("h"),
+                    ).first()
+                    n = agg["n"]
                     best = min(best, time.perf_counter() - t0)
                 row[name] = {"sec": round(best, 3), "rows": n}
                 print(f"  x{k} {name}: {row[name]}", file=sys.stderr, flush=True)
@@ -269,8 +286,12 @@ def main(ks: list[int]) -> int:
             "Replication\nwithout the renaming manufactures K-sized "
             "cliques — the quadratic adversarial\ncase SCALING.md's "
             "main table excludes. "
-            "Best-of-2, forced via count()\n(the verified pair count IS "
-            "the metric). Machine-speed calibration per K:\n"
+            "Best-of-2, forced via a one-row\ncount + bit_xor(xxhash64) "
+            "aggregate over EVERY output column — a bare count()\nlets "
+            "Catalyst join-eliminate stages the row count doesn't depend "
+            "on (found in\nround 8: semantic_dedup's all-pairs stage was "
+            "pruned, so its x100 row timed\nonly the assignment). "
+            "Machine-speed calibration per K:\n"
             + ", ".join(f"x{k}={cal_results[k]}x" for k in cal_results)
             + " (see calibration.py).\n\n"
         )
@@ -360,6 +381,31 @@ Round 8 re-measured after removing jaccard_verify's per-pipeline
 shingle-size shuffle (sizes now come from size(shs) on the persisted
 array table — a per-row map): dedup_minhash_lsh 41.6s -> 28.4s and
 dedup_ngram_jaccard 30.6s -> 23.3s at x100, identical verified pairs.
+
+## Round 9: the probe's own force was prunable; semantic_dedup re-shaped
+
+The r8 judge found that forcing via ``count()`` let Catalyst DELETE
+semantic_dedup's verdict left-join and its intra-cell all-pairs inner
+join (the optimized plan of ``df.groupBy().count()`` had zero Join
+nodes) — so every prior SCALING_DEDUP row for that query timed only
+the broadcast-argmax assignment. Two fixes, in order:
+
+1. The force is now a one-row ``count + bit_xor(xxhash64(<all output
+   columns>))`` aggregate (bench.py's pattern): no output column can be
+   pruned, so no producing stage can be eliminated, and the hash pins
+   values as well as cardinality.
+2. ``semantic_dedup``'s centroid count now scales as
+   ``max(16, ceil(sqrt(n_embeddings)))`` in BOTH engines (still the
+   first C corpus vectors — deterministic, hash-oracled at every SF).
+   With C ~ sqrt(n) the assignment (n x C broadcast argmax) and the
+   pair stage (~n^2/C intra-cell cosines) are both O(n^1.5) — the
+   published SemDeDup complexity; the previous FIXED 16 was ~n^2/16.
+   Honest expectation setting: an n^1.5 stage measured at x100 shows a
+   super-linear wall ratio once the pair stage dominates — the row
+   below is real work, bounded by the sqrt schedule, not the
+   unbounded fixed-C quadratic. The trained-build sibling
+   (semantic_dedup_kmeans, rows-only) swaps in MLlib KMeans centroids
+   at the same sqrt count under the identical verdict plan.
 """
         )
     print(f"wrote {out}", file=sys.stderr)

@@ -400,7 +400,22 @@ def ivf_assign(
     is what the stored table is partitioned by (the IVF index build).
     keep_vec=True carries the vector through as ``v`` for consumers
     that score within cells (semantic dedup)."""
-    cent_tbl = _centroid_table_from(centroids)
+    return ivf_assign_tbl(
+        vectors, _centroid_table_from(centroids), id_col, vec_col, keep_vec
+    )
+
+
+def ivf_assign_tbl(
+    vectors: DataFrame,
+    cent_tbl: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """ivf_assign against a prebuilt one-row cents table (e.g.
+    centroid_table_lit over kmeans_centroids output) — the entry point
+    for trained-centroid consumers that hold index metadata instead of
+    a (centroid_id, cvec) relation."""
     cols = [f"{id_col} AS id", f"{_cell_over_cents_sql(vec_col)} AS cell"]
     if keep_vec:
         cols.insert(1, f"{vec_col} AS v")
