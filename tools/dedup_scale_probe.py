@@ -59,7 +59,8 @@ def measure_lsh_recall(spark) -> dict[str, float]:
 
     - ``boundary``: synthetic pairs pinned at cosine ~0.951, just
       above the 0.95 threshold — the worst case for OR-amplification
-      (per-band collision p^16 ~ 0.18; 16 bands -> ~0.96 analytic).
+      (per-band collision p^16 ~ 0.18; LSH_BANDS bands ->
+      1-(1-0.18)^B analytic: ~0.96 at 16, ~0.98 at 20).
     - ``corpus``: the x1 fixture corpus's true >=0.95 pairs
       (brute-force crossJoin truth) vs what embedding_neardup finds.
     """
@@ -188,6 +189,7 @@ def main(ks: list[int]) -> int:
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     from vector_search_application_spark import calibration as CAL
     from vector_search_application_spark.functions.cache import release_all
+    from vector_search_application_spark.plans.constants import LSH_BANDS
     from vector_search_application_spark.plans.registry import REGISTRY
     from vector_search_application_spark.session import get_spark
 
@@ -297,11 +299,13 @@ def main(ks: list[int]) -> int:
         )
         f.write(
             "**Banded-LSH recall at the 0.95 cosine threshold** "
-            f"(16 bands x 16 planes):\nmeasured "
+            f"({LSH_BANDS} bands x 16 planes):\nmeasured "
             f"{recall['boundary_cos0.951']} on synthetic pairs pinned "
             "at cosine ~0.951 (the\nOR-amplification worst case — "
-            "analytic 1-(1-p^16)^16 ~ 0.96 at the boundary,\nvs ~0.80 "
-            f"for the r7 8-band config) and {recall['corpus_x1']} on "
+            f"analytic 1-(1-p^16)^{LSH_BANDS} ~ 0.98 at the boundary;\n"
+            "r7's 8 bands measured 0.80, r8's 16 bands 0.937 — the r9 "
+            f"move to {LSH_BANDS} bands\nclears the >=0.95 discipline "
+            f"at ~10% warm-wall cost) and {recall['corpus_x1']} on "
             "the x1 fixture\ncorpus's true >=0.95 pairs (brute-force "
             "truth). Verification is exact cosine,\nso precision is "
             "1.0 by construction.\n\n"
@@ -406,6 +410,29 @@ the broadcast-argmax assignment. Two fixes, in order:
    unbounded fixed-C quadratic. The trained-build sibling
    (semantic_dedup_kmeans, rows-only) swaps in MLlib KMeans centroids
    at the same sqrt count under the identical verdict plan.
+
+Three more round-9 changes visible in the table:
+
+- **Occupancy cap on every band bucket** (constants.LSH_BUCKET_CAP,
+  oracle twins included): buckets over 1000 members generate no
+  candidate pairs — the guard against identical-boilerplate
+  mega-cliques, which collide in EVERY band (no band count dilutes
+  them; a 10k-identical-doc clique is C(10k,2) pairs per band). The
+  canonical pipeline order is now a declared, hash-oracled query
+  (dedup_exact_then_near: exact dedup first, near-dup on canonicals),
+  and tests/test_bucket_cap.py injects the 10k clique against minhash,
+  simhash, and embedding LSH.
+- **MinHash pipeline re-keyed to its own 32-bit md5 fold**
+  (md5_shingle_arrays) **and verification moved in-row**
+  (jaccard_verify_arrays: two array-fetch joins +
+  size(array_intersect)) — end-to-end at x100 measured 45.9s -> ~21-25s
+  with a bit-identical output hash; the exploded (id, sh)-join verify
+  shape is retired. dedup_ngram_jaccard verifies through the same
+  array path on its xxhash64 gram ids.
+- **Banded embedding LSH: 16 -> 20 bands** for boundary recall 0.937
+  -> 0.963 (the >=0.95 discipline), ~10% warm-wall cost, measured in a
+  single-session A/B (16/20/24 bands; 24 gave 0.997 at +36% — not
+  taken).
 """
         )
     print(f"wrote {out}", file=sys.stderr)

@@ -41,6 +41,7 @@ from ..plans.constants import (
     K,
     LSH_BAND_PLANES,
     LSH_BANDS,
+    LSH_BUCKET_CAP,
     LSH_PLANES,
 )
 
@@ -249,6 +250,13 @@ def lsh_neardup_pairs(
     banded = with_b.select(
         "id", "v", F.posexplode("buckets").alias("band", "bucket")
     )
+    # occupancy guard (constants.LSH_BUCKET_CAP): identical-embedding
+    # mega-cliques collide in EVERY band, so no band count dilutes them
+    # — drop >cap buckets whole before the C(c,2) self-join; identical
+    # rows are exact-dedup's job (pipeline order: dedup_exact_then_near)
+    from .dedup import cap_buckets
+
+    banded = cap_buckets(banded, ["band", "bucket"], LSH_BUCKET_CAP)
     a = banded.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
     )

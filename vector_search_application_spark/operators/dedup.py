@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions import portable as P
 from ..functions.cache import tracked_persist
 from ..plans.constants import (
+    LSH_BUCKET_CAP,
     MINHASH_A,
     MINHASH_B,
     MINHASH_BANDS,
@@ -41,6 +42,27 @@ from ..plans.constants import (
     SHINGLE_N,
     SIMHASH_BITS,
 )
+
+
+def cap_buckets(rows: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Drop every bucket (group of ``keys``) holding more than
+    ``max_bucket`` rows BEFORE a bucket self-join generates C(c,2)
+    candidate pairs — the occupancy guard against identical-boilerplate
+    mega-cliques, which collide in EVERY band and are the one quadratic
+    shape banded candidate generation cannot dilute (constants.
+    LSH_BUCKET_CAP documents the sizing). Identical-text cliques are
+    exact_dedup's job; the composed pipeline order is declared as
+    dedup_exact_then_near.
+
+    One window count over the bucket keys: the window's hash
+    partitioning is exactly the self-join's ClusteredDistribution, so
+    both join sides reuse this exchange instead of adding one."""
+    w = Window.partitionBy(*keys)
+    return (
+        rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bsz") <= max_bucket)
+        .drop("__bsz")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +119,42 @@ def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) ->
     )
 
 
+def md5_shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, shs): each doc's distinct shingle set as ``array<bigint>``
+    of 32-bit md5 folds — conv(substr(md5(shingle), 1, 8), 16, 10),
+    which is EXACTLY the feature value minhash_signatures hashes every
+    shingle string to anyway. Materializing that fold at extraction
+    (instead of a string array the signature stage re-hashes) makes
+    every downstream payload 8 bytes per shingle: the persisted set
+    table shrinks ~4x, the signature stage loses its per-row md5 pass
+    (2.7s vs 4.6s at x100), and the verification joins move longs —
+    minhash end-to-end measured 45.9s -> 20.6-24.8s at the x100 probe
+    (with jaccard_verify_arrays; identical output value hash).
+
+    Distinctness is on the FOLD (both engines): two distinct shingle
+    strings colliding in 32 bits count once — the oracle twin computes
+    DISTINCT id, h the same way, so the engines agree bit-exactly even
+    on collisions (within-doc collision odds ~5e-6; cross-doc
+    intersections inherit the same fold on both sides). simhash keeps
+    the string shingles — its 64-bit family needs md5 hex digits 1-16.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    # CASE-total for the same InferFiltersFromGenerate reason as
+    # shingle_arrays
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN"
+        f" transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> cast(conv(substring(md5(concat_ws('_', slice(toks, i, {n}))),"
+        f" 1, 8), 16, 10) as bigint))"
+        f" ELSE array() END"
+    )
+    return toks.select("id", F.array_distinct(grams).alias("shs"))
+
+
 def hashed_shingle_arrays(
     docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N
 ) -> DataFrame:
@@ -131,30 +189,28 @@ def hashed_shingles(
 def minhash_signatures(
     sharr: DataFrame, n_perms: int = MINHASH_PERMS
 ) -> DataFrame:
-    """(id, m0..m{n-1}) from the wide (id, shs) shingle-set table: one
-    column per permutation, computed entirely WITHIN the row.
+    """(id, m0..m{n-1}) from the (id, shs: array<bigint>) 32-bit-fold
+    shingle table (md5_shingle_arrays): one column per permutation,
+    computed entirely WITHIN the row.
 
-    Each shingle is hashed ONCE (md5 folded to 32 bits); permutation i
-    is min over the row's hash array of (a_i*h + b_i) mod p — the
-    per-set minimum of a uniform hash family is a valid minwise sketch.
-    No shuffle at all: the signature table materializes in the scan
-    stage, so the LSH pipeline's first exchange is the candidate join
-    itself (vs the naive (id, perm) explode + two-level groupBy that
-    shuffles |shingles| x n_perms md5 strings — ~25x slower at sf0.1).
-    """
-    harr = F.expr(
-        "transform(shs, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
-    )
+    Each shingle was hashed ONCE at extraction (md5 folded to 32
+    bits); permutation i is min over the row's hash array of
+    (a_i*h + b_i) mod p — the per-set minimum of a uniform hash family
+    is a valid minwise sketch. No shuffle at all: the signature table
+    materializes in the scan stage, so the LSH pipeline's first
+    exchange is the candidate join itself (vs the naive (id, perm)
+    explode + two-level groupBy that shuffles |shingles| x n_perms md5
+    strings — ~25x slower at sf0.1)."""
     mins = [
         F.array_min(
             F.expr(
-                f"transform(harr, h -> ({MINHASH_A[i]}L * h + {MINHASH_B[i]}L)"
+                f"transform(shs, h -> ({MINHASH_A[i]}L * h + {MINHASH_B[i]}L)"
                 f" % {MINHASH_PRIME}L)"
             )
         ).alias(f"m{i}")
         for i in range(n_perms)
     ]
-    return sharr.select("id", harr.alias("harr")).select("id", *mins)
+    return sharr.select("id", *mins)
 
 
 def lsh_band_keys(
@@ -182,10 +238,15 @@ def lsh_band_keys(
     )
 
 
-def lsh_candidates(bands: DataFrame) -> DataFrame:
-    """Distinct (id_a, id_b) pairs sharing at least one band bucket."""
-    a = bands.select(F.col("id").alias("id_a"), "band", "band_key")
-    b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
+def lsh_candidates(
+    bands: DataFrame, max_bucket: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing at least one band bucket.
+    Buckets over ``max_bucket`` members are dropped whole before the
+    self-join (cap_buckets) — mega-cliques belong to exact_dedup."""
+    ok = cap_buckets(bands, ["band", "band_key"], max_bucket)
+    a = ok.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = ok.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -194,39 +255,51 @@ def lsh_candidates(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(
-    candidates: DataFrame, sh: DataFrame, sizes: DataFrame | None = None
-) -> DataFrame:
-    """True shingle-set Jaccard for each candidate pair (the
-    verification stage after LSH blocking).
+# The exploded-join verification shape ((id, sh) tall table joined per
+# candidate, then a groupBy count) was retired in r9: it shuffles the
+# ENTIRE exploded shingle table twice to serve a linear candidate set.
+# jaccard_verify_arrays below is the replacement — measured 15.4s ->
+# ~3s at the x100 probe with a bit-identical output hash.
 
-    sizes: optional (id, n_sh) set-size table. Callers holding the
-    (id, shs) ARRAY table should pass size(shs) — a shuffle-free
-    per-row map (arrays are array_distinct'ed, so size == exploded
-    count); the groupBy fallback shuffles the whole shingle table just
-    to rebuild it."""
-    if sizes is None:
-        sizes = sh.groupBy("id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sh")
-        )
-    # two-key equi-join on (id_b, sh): the shared shingle IS a join key,
-    # never a post-join filter, so no |sh_a| x |sh_b| blowup per pair
-    inter = (
-        candidates.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+
+def jaccard_verify_arrays(candidates: DataFrame, sharr: DataFrame) -> DataFrame:
+    """True shingle-set Jaccard per candidate pair, computed IN-ROW
+    from the persisted (id, shs) set arrays: two key-joins fetch each
+    pair's arrays, then n_inter = size(array_intersect(..)) — no
+    shingle explode, no (id, sh) shuffle, no groupBy.
+
+    vs the retired exploded shape (candidates joined to the (id, sh)
+    tall table by id_a then (id_b, sh), then a groupBy count): that
+    shuffles the ENTIRE exploded shingle table twice — ~35M skinny
+    rows at the x100 probe just to serve ~600k candidate pairs. Here
+    the shuffled payload is candidates x 2 arrays (~linear in
+    candidates, arrays ~60 longs), and the intersection is a per-row
+    hash-set pass. Measured at x100 on 8-byte shingle ids, same
+    session, interleaved reps: exploded 7.5-10.7s vs arrays 2.7-3.2s,
+    identical pair count AND value hash; minhash end-to-end 45.9s
+    (string shingles + exploded verify) -> 20.6-24.8s (md5-fold ids +
+    array verify). Values are identical by construction: arrays are
+    array_distinct'ed, so size(array_intersect) IS the distinct
+    shared-shingle count the exploded groupBy counted."""
+    a = sharr.select(F.col("id").alias("id_a"), F.col("shs").alias("__sha"))
+    b = sharr.select(F.col("id").alias("id_b"), F.col("shs").alias("__shb"))
+    n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb"))).cast(
+        "bigint"
+    )
+    denom = (
+        F.size("__sha").cast("bigint")
+        + F.size("__shb").cast("bigint")
+        - n_inter
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            P.rounded(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ).alias("jaccard"),
+            P.rounded(n_inter.cast("double") / denom.cast("double")).alias(
+                "jaccard"
+            ),
         )
     )
 
@@ -236,8 +309,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with Jaccard >= threshold."""
     # the shingle-set table feeds signatures AND verification (x3);
-    # persist = tokenize/shingle the corpus once
-    sharr = tracked_persist(shingle_arrays(docs, id_col, text_col))
+    # persist = tokenize/shingle/hash the corpus once. 32-bit md5 folds,
+    # not strings: the fold is the signature family's own feature value,
+    # and longs shrink the persisted table + verification payloads ~4x
+    sharr = tracked_persist(md5_shingle_arrays(docs, id_col, text_col))
     # the banded signature table IS the LSH index: both sides of the
     # candidate self-join read it; signatures are computed per-row in
     # the scan (no shuffle), so persisting bands just skips recompute
@@ -245,9 +320,7 @@ def minhash_dedup_pairs(
     # (band, band_key))
     bands = tracked_persist(lsh_band_keys(minhash_signatures(sharr)))
     cands = lsh_candidates(bands)
-    sh = sharr.select("id", F.explode("shs").alias("sh"))
-    sizes = sharr.select("id", F.size("shs").cast("bigint").alias("n_sh"))
-    verified = jaccard_verify(cands, sh, sizes)
+    verified = jaccard_verify_arrays(cands, sharr)
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -293,8 +366,7 @@ def jaccard_dedup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sharr.select("id", F.size("shs").cast("bigint").alias("n_sh"))
-    return jaccard_verify(cands, sh, sizes).filter(
+    return jaccard_verify_arrays(cands, sharr).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -355,12 +427,20 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
 
 
 def simhash_pairs(
-    sims: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS, n_bands: int = 4
+    sims: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    max_bucket: int = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """(id_a, id_b, hamming) for pairs within the hamming radius.
 
     Band join is exact for max_hamming < n_bands (pigeonhole: some
-    band is untouched), so no recall loss at radius 3 with 4 bands.
+    band is untouched), so no recall loss at radius 3 with 4 bands —
+    EXCEPT inside band buckets over ``max_bucket`` members, which are
+    dropped whole (cap_buckets): a >cap bucket at 16-bit band width is
+    an identical-or-near-identical mega-clique, exact_dedup's job (the
+    declared pipeline order is dedup_exact_then_near).
 
     The signature table is persisted before the self-join: the simhash
     column is an expensive aggregate() expression, and without a
@@ -379,6 +459,7 @@ def simhash_pairs(
         "band",
         F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}").alias("band_val"),
     )
+    exploded = cap_buckets(exploded, ["band", "band_val"], max_bucket)
     a = exploded.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )

@@ -88,16 +88,32 @@ LSH_PLANES = 8             # single-table hyperplane LSH (decontamination)
 # count is the OR-amplification knob for recall at the threshold
 # boundary: a pair at cosine exactly 0.95 collides per band with
 # p^16 = (1-theta/pi)^16 ~ 0.182, so
-#   8 bands  -> 1-(1-0.182)^8  ~ 0.80   (r7 config)
-#   16 bands -> 1-(1-0.182)^16 ~ 0.96   (current; >= the 0.95-recall
-#                                        discipline SURVEY §7 pins)
+#   8 bands  -> 1-(1-0.182)^8  ~ 0.80   (r7 config; measured 0.80)
+#   16 bands -> 1-(1-0.182)^16 ~ 0.96   (r8 config; measured 0.937 —
+#                                        short of the 0.95 discipline)
+#   20 bands -> 1-(1-0.182)^20 ~ 0.98   (current; measured 0.963 at the
+#                                        cosine-0.951 worst case, +~10%
+#                                        warm wall vs 16 — r9 A/B)
 # Pairs above the threshold collide faster (p grows with cosine) —
 # measured recall on the fixture corpus is 1.0 (SCALING_DEDUP.md).
 # Scale rule: band width should grow with log2(N) to hold bucket
 # occupancy constant; band count buys back the recall wider bands
 # cost (suggested_band_planes in operators/ann.py).
-LSH_BANDS = 16
+LSH_BANDS = 20
 LSH_BAND_PLANES = 16
+# Occupancy guard on every LSH/SimHash band bucket: a bucket with more
+# than this many members generates NO candidate pairs (it is dropped
+# whole, in BOTH engines — the oracle models the cap with the same
+# window count). A c-member bucket emits C(c,2) pairs, so one
+# boilerplate mega-clique (identical docs hash identically in EVERY
+# band) turns the candidate join quadratic: 1M identical docs would be
+# 5e11 pairs. Near-dup semantics for identical text belong to
+# exact_dedup anyway — the canonical pipeline order (dedup_exact first,
+# near-dup on canonicals; composed in dedup_exact_then_near) makes the
+# cap unreachable for honest corpora: at uniform fill a bucket holds
+# ~N/2^16 members per band, so 1000 is ~65M docs per band-partition
+# before natural occupancy approaches it.
+LSH_BUCKET_CAP = 1000
 
 # IVF
 IVF_CENTROIDS = 8

@@ -24,6 +24,7 @@ from .constants import (
     K,
     LSH_BANDS,
     LSH_BAND_PLANES,
+    LSH_BUCKET_CAP,
     MINHASH_A,
     MINHASH_B,
     MINHASH_BANDS,
@@ -120,31 +121,47 @@ _BANDS_SQL = "\n    UNION ALL\n    ".join(
 )
 
 
-@declare(
-    "dedup_minhash_lsh",
-    f"""
-WITH {DDOCS_CTE},
-{_SHINGLE_SQL},
+# the MinHash-LSH pipeline from any ``ddocs`` (doc_id, text) CTE to the
+# verified pair list — shared by the standalone query and the composed
+# exact-first pipeline (dedup_exact_then_near), so the band/verify
+# contract cannot drift between them. The feature space is the 32-bit
+# md5 fold, DISTINCT per doc on the FOLD (not the string), mirroring
+# the engine's md5_shingle_arrays exactly — so even a 32-bit collision
+# between distinct shingle strings produces identical set sizes and
+# intersections in both engines.
+_MINHASH_FROM_DDOCS = f"""{_SHINGLE_SQL},
+shing32 AS (
+    SELECT DISTINCT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing
+),
 mh AS (
     SELECT id,
            {_MH_MINS}
-    FROM (SELECT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shing)
+    FROM shing32
     GROUP BY id
 ),
 bands AS (
     {_BANDS_SQL}
 ),
+bands_ok AS (
+    -- occupancy guard twin (constants.LSH_BUCKET_CAP): buckets over the
+    -- cap generate no candidates in EITHER engine
+    SELECT id, band, band_key FROM (
+        SELECT id, band, band_key,
+               count(*) OVER (PARTITION BY band, band_key) AS bsz
+        FROM bands
+    ) WHERE bsz <= {LSH_BUCKET_CAP}
+),
 cands AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bands a JOIN bands b USING (band, band_key)
+    FROM bands_ok a JOIN bands_ok b USING (band, band_key)
     WHERE a.id < b.id
 ),
-sizes AS (SELECT id, count(*)::BIGINT AS n FROM shing GROUP BY id),
+sizes AS (SELECT id, count(*)::BIGINT AS n FROM shing32 GROUP BY id),
 inter AS (
     SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_inter
     FROM cands c
-    JOIN shing sa ON sa.id = c.id_a
-    JOIN shing sb ON sb.id = c.id_b AND sa.sh = sb.sh
+    JOIN shing32 sa ON sa.id = c.id_a
+    JOIN shing32 sb ON sb.id = c.id_b AND sa.h = sb.h
     GROUP BY c.id_a, c.id_b
 ),
 verified AS (
@@ -155,7 +172,14 @@ verified AS (
     JOIN sizes na ON na.id = i.id_a
     JOIN sizes nb ON nb.id = i.id_b
 )
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+
+@declare(
+    "dedup_minhash_lsh",
+    f"""
+WITH {DDOCS_CTE},
+{_MINHASH_FROM_DDOCS}
 """,
     survey_ids="dedup-minhash",
 )
@@ -163,6 +187,43 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(
         dedup_docs(spark, sf_dir), "doc_id", "text", JACCARD_THRESHOLD
     )
+
+
+@declare(
+    "dedup_exact_then_near",
+    f"""
+WITH {DDOCS_CTE.replace("ddocs AS", "ddocs_all AS")},
+ddocs AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+        FROM ddocs_all
+    ) WHERE doc_id = canonical_id
+),
+{_MINHASH_FROM_DDOCS}
+""",
+    survey_ids="dedup-exact,dedup-minhash,dedup-pipeline",
+)
+def q_dedup_exact_then_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CANONICAL pipeline order, composed: exact dedup first (hash
+    groupBy — immune to clique size), then MinHash-LSH near-dup over
+    the exact-canonical survivors only. This is the documented answer
+    to identical-boilerplate mega-cliques: an identical-text clique
+    collides in EVERY LSH band, so no band count dilutes its C(c,2)
+    candidates — but after exact dedup at most ONE member of each
+    clique reaches the band join (the occupancy cap in cap_buckets is
+    the backstop for near-identical floods that survive exact hashing).
+    Output = near-dup pairs among canonical docs; the exact copies'
+    pairs are gone because their duplicates never reach shingling."""
+    docs = dedup_docs(spark, sf_dir)
+    verdicts = dedup.exact_dedup(docs, "doc_id", "text")
+    canon = docs.join(
+        verdicts.filter(~F.col("is_duplicate")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    return dedup.minhash_dedup_pairs(canon, "doc_id", "text", JACCARD_THRESHOLD)
 
 
 @declare(
@@ -248,10 +309,18 @@ banded AS (
            (simhash >> (band * 16)) & 65535 AS band_val
     FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
 ),
+banded_ok AS (
+    -- occupancy guard twin (constants.LSH_BUCKET_CAP)
+    SELECT id, simhash, band, band_val FROM (
+        SELECT id, simhash, band, band_val,
+               count(*) OVER (PARTITION BY band, band_val) AS bsz
+        FROM banded
+    ) WHERE bsz <= {LSH_BUCKET_CAP}
+),
 pairs AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            a.simhash AS sim_a, b.simhash AS sim_b
-    FROM banded a JOIN banded b USING (band, band_val)
+    FROM banded_ok a JOIN banded_ok b USING (band, band_val)
     WHERE a.id < b.id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
@@ -325,9 +394,17 @@ wb AS (
     SELECT v.vec_id AS id, v.embedding AS v, b.band, b.bucket
     FROM dvecs v JOIN buckets b ON b.id = v.vec_id
 ),
+wb_ok AS (
+    -- occupancy guard twin (constants.LSH_BUCKET_CAP)
+    SELECT id, v, band, bucket FROM (
+        SELECT id, v, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz
+        FROM wb
+    ) WHERE bsz <= {LSH_BUCKET_CAP}
+),
 pairs AS (
     SELECT a.id AS id_a, a.v AS va, b2.id AS id_b, b2.v AS vb
-    FROM wb a JOIN wb b2 USING (band, bucket)
+    FROM wb_ok a JOIN wb_ok b2 USING (band, bucket)
     WHERE a.id < b2.id
 ),
 scored AS (
