@@ -974,56 +974,49 @@ from . import registry_curation  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The round driver's correctness gate checks exactly the first 50 REGISTRY
 # entries; declaration order is an accident of module layout. Curate the
-# window explicitly. Rotation policy (r7): every hash-oracled query has
-# banked a green driver row in some round, so the window now refreshes
-# the evidence OLDEST-FIRST, with two overrides: (a) queries whose
-# backing code changed since their last driver verification re-enter
-# regardless of age — this round that is the whole mutation/versioning
-# family (content hash re-encoded to one length-prefixed sha256 pass,
-# 680d083), the text family (tokenizer regex-split r6 + the single-pass
-# repetition featurization r7), the exact-cascade family (exact.py r6),
-# normalization, and the single-query fusion variants (shared-exchange
-# change r6); (b) the six TPC-H join/agg queries hold their slots one
-# more round per the r6 review. Displaced queries keep
-# tests/test_registry_oracle.py as their net; r8 should seat the ~21
-# remaining r4/r5-verified slots (ivf_index_lookup, semantic_dedup,
-# event/stream singles, import/export singles, curation singles,
-# pq_topk, doc_fingerprint, token_stats_bpe, ...).
+# window explicitly. Rotation policy (r7, unchanged): refresh evidence
+# OLDEST-FIRST, with the override that queries whose backing code
+# changed since their last driver verification re-enter regardless of
+# age. Displaced queries keep tests/test_registry_oracle.py as their
+# net; after this (r9) window runs, every hash query's last driver row
+# is >= r7, and r10 should seat the ~18 remaining r7 slots
+# (decontaminate/boilerplate, embed singles, the six TPC-H join/aggs,
+# the text-analysis family, normalize_min_max, delta_classify,
+# training_manifest_full).
 
 DRIVER_WINDOW = [
-    # r8 rotation (oldest-first, r7 VERDICT task 1): the 19 stalest
-    # hash slots (last driver row r3/r4) plus the three r5 stragglers,
-    # so every hash query's last driver row lands >= r6 after this
-    # window runs.
-    "normalize_z_score",
-    "bpe_train_merges", "dedup_components_star", "domain_mix_weights",
-    "embed_search_topk", "event_asof_join", "event_sessionize",
-    "ivf_index_lookup", "ivf_topk", "ivfpq_topk",
-    "json_export_roundtrip", "multimodal_byte_features",
-    "payload_index_lookup", "quantized_topk", "semantic_dedup",
-    "sequence_pack", "stream_events_window", "targz_import",
-    "training_manifest",
-    "doc_fingerprint", "pq_topk", "token_stats_bpe",
-    # code changed THIS round: whitespace-class unification in the
-    # classifier / exact-cascade cleaners, and the banded-LSH recall
-    # rework re-pins embedding_neardup (semantic_dedup is above)
-    "partno_classifier", "partno_explain",
-    "exact_cascade_primary", "exact_cascade_secondary",
-    "exact_cascade_miss", "exact_cascade_batch",
-    "embedding_neardup",
-    # r6-verified slots sitting on code edited in r7: version windows
-    # (2-window fix), chunk stride CASE-total, event NULLS ordering,
-    # tokenizer/BPE regex, streaming NULL-sentinel, retrieval n_dims,
-    # PQ oracle CTE unification, ann.py edits (160af18)
-    "version_history", "version_archive", "version_get",
-    "doc_chunk_windows", "event_value_median", "bpe_encode_stats",
-    "stream_dedup_ingest", "stream_embed_ingest", "stream_sessionize",
-    "retrieval_manifest", "pq_topk_batch",
-    "ivf_topk_batch", "ivf_topk_filtered", "binary_quantized_topk",
-    # remaining r6-verified re-confirmations (batch fusion/search)
-    "compare_preview", "search_ids_projection", "dense_prefilter",
-    "mmr_rerank_topk", "hybrid_rrf_batch", "fusion_max_dedup_batch",
-    "bm25_topk_batch",
+    # r9 rotation (oldest-first, r8 VERDICT task 2): the 17 stalest
+    # hash slots (last driver row r6 — the curation/event/source
+    # singles the r8 window displaced) ...
+    "chunk_embed_pool", "dataset_split", "dataset_split_balance",
+    "deterministic_sample", "epoch_shuffle", "event_funnel",
+    "event_props_agg", "event_sliding_avg", "export_sharded_roundtrip",
+    "mixture_sample", "multimodal_dedup_stats", "quality_filter_funnel",
+    "source_data_card", "source_length_quantiles", "temperature_mixture",
+    "token_accounting_rollup", "vocab_topn",
+    # ... the query NEW this round (exact-first near-dup composition) ...
+    "dedup_exact_then_near",
+    # ... code changed THIS round: the whole banded-dedup family
+    # (occupancy cap in every band join + oracle twins, the 20-band
+    # recall bump, the array-intersect verify) and semantic dedup's
+    # sqrt-scaled centroids; components/canonical inherit the capped
+    # simhash pair SQL ...
+    "semantic_dedup", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_components", "dedup_components_star",
+    "dedup_canonical_quality", "embedding_neardup",
+    # ... streaming entries sitting on the r9 _read_source conf-restore
+    # and the stream-embed empty-source guard ...
+    "stream_ingest_upsert", "stream_embed_ingest", "stream_dedup_ingest",
+    # ... and the 21 stalest r7 slots (dense/fusion families, mutation
+    # and paging singles), so after this window every hash query's last
+    # driver row is >= r7.
+    "dense_topk", "dense_topk_batch", "dense_topk_batch_salted",
+    "bm25_topk", "hybrid_rrf", "linear_fusion", "fusion_max_dedup",
+    "ingest_products", "validate_quarantine", "doc_content_hash",
+    "upsert_merge", "cleanup_old", "version_current",
+    "search_details_projection", "scroll_page", "keyset_page",
+    "corpus_counts", "dense_threshold", "dense_postfilter",
+    "dedup_exact", "directory_import_full",
 ]
 
 
