@@ -504,6 +504,29 @@ def test_stream_dedup_ingest_null_text_across_batches(spark, tmp_path):
     assert len(null_rows) == 1 and null_rows[0]["doc_id"] == 3
 
 
+def test_stream_embed_empty_source_returns_empty(spark, tmp_path):
+    """stream_embed_documents on a zero-file source: no micro-batch
+    ever writes the postings sink, so the sink dir does not exist —
+    the documented resume contract is an EMPTY result with the normal
+    schema, not an AnalysisException (the dedup sibling gained this
+    guard in round 8; this pins the other entry)."""
+    from vector_search_application_spark.streaming.ingest import (
+        stream_embed_documents,
+    )
+
+    empty_sf = tmp_path / "empty_embed_sf"
+    os.makedirs(empty_sf)
+    spark.sql(
+        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text,"
+        " 'src' AS source FROM range(0)"
+    ).write.parquet(str(empty_sf / "documents.parquet"))
+    got = stream_embed_documents(spark, str(empty_sf))
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
+        ("doc_id", "bigint"), ("dim", "int"), ("comp", "double")
+    ]
+
+
 def test_stream_dedup_ingest_empty_source_and_negative_ids(spark, tmp_path):
     """Two shard-construction edges the range math used to mishandle:
     an EMPTY corpus crashed on the missing part file (the oracle would

@@ -455,30 +455,48 @@ class Engine:
         import gc
 
         old_products, old_dense, old_sparse = self._snapshot()
-        loaded = self.spark.read.parquet(table_dir)
+        # intake order as an EXPLICIT key from file metadata, captured
+        # at the scan: (file path, row index within the file). The
+        # previous monotonically_increasing_id() reflected intake order
+        # only for a single-file scratch table — for multi-part
+        # table_dirs (import_full/import_delta write many part files)
+        # Spark orders splits by SIZE, so a duplicate id spanning files
+        # of one import resolved nondeterministically, diverging from
+        # the reference's in-request-order Qdrant upsert. Part-file
+        # names sort in write order (part-00000 < part-00001), and
+        # row_index is the position within the file, so (file, pos)
+        # IS the intake order regardless of split scheduling.
+        loaded = self.spark.read.parquet(table_dir).withColumns(
+            {
+                "__file": F.col("_metadata.file_path"),
+                "__pos": F.col("_metadata.row_index"),
+            }
+        )
         if not {"id", "dense_text", "sparse_text"}.issubset(
             loaded.columns
         ):
             # raw directory imports (S4/S5) land untransformed
             # document tables; run the same T1-T3 stack the upload
             # path applies
-            loaded = json_source.transform_products(loaded)
-        loaded = loaded.select(*old_products.columns)
+            loaded = json_source.transform_products(
+                loaded, extra_cols=("__file", "__pos")
+            )
+        loaded = loaded.select(*old_products.columns, "__file", "__pos")
         # an id may repeat WITHIN one upload; the reference's Qdrant
         # upsert applies points in order so the LAST wins. Without
         # this both rows land in the served corpus: search returns
         # the id twice, embed_postings sums both docs into one
         # phantom vector, and build_postings' first('doc_len') turns
-        # BM25 run-dependent. __seq is the scratch table's read order
-        # (array order for the single-file upload path).
+        # BM25 run-dependent.
         from pyspark.sql import Window as _W
 
-        w_last = _W.partitionBy("id").orderBy(F.desc("__seq"))
+        w_last = _W.partitionBy("id").orderBy(
+            F.desc("__file"), F.desc("__pos")
+        )
         loaded = (
-            loaded.withColumn("__seq", F.monotonically_increasing_id())
-            .withColumn("__rn", F.row_number().over(w_last))
+            loaded.withColumn("__rn", F.row_number().over(w_last))
             .filter(F.col("__rn") == 1)
-            .drop("__seq", "__rn")
+            .drop("__file", "__pos", "__rn")
         )
         merged = loaded.unionByName(
             old_products.join(

@@ -58,7 +58,11 @@ def calibration_df(spark: SparkSession, start: int = 0):
     ).select(F.bit_xor(h).alias("h"))
 
 
-_warmed_sessions: set[int] = set()
+# keyed by applicationId, not id(spark): a stopped session's id() can
+# be recycled by the allocator for a NEW SparkSession, which would
+# silently skip its untimed warmup rep and re-inflate rep 1 (the exact
+# problem the warmup exists to fix); app ids are unique per context
+_warmed_sessions: set[str] = set()
 
 
 def calibration_secs(spark: SparkSession, reps: int = 3) -> list[float]:
@@ -69,7 +73,7 @@ def calibration_secs(spark: SparkSession, reps: int = 3) -> list[float]:
     convention every caller had to remember, which a forgotten
     throwaway silently violated by inflating rep 1."""
     global _rep_counter
-    sid = id(spark)
+    sid = spark.sparkContext.applicationId
     if sid not in _warmed_sessions:
         calibration_df(spark).collect()
         _warmed_sessions.add(sid)

@@ -164,13 +164,15 @@ def validate_documents(
     )
 
 
-def transform_products(raw: DataFrame) -> DataFrame:
+def transform_products(raw: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """T1/T2/T3 over a raw document table (reference
     app/main.py:106-160, scripts/indexing.py:222-247): missing-field
     defaulting, _id-defaults-to-part-number, dense/sparse text
     synthesis, deterministic id. Shared by the upload path
     (load_products) and the engine's absorb-into-serving step, which
-    must transform raw directory imports the same way."""
+    must transform raw directory imports the same way. ``extra_cols``
+    pass through untouched (the absorb path threads its read-order
+    sequence columns alongside the product fields)."""
     # T3: ensure every product field exists (None-fill)
     for f in PRODUCT_FIELDS:
         if f not in raw.columns:
@@ -190,6 +192,7 @@ def transform_products(raw: DataFrame) -> DataFrame:
             F.col("manufacturerPartNumber_text"),
         ).alias("sparse_text"),
         P.md5_long(F.col("_id"), "id").alias("id"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

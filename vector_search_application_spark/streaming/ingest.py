@@ -82,9 +82,29 @@ def _read_source(spark: SparkSession, path: str) -> DataFrame:
     without the legacy nanosAsLong escape hatch — set it HERE, the one
     read path every streaming entry's schema/source read goes through,
     instead of re-incanting it in each registry wrapper (a new entry
-    that forgot it would fail only on nanos-typed generations)."""
+    that forgot it would fail only on nanos-typed generations).
+
+    The conf is restored after the eager schema resolution below: left
+    set, the legacy flag would leak into every subsequent BATCH read in
+    the session (nanos columns silently landing as bare longs where the
+    caller expected a type error). Schema resolution happens at
+    DataFrame creation, so flipping the conf back does not disturb the
+    returned frame's plan."""
+    prev = None
+    try:
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis while the escape hatch is on
+        return df
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def _run_to_memory_sink(
@@ -489,6 +509,16 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # a source with zero files produces no micro-batch, so no batch=N
+    # dir exists — the documented resume contract is 'empty result, not
+    # an error' (same guard as stateful_ema's sink read; this entry was
+    # the one sibling missing it, failing with AnalysisException)
+    from ..sources import layout as _layout
+
+    if not _layout.table_has_data(spark, out):
+        return spark.createDataFrame(
+            [], "doc_id bigint, dim int, comp double"
+        )
     return (
         spark.read.parquet(out)
         .drop("batch")
