@@ -89,6 +89,34 @@ SURVEY_IDS: dict[str, str] = {
     "multimodal": "binary media columns + features",
     "streaming-window": "watermarked windowed rollup",
     "streaming-ingest": "checkpointed streaming upsert",
+    # further extension ids (previously the "unlisted ids" footnote —
+    # emitted as table rows so the extension surface is auditable the
+    # same way §2 is)
+    "ann-pq": "product quantization (ADC scan)",
+    "ann-ivfpq": "IVF-PQ composition",
+    "asof-join": "as-of (nearest-earlier) join",
+    "dedup-components": "dup-pair connected components",
+    "dedup-semantic": "SemDeDup cluster-blocked cosine dedup",
+    "dedup-pipeline": "composed exact-first dedup pipeline",
+    "rerank-mmr": "MMR diversity rerank",
+    "pipeline-chunk": "passage chunking (token windows)",
+    "pipeline-pack": "training sequence packing",
+    "pipeline-split": "hash-bucket dataset split",
+    "pipeline-sample": "deterministic sampling",
+    "pipeline-mix": "temperature-weighted source mixture",
+    "pipeline-order": "epoch shuffle ordering",
+    "pipeline-manifest": "training/retrieval manifests",
+    "pipeline-card": "source data card",
+    "pipeline-stats": "corpus length/token statistics",
+    "pipeline-vocab": "vocabulary accounting (top-n, BPE)",
+    "pipeline-funnel": "quality filter funnel",
+    "pipeline-pii": "PII detection / scrub",
+    "pipeline-boilerplate": "boilerplate n-gram detection",
+    "pipeline-decontaminate": "eval-set decontamination",
+    "§2.7": "relational join core: semi/anti/star joins (§2.7)",
+    "§2.10": "string / classification scalar functions (§2.10)",
+    "§2.11": "aggregations incl. TPC-H joins (§2.11 family)",
+    "§2.12": "window functions (§2.12 family)",
 }
 
 # per-id clarifications appended to the coverage cell
