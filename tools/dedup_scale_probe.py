@@ -406,10 +406,17 @@ the broadcast-argmax assignment. Two fixes, in order:
    published SemDeDup complexity; the previous FIXED 16 was ~n^2/16.
    Honest expectation setting: an n^1.5 stage measured at x100 shows a
    super-linear wall ratio once the pair stage dominates — the row
-   below is real work, bounded by the sqrt schedule, not the
-   unbounded fixed-C quadratic. The trained-build sibling
-   (semantic_dedup_kmeans, rows-only) swaps in MLlib KMeans centroids
-   at the same sqrt count under the identical verdict plan.
+   above is real work, bounded by the sqrt schedule, not the
+   unbounded fixed-C quadratic. Read it against the analytic curve:
+   pure n^1.5 predicts a 31.6x wall per 10x rows; the measured
+   x10->x100 step lands below that only because fixed overhead still
+   dilutes it. The trained-build sibling (semantic_dedup_kmeans,
+   rows-only) swaps in MLlib KMeans centroids at the same sqrt count
+   under the identical verdict plan, planted-copy-tested.
+   dedup_ngram_jaccard's RATIO can worsen across rounds while both
+   endpoints improve — r9 cut its x1 wall ~40% (array verify) and its
+   x100 wall ~13%, which inflates x100/x1 arithmetic; compare absolute
+   walls across rounds, not ratios alone.
 
 Three more round-9 changes visible in the table:
 
