@@ -2,6 +2,7 @@
 projections, EMA telemetry, ingest/export round-trip)."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -420,6 +421,46 @@ def test_load_data_duplicate_id_last_wins(engine, tmp_path):
     ).collect()
     assert len(rows) == 1
     assert rows[0]["shortDescription_airgas_text"] == "second version"
+
+
+def test_import_full_duplicate_id_across_files_wins_by_name_order(
+    engine, tmp_path
+):
+    """A duplicate _id spanning two files of one directory import must
+    resolve last-wins in FILE NAME order (the order a directory
+    iterator feeds the reference's in-request Qdrant upserts), not in
+    part-file order of the written table — Spark schedules JSON splits
+    size-DESCENDING, so the adversarial shape is 'later-named file is
+    larger': it lands in an EARLIER part file, and a read-order dedupe
+    would wrongly keep the earlier-named file's row. import_full's
+    __src_file/__src_pos stamp pins the true intake order."""
+    imp = tmp_path / "dup_import"
+    os.makedirs(imp)
+    dup = {"_id": "XFL0000001", "partNumber_airgas_text": "XFL0000001",
+           "manufacturerPartNumber_text": "777",
+           "shortDescription_airgas_text": "version from file a",
+           "onlinePrice_string": "1.0", "img_270Wx270H_string": None}
+    # a.json: tiny (just the dup). b.json: the dup's LATER version plus
+    # enough filler rows to make it the larger file.
+    (imp / "a.json").write_text(json.dumps([dup]))
+    filler = [
+        {"_id": f"FIL{i:07d}", "partNumber_airgas_text": f"FIL{i:07d}",
+         "manufacturerPartNumber_text": None,
+         "shortDescription_airgas_text": f"filler doc number {i} with text",
+         "onlinePrice_string": "2.0", "img_270Wx270H_string": None}
+        for i in range(40)
+    ]
+    b_dup = dict(dup, shortDescription_airgas_text="version from file b")
+    (imp / "b.json").write_text(json.dumps(filler + [b_dup]))
+    assert (imp / "b.json").stat().st_size > (imp / "a.json").stat().st_size
+
+    engine.import_full(str(imp), str(tmp_path / "dup_import_table"))
+    served, _, _ = engine._snapshot()
+    rows = served.filter(
+        F.col("partNumber_airgas_text") == "XFL0000001"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["shortDescription_airgas_text"] == "version from file b"
 
 
 def test_embed_postings_drops_null_ids(spark):

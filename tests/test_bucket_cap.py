@@ -62,16 +62,26 @@ def test_minhash_cap_drops_clique_keeps_near_pairs(spark):
     assert not [p for p in found if p[0] < CLIQUE_N and p[1] < CLIQUE_N]
 
 
-def test_simhash_cap_drops_clique(spark):
-    docs = _clique_docs(spark)
+def test_simhash_cap_drops_clique_keeps_twin_pair(spark):
+    # add an identical TWIN pair outside the clique: same simhash
+    # (hamming 0), a 2-member bucket per band — must survive the cap,
+    # so this test cannot pass vacuously on an empty result
+    twin_text = (
+        "a completely separate technical note describing checkpoint "
+        "recovery semantics for stateful stream processing operators"
+    )
+    twins = spark.range(2).selectExpr(
+        f"id + {CLIQUE_N + 10} AS doc_id", f"'{twin_text}' AS text"
+    )
+    docs = _clique_docs(spark).unionByName(twins)
     sims = dedup.simhash(docs, "doc_id", "text")
     found = {
         (r.id_a, r.id_b)
         for r in dedup.simhash_pairs(sims, max_hamming=3).collect()
     }
-    # the near pair differs by one trailing token -> a few shingles ->
-    # low hamming; identical clique docs have IDENTICAL simhash but sit
-    # in >cap buckets, so they emit nothing
+    assert (CLIQUE_N + 10, CLIQUE_N + 11) in found
+    # identical clique docs have IDENTICAL simhash but sit in >cap
+    # buckets in every band, so they emit nothing
     assert not [p for p in found if p[0] < CLIQUE_N and p[1] < CLIQUE_N]
     assert all(i >= CLIQUE_N for p in found for i in p)
 

@@ -505,14 +505,29 @@ def test_stream_dedup_ingest_null_text_across_batches(spark, tmp_path):
 
 
 def test_stream_embed_empty_source_returns_empty(spark, tmp_path):
-    """stream_embed_documents on a zero-file source: no micro-batch
-    ever writes the postings sink, so the sink dir does not exist —
-    the documented resume contract is an EMPTY result with the normal
-    schema, not an AnalysisException (the dedup sibling gained this
-    guard in round 8; this pins the other entry)."""
+    """The 'empty result, not an error' resume contract for
+    stream_embed_documents, both empty shapes:
+
+    - a zero-FILE source (the table was never written): schema
+      inference would raise UNABLE_TO_INFER_SCHEMA before any stream
+      starts, so the source guard must short-circuit to an empty
+      postings frame;
+    - a zero-ROW source (a part file exists): the micro-batch still
+      fires (an empty batch writes an empty batch=0 part), so the
+      NORMAL sink-read path must come back empty with the same schema
+      — no sink guard involved (a sink-side existence guard is
+      unreachable here and was removed as dead code in r9)."""
     from vector_search_application_spark.streaming.ingest import (
         stream_embed_documents,
     )
+
+    expected = [("doc_id", "bigint"), ("dim", "int"), ("comp", "double")]
+
+    no_files_sf = tmp_path / "no_files_embed_sf"
+    os.makedirs(no_files_sf)  # documents.parquet never written
+    got = stream_embed_documents(spark, str(no_files_sf))
+    assert got.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == expected
 
     empty_sf = tmp_path / "empty_embed_sf"
     os.makedirs(empty_sf)
@@ -522,9 +537,7 @@ def test_stream_embed_empty_source_returns_empty(spark, tmp_path):
     ).write.parquet(str(empty_sf / "documents.parquet"))
     got = stream_embed_documents(spark, str(empty_sf))
     assert got.count() == 0
-    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == [
-        ("doc_id", "bigint"), ("dim", "int"), ("comp", "double")
-    ]
+    assert [(f.name, f.dataType.simpleString()) for f in got.schema.fields] == expected
 
 
 def test_stream_dedup_ingest_empty_source_and_negative_ids(spark, tmp_path):

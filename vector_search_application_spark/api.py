@@ -455,23 +455,37 @@ class Engine:
         import gc
 
         old_products, old_dense, old_sparse = self._snapshot()
-        # intake order as an EXPLICIT key from file metadata, captured
-        # at the scan: (file path, row index within the file). The
-        # previous monotonically_increasing_id() reflected intake order
-        # only for a single-file scratch table — for multi-part
-        # table_dirs (import_full/import_delta write many part files)
-        # Spark orders splits by SIZE, so a duplicate id spanning files
-        # of one import resolved nondeterministically, diverging from
-        # the reference's in-request-order Qdrant upsert. Part-file
-        # names sort in write order (part-00000 < part-00001), and
-        # row_index is the position within the file, so (file, pos)
-        # IS the intake order regardless of split scheduling.
-        loaded = self.spark.read.parquet(table_dir).withColumns(
-            {
-                "__file": F.col("_metadata.file_path"),
-                "__pos": F.col("_metadata.row_index"),
-            }
-        )
+        # intake order as an EXPLICIT key. Directory imports
+        # (import_full) stamp it AT THE JSON SCAN (__src_file/__src_pos:
+        # source file path + row position within the file) — the only
+        # point where it still exists, because the parquet part-file
+        # order of table_dir is the scan's size-descending split
+        # packing, not the name-order a directory iterator processes
+        # files in. Tables without the stamp (the single-file upload
+        # scratch, delta-merged tables) fall back to parquet read
+        # metadata: there part names sort in write order and row_index
+        # is the in-file position, which is the intake order for a
+        # single-writer table. The previous
+        # monotonically_increasing_id() reflected neither for
+        # multi-part dirs (splits schedule by size), diverging from the
+        # reference's in-request-order Qdrant upsert.
+        loaded = self.spark.read.parquet(table_dir)
+        if {json_source.SRC_FILE_COL, json_source.SRC_POS_COL}.issubset(
+            loaded.columns
+        ):
+            loaded = loaded.withColumnsRenamed(
+                {
+                    json_source.SRC_FILE_COL: "__file",
+                    json_source.SRC_POS_COL: "__pos",
+                }
+            )
+        else:
+            loaded = loaded.withColumns(
+                {
+                    "__file": F.col("_metadata.file_path"),
+                    "__pos": F.col("_metadata.row_index"),
+                }
+            )
         if not {"id", "dense_text", "sparse_text"}.issubset(
             loaded.columns
         ):

@@ -258,9 +258,32 @@ def export_documents_sharded(
     return path, n
 
 
+# intake-order stamp columns written by import_full and consumed by the
+# serving absorb's last-wins id dedupe (api.Engine._absorb_locked)
+SRC_FILE_COL = "__src_file"
+SRC_POS_COL = "__src_pos"
+
+
 def import_full(spark: SparkSession, import_dir: str, table_dir: str) -> int:
-    """S4: reset-and-load every *.json in the directory."""
+    """S4: reset-and-load every *.json in the directory.
+
+    Stamps intake order at the JSON SCAN: (source file path, row
+    position within the file). The parquet part-file order of the
+    written table is the scan's size-descending split packing — NOT
+    the name-order a directory iterator processes files in — so
+    without the stamp a duplicate id spanning two import files would
+    resolve last-wins by FILE SIZE downstream. multiLine JSON is not
+    splittable (one task per file), so the low 33 bits of
+    monotonically_increasing_id are exactly the row's position within
+    its file."""
     docs = read_json_array(spark, os.path.join(import_dir, "*.json"))
+    docs = docs.select(
+        "*",
+        F.col("_metadata.file_path").alias(SRC_FILE_COL),
+        F.monotonically_increasing_id()
+        .bitwiseAND(F.lit((1 << 33) - 1))
+        .alias(SRC_POS_COL),
+    )
     docs.write.mode("overwrite").parquet(table_dir)
     return spark.read.parquet(table_dir).count()
 
@@ -286,7 +309,11 @@ def import_delta(
 
     new = read_json_array(spark, os.path.join(import_dir, "*.json"))
     bucketed = layout.is_bucketed(spark, table_dir)
-    old = spark.read.parquet(table_dir)
+    # drop import_full's intake-order stamp: the delta's new side has
+    # no stamp, and upsert/delta_classify need aligned schemas (the
+    # merged table simply loses the stamp — absorb then falls back to
+    # parquet read order, which is correct for the single-write table)
+    old = spark.read.parquet(table_dir).drop(SRC_FILE_COL, SRC_POS_COL)
     if bucketed:
         old = old.drop(layout.BUCKET_COL)
     hash_cols = [c for c in new.columns if c != key]

@@ -484,11 +484,30 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute). Settled table = the batch embed of the whole corpus,
     which is exactly what the oracle checks."""
     from ..functions import embedder as E
+    from ..sources import layout as _layout
 
     work = _scratch_dir("stream_embed_")
     out = os.path.join(work, "postings")
     ckpt = os.path.join(work, "checkpoint")
     source = os.path.join(sf_dir, "documents.parquet")
+    # zero-FILE source: schema inference below would fail with
+    # UNABLE_TO_INFER_SCHEMA before any stream starts — the documented
+    # resume contract is an EMPTY result with the postings schema, not
+    # an error, so guard the SOURCE: a missing path, or a directory
+    # table with no data files. A flat parquet FILE that exists always
+    # proceeds (table_has_data is directory-shaped — globbing under a
+    # file path matches nothing). A zero-ROW source with a part file
+    # needs no guard: the batch fires, writes an empty batch=0 part,
+    # and the normal sink read returns the empty frame — both pinned
+    # in tests/test_streaming.py.
+    fs, hpath, _ = _layout._fs(spark, source)
+    if not fs.exists(hpath) or (
+        fs.getFileStatus(hpath).isDirectory()
+        and not _layout.table_has_data(spark, source)
+    ):
+        return spark.createDataFrame(
+            [], "doc_id bigint, dim int, comp double"
+        )
     schema = _read_source(spark, source).schema
 
     def embed_batch(batch: DataFrame, batch_id: int) -> None:
@@ -509,16 +528,6 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # a source with zero files produces no micro-batch, so no batch=N
-    # dir exists — the documented resume contract is 'empty result, not
-    # an error' (same guard as stateful_ema's sink read; this entry was
-    # the one sibling missing it, failing with AnalysisException)
-    from ..sources import layout as _layout
-
-    if not _layout.table_has_data(spark, out):
-        return spark.createDataFrame(
-            [], "doc_id bigint, dim int, comp double"
-        )
     return (
         spark.read.parquet(out)
         .drop("batch")
