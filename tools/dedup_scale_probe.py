@@ -413,10 +413,10 @@ the broadcast-argmax assignment. Two fixes, in order:
    dilutes it. The trained-build sibling (semantic_dedup_kmeans,
    rows-only) swaps in MLlib KMeans centroids at the same sqrt count
    under the identical verdict plan, planted-copy-tested.
-   dedup_ngram_jaccard's RATIO can worsen across rounds while both
-   endpoints improve — r9 cut its x1 wall ~40% (array verify) and its
-   x100 wall ~13%, which inflates x100/x1 arithmetic; compare absolute
-   walls across rounds, not ratios alone.
+   dedup_ngram_jaccard's r9 rewrite (array verify + in-row posting
+   pair expansion, candidate hash identical) cut its x100 wall
+   23.3s -> ~14s and its x1 wall ~30-40%; when both endpoints move,
+   compare absolute walls across rounds, not x100/x1 arithmetic.
 
 Three more round-9 changes visible in the table:
 

@@ -339,12 +339,13 @@ def jaccard_dedup_pairs(
     shingles: only shingles appearing in 2..df_cap documents generate
     candidates (the inverted-index probe). Deterministic — unlike LSH
     blocking there is no hash family; a pair is found iff it shares at
-    least one rare shingle. At scale the posting list is partitioned by
-    shingle and the df cap bounds each posting slice's pair fan-out at
-    df_cap^2, so the candidate join cannot explode on boilerplate text.
+    least one rare shingle. At scale the posting lists are partitioned
+    by shingle and the df cap bounds each rare posting at df_cap ids,
+    so per-shingle pair expansion is at most C(df_cap, 2) — boilerplate
+    text cannot explode candidate generation.
 
     Shingles here are xxhash64 gram ids, not strings: everything
-    downstream (df count, rare filter, candidate self-join, jaccard
+    downstream (df count, rare filter, candidate expansion, jaccard
     verify) compares shingles for equality only, so the long-keyed
     pipeline is value-identical (hashed_ngram_ids documents the
     collision bound) and the shuffles carry 8-byte keys.
@@ -357,13 +358,28 @@ def jaccard_dedup_pairs(
         .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("sh")
     )
+    # candidate pairs expand IN-ROW from each rare shingle's posting
+    # array (C(df,2) <= C(df_cap,2) structs per shingle) instead of the
+    # posting self-join: same pair set (the x100 probe measured an
+    # identical candidate hash at ~2x less wall, 8-12s -> 4-7s), one
+    # narrow groupBy over the already-rare-blocked slice. Order
+    # matters for memory: df is counted FIRST (map-side-combinable
+    # count, no lists), and collect_list runs only over the blocked
+    # slice, so no posting array ever exceeds df_cap elements — a
+    # collect-then-filter formulation would buffer a boilerplate
+    # shingle's full million-doc posting list on one reducer.
     blocked = sh.join(rare, "sh")
-    a = blocked.select(F.col("id").alias("id_a"), "sh")
-    b = blocked.select(F.col("id").alias("id_b"), "sh")
+    posts = blocked.groupBy("sh").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS id_a, y AS id_b))))"
+    )
     cands = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        posts.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return jaccard_verify_arrays(cands, sharr).filter(
