@@ -143,10 +143,12 @@ def bench_index_builds(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def bench_dense_batch(spark, sf_dir: str) -> float:
-    """1000-query dense top-10 batch: corpus stays partitioned, the
-    query set (small side) is broadcast, one window ranks per query.
-    This is the amortized-throughput comparison vs BASELINE.md."""
+def bench_dense_batch(spark, sf_dir: str) -> tuple[float, float]:
+    """(best, median) for the 1000-query dense top-10 batch: corpus
+    stays partitioned, the query set (small side) is broadcast, one
+    window ranks per query. This is the amortized-throughput comparison
+    vs BASELINE.md; timing loop shared with every other family
+    (_time_batch), so the reps/assert policy cannot drift per family."""
     vecs = corpus.vectors(spark, sf_dir)
     queries = (
         vecs.orderBy("vec_id")
@@ -160,23 +162,29 @@ def bench_dense_batch(spark, sf_dir: str) -> float:
         corpus_partitions=spark.sparkContext.defaultParallelism,
     ).select("query_id", "vec_id", "score")
     result = topk_ops.topk_per_group(scored, "query_id", k=BATCH_K)
-    best = float("inf")
-    for _ in range(2):  # best-of-2: steady-state amortized throughput
-        t0 = time.perf_counter()
-        n = result.count()
-        best = min(best, time.perf_counter() - t0)
-        assert n == 0 or n >= BATCH_K  # sanity: got rows per query
-    return best
+    return _time_batch(result, N_BATCH_QUERIES)
 
 
 def _time_batch(result, n_queries: int, reps: int = 3) -> tuple[float, float]:
-    """(best, median) wall seconds over reps for a batch plan."""
+    """(best, median) wall seconds over reps for a batch plan.
+
+    The row-count assert is a REAL floor, not `n >= 0`: every batch
+    here is built so each of its n_queries queries matches at least one
+    corpus row (top-k batches return k rows per query; the exact/fusion
+    lookups are constructed FROM stored part numbers). An empty or
+    near-empty result means the query construction drifted from the
+    corpus (the lpad-truncation incident silently collapsed exact qps
+    to the timing of an empty plan once) — that must fail the bench, not
+    produce a fast vacuous number."""
     secs = []
     for _ in range(reps):
         t0 = time.perf_counter()
         n = result.count()
         secs.append(time.perf_counter() - t0)
-        assert n == 0 or n >= 1
+        assert n >= n_queries, (
+            f"batch returned {n} rows for {n_queries} queries — query "
+            "construction no longer matches the corpus"
+        )
     secs.sort()
     return secs[0], secs[len(secs) // 2]
 
@@ -258,12 +266,10 @@ def bench_batch_throughput(spark, sf_dir: str) -> tuple[dict, dict]:
     part = corpus._read(spark, sf_dir, "part")
     exact_queries = part.filter(F.col("p_partkey") < n_exact).select(
         F.col("p_partkey").alias("query_id"),
-        F.concat(
-            F.upper(F.replace(F.col("p_brand"), F.lit("#"), F.lit(""))),
-            # padded_key, never raw lpad: lpad TRUNCATES 8+-digit keys
-            # (SF>=50), silently collapsing exact/fusion qps to 0
-            corpus.padded_key(F.col("p_partkey")),
-        ).alias("q"),
+        # the SHARED construction (corpus.part_number) — a hand-copied
+        # twin here once drifted (raw lpad truncation) and silently
+        # collapsed exact/fusion qps to the timing of an empty plan
+        corpus.part_number().alias("q"),
     )
     exact_res = exact.exact_cascade_batch(
         prods, exact_queries, "partNumber_airgas_text", "manufacturerPartNumber_text"
@@ -340,14 +346,17 @@ def main() -> None:
     # Expression trees are identical across SFs, so this JIT-compiles the
     # exact generated code the timed plans use (codegen cache hits) for a
     # fraction of the timed data volume.
+    # KeyError on a renamed/removed registry entry, never a silent
+    # skip: a HEADLINE name that stops resolving would otherwise just
+    # shrink the cross-round total and read as a speedup
+    by_name = {d.name: d.spark for d in REGISTRY}
+    missing = [n for n in HEADLINE if n not in by_name]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
         for name in HEADLINE:
-            fn = {d.name: d.spark for d in REGISTRY}.get(name)
-            if fn is None:
-                continue
             try:
-                _force(fn(spark, warm_dir))
+                _force(by_name[name](spark, warm_dir))
             except Exception:
                 pass  # warmup must never fail the bench
 
@@ -357,17 +366,14 @@ def main() -> None:
     # multi-minute 5-6x slow windows, so cross-round comparisons use the
     # normalized numbers, and a large start-vs-end spread flags a window
     # that opened mid-run.
-    CAL.calibration_df(spark).collect()  # throwaway: codegen/JIT
+    # (calibration_secs runs its own untimed warmup rep per session)
     cal_start = CAL.calibration_secs(spark, reps=5)
     print(f"  calibration(start): {cal_start}", file=sys.stderr, flush=True)
 
-    by_name = {d.name: d.spark for d in REGISTRY}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
-        fn = by_name.get(name)
-        if fn is None:
-            continue
+        fn = by_name[name]
         # Best-of-3 with median: the first execution of a plan in a
         # session pays one-time costs (AQE replan compilation,
         # broadcast/persist setup) that the sf0.001 warmup tier cannot
@@ -389,8 +395,9 @@ def main() -> None:
             flush=True,
         )
 
-    batch_sec = bench_dense_batch(spark, sf_dir)
+    batch_sec, batch_med = bench_dense_batch(spark, sf_dir)
     timings["dense_batch_1000"] = round(batch_sec, 3)
+    timings["dense_batch_1000_median"] = round(batch_med, 3)
     qps = N_BATCH_QUERIES / batch_sec if batch_sec > 0 else float("inf")
 
     batch_timings, batch_qps = bench_batch_throughput(spark, sf_dir)
@@ -407,11 +414,17 @@ def main() -> None:
         "exact": batch_qps.get("qps_exact_batch_1000", 0.0),
         "fusion": batch_qps.get("qps_fusion_batch_200", 0.0),
     }
+    # raw pass computed here; after the end calibration lands, each gate
+    # also gets pass_normalized, and "pass" becomes raw OR normalized —
+    # a run caught entirely inside one of this box's uniform 5-6x slow
+    # windows (start/end spread ~1, so degraded_window stays False)
+    # would otherwise fail every family and read as a real regression
+    # when the calibration-normalized qps shows the plans are fine.
     gates = {
         fam: {
             "qps": round(fam_qps[fam], 1),
             "gate_qps": round(1000.0 / (2.0 * worst_ms[fam]), 1),
-            "pass": fam_qps[fam] >= 1000.0 / (2.0 * worst_ms[fam]),
+            "pass_raw": fam_qps[fam] >= 1000.0 / (2.0 * worst_ms[fam]),
         }
         for fam in worst_ms
     }
@@ -443,6 +456,17 @@ def main() -> None:
     qps_normalized = {
         f"{k}_normalized": round(v["qps"] * cal_ratio, 1) for k, v in gates.items()
     }
+    for fam, g in gates.items():
+        g["pass_normalized"] = g["qps"] * cal_ratio >= g["gate_qps"]
+        g["pass"] = g["pass_raw"] or g["pass_normalized"]
+    if cal_ratio > 2.0:
+        print(
+            f"WARNING: calibration ratio_vs_ref {cal_ratio} > 2 — the whole "
+            "run sat in a slow machine window; raw qps and gate pass_raw "
+            "understate the plans, read pass_normalized/qps_normalized.",
+            file=sys.stderr,
+            flush=True,
+        )
     # Window-health gate (r7 VERDICT task 7): this box has multi-minute
     # windows where identical plans run 5-6x slower. A start-vs-end
     # calibration spread past 1.5 means the machine's speed CHANGED

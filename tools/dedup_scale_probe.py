@@ -215,7 +215,7 @@ def main(ks: list[int]) -> int:
                     file=sys.stderr,
                     flush=True,
                 )
-            CAL.calibration_df(spark).collect()
+            # calibration_secs runs its own untimed warmup rep
             cal_secs = CAL.calibration_secs(spark, reps=3)
             cal_results[k] = round(
                 CAL.median(cal_secs) / CAL.CALIBRATION_REF_SEC, 2

@@ -7,9 +7,13 @@ Run from the repo root:  python tools/gen_coverage.py
 from __future__ import annotations
 
 import collections
+import os
 import sys
 
-sys.path.insert(0, ".")
+# anchor on this file, not cwd, like the sibling generators — run from
+# any directory, import the right package and write the repo's COVERAGE.md
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from vector_search_application_spark.plans.registry import REGISTRY  # noqa: E402
 
@@ -167,7 +171,7 @@ def main() -> None:
     if extra:
         lines += ["", f"Unlisted ids carried by queries: {', '.join(extra)}"]
     lines.append("")
-    open("COVERAGE.md", "w").write("\n".join(lines))
+    open(os.path.join(_REPO, "COVERAGE.md"), "w").write("\n".join(lines))
     missing = [
         sid for sid in SURVEY_IDS if sid not in by_id and sid not in NOTES
     ]

@@ -256,7 +256,7 @@ def main(ks: list[int]) -> int:
         # degraded window and its RATIOS are suspect, not its plans.
         from vector_search_application_spark import calibration as CAL
 
-        CAL.calibration_df(spark).collect()
+        # calibration_secs runs its own untimed warmup rep per session
         cal_secs = CAL.calibration_secs(spark, reps=3)
         cal_med = CAL.median(cal_secs)
         print(f"  x{k} calibration: {cal_secs} (ratio "

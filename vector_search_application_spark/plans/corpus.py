@@ -48,6 +48,22 @@ def padded_key(col: Column) -> Column:
     return F.when(F.length(sc) >= 7, sc).otherwise(F.lpad(sc, 7, "0"))
 
 
+def part_number(
+    brand_col: Column | None = None, key_col: Column | None = None
+) -> Column:
+    """THE products part-number construction — upper(brand sans '#') ||
+    padded_key(p_partkey) — single-sourced so a probe/bench/query
+    building lookup keys can never drift from what ``products`` stored
+    (a drifted twin matches nothing and silently collapses exact-match
+    throughput to an empty plan; bench.py once carried a hand-copied
+    version of exactly this expression)."""
+    brand_col = F.col("p_brand") if brand_col is None else brand_col
+    key_col = F.col("p_partkey") if key_col is None else key_col
+    return F.concat(
+        F.upper(F.regexp_replace(brand_col, "#", "")), padded_key(key_col)
+    )
+
+
 PADDED_KEY_SQL = (
     "CASE WHEN length(p_partkey::VARCHAR) >= 7 THEN p_partkey::VARCHAR"
     " ELSE lpad" + "(p_partkey::VARCHAR, 7, '0') END"
@@ -119,10 +135,7 @@ def query_vector_cte(vec_id: int) -> str:
 def products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Products payload table derived from ``part`` (T1/T2/T3)."""
     part = _read(spark, sf_dir, "part")
-    pn = F.concat(
-        F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-        padded_key(F.col("p_partkey")),
-    )
+    pn = part_number()
     mfr = F.when(
         F.col("p_partkey") % MFR_NULL_MOD != 0,
         padded_key(F.col("p_partkey")),

@@ -838,10 +838,7 @@ def q_exact_cascade_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("query_id"),
         F.when(
             F.col("p_partkey") <= CASCADE_BATCH_PRIMARY_N,
-            F.concat(
-                F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-                corpus.padded_key(F.col("p_partkey")),
-            ),
+            corpus.part_number(),
         )
         .otherwise(corpus.padded_key(F.col("p_partkey")))
         .alias("q"),
@@ -943,10 +940,7 @@ def q_fusion_max_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = corpus._read(spark, sf_dir, "part")
     qs = part.filter(F.col("p_partkey") <= FUSION_BATCH_NQ).select(
         F.col("p_partkey").alias("query_id"),
-        F.concat(
-            F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-            corpus.padded_key(F.col("p_partkey")),
-        ).alias("q"),
+        corpus.part_number().alias("q"),
     )
     # primary-only batch match, NOT the full cascade filtered down: the
     # oracle has no secondary branch, and building one just to discard

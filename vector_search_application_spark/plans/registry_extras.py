@@ -403,10 +403,7 @@ def q_payload_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         part.filter(F.col("p_partkey") == 123)
         .select(
-            F.concat(
-                F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-                corpus.padded_key(F.col("p_partkey")),
-            ).alias("q")
+            corpus.part_number().alias("q")
         )
         .first()["q"]
     )

@@ -66,10 +66,7 @@ def q_partno_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lits = _classifier_literal_inputs(spark)
     part = corpus._read(spark, sf_dir, "part").filter(F.col("p_partkey") < 10)
     pn = part.select(
-        F.concat(
-            F.upper(F.regexp_replace(F.col("p_brand"), "#", "")),
-            corpus.padded_key(F.col("p_partkey")),
-        ).alias("query_text")
+        corpus.part_number().alias("query_text")
     )
     names = part.select(F.col("p_name").alias("query_text"))
     inputs = lits.unionByName(pn).unionByName(names)
