@@ -20,7 +20,11 @@ event log — the boundary shapes the generated testdata never contains:
   with no preceding view at all (NULL attribution);
 - window boundary: an event at exactly an hour boundary (belongs to
   the window it opens in both engines);
-- payload edges: NULL props, valid JSON without the extracted key.
+- payload edges: NULL props, valid JSON without the extracted key;
+- NULL event time: excluded by every event-time operator in BOTH
+  engines (sessionize, as-of fill, sliding frame, tumbling window) —
+  Spark's NULLS FIRST vs DuckDB's NULLS LAST would otherwise order
+  the same row differently.
 
 Same parity harness as test_adversarial_corpus.py: the declared Spark
 plan and the declared DuckDB oracle both read the same parquet.
@@ -75,6 +79,15 @@ ADVERSARIAL_EVENTS = [
     (705, T0 + 20, 7, "purchase", 1.25, None),
     # user 8 — purchase with no view anywhere: NULL attribution
     (801, T0, 8, "purchase", 0.25, '{"k": 8}'),
+    # user 9 — NULL event time (r9): un-orderable rows are EXCLUDED by
+    # every event-TIME operator in both engines (Spark sorts NULLS
+    # FIRST on ASC, DuckDB NULLS LAST — without the exclusion the same
+    # row lands in different sessions / windows / fills per engine);
+    # the user still has real events so it stays in every result
+    (901, None, 9, "view", 1.5, '{"k": 3}'),
+    (902, T0, 9, "view", 0.5, None),
+    (903, T0 + 10, 9, "purchase", 1.0, None),
+    (904, None, 9, "purchase", 2.0, '{"k": 12}'),
 ]
 
 EVENT_QUERIES = [

@@ -19,7 +19,7 @@ matching the reference's stable-sort insertion order (SURVEY.md §7).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
@@ -30,6 +30,55 @@ from .topk import topk_per_group
 def _ranked(branch: DataFrame, id_col: str) -> DataFrame:
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return branch.withColumn("rank", F.row_number().over(w))
+
+
+def _rrf_aggs(names, rank_k: int) -> list:
+    """The RRF aggregate list — rrf score + per-branch score/rank
+    diagnostics — shared by rrf_fuse and rrf_fuse_batch so the
+    single-query/batch per-query-equality contract cannot drift
+    (the bigint cast matters: row_number is int in Spark, bigint in
+    DuckDB)."""
+    aggs = [
+        P.rounded(
+            F.sum(F.lit(1.0) / (F.lit(float(rank_k)) + F.col("rank")))
+        ).alias("score")
+    ]
+    for name in names:
+        aggs.append(
+            F.max(F.when(F.col("branch") == name, F.col("branch_score"))).alias(
+                f"{name}_score"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("branch") == name, F.col("rank")))
+            .cast("bigint")
+            .alias(f"{name}_rank")
+        )
+    return aggs
+
+
+def _dedup_flag_aggs() -> list:
+    """max-score + branch-presence flags, shared by max_dedup_fuse and
+    its batch twin."""
+    return [
+        F.max("score").alias("score"),
+        F.max(F.when(F.col("search_type") == "exact", F.lit(1)))
+        .isNotNull()
+        .alias("_has_exact"),
+        F.max(F.when(F.col("search_type") == "vector", F.lit(1)))
+        .isNotNull()
+        .alias("_has_vector"),
+    ]
+
+
+def _dedup_label() -> Column:
+    """'exact+vector' label concat, exact first (the reference's
+    first-occurrence insertion order) — one spelling for both twins."""
+    return F.concat_ws(
+        "+",
+        F.when(F.col("_has_exact"), F.lit("exact")),
+        F.when(F.col("_has_vector"), F.lit("vector")),
+    ).alias("search_type")
 
 
 def rrf_fuse(
@@ -55,26 +104,9 @@ def rrf_fuse(
             F.col("rank"),
         )
         labeled = b if labeled is None else labeled.unionByName(b)
-    names = list(branches)
-    aggs = [
-        P.rounded(F.sum(F.lit(1.0) / (F.lit(float(rank_k)) + F.col("rank")))).alias(
-            "score"
-        )
-    ]
-    for name in names:
-        aggs.append(
-            F.max(F.when(F.col("branch") == name, F.col("branch_score"))).alias(
-                f"{name}_score"
-            )
-        )
-        aggs.append(
-            F.max(F.when(F.col("branch") == name, F.col("rank")))
-            .cast("bigint")  # row_number is int in Spark, bigint in DuckDB
-            .alias(f"{name}_rank")
-        )
     return (
         labeled.groupBy(id_col)
-        .agg(*aggs)
+        .agg(*_rrf_aggs(list(branches), rank_k))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -130,25 +162,9 @@ def max_dedup_fuse(
     unioned = exact.select(id_col, "score", "search_type").unionByName(
         vector.select(id_col, "score", "search_type")
     )
-    grouped = unioned.groupBy(id_col).agg(
-        F.max("score").alias("score"),
-        F.max(F.when(F.col("search_type") == "exact", F.lit(1)))
-        .isNotNull()
-        .alias("_has_exact"),
-        F.max(F.when(F.col("search_type") == "vector", F.lit(1)))
-        .isNotNull()
-        .alias("_has_vector"),
-    )
+    grouped = unioned.groupBy(id_col).agg(*_dedup_flag_aggs())
     return (
-        grouped.select(
-            F.col(id_col),
-            F.col("score"),
-            F.concat_ws(
-                "+",
-                F.when(F.col("_has_exact"), F.lit("exact")),
-                F.when(F.col("_has_vector"), F.lit("vector")),
-            ).alias("search_type"),
-        )
+        grouped.select(F.col(id_col), F.col("score"), _dedup_label())
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
@@ -218,23 +234,11 @@ def rrf_fuse_batch(
             )
         )
         labeled = b if labeled is None else labeled.unionByName(b)
-    aggs = [
-        P.rounded(F.sum(F.lit(1.0) / (F.lit(float(rank_k)) + F.col("rank")))).alias(
-            "score"
-        )
-    ]
-    for name in branches:
-        aggs.append(
-            F.max(F.when(F.col("branch") == name, F.col("branch_score"))).alias(
-                f"{name}_score"
-            )
-        )
-        aggs.append(
-            F.max(F.when(F.col("branch") == name, F.col("rank")))
-            .cast("bigint")
-            .alias(f"{name}_rank")
-        )
-    fused = labeled.repartition(group_col).groupBy(group_col, id_col).agg(*aggs)
+    fused = (
+        labeled.repartition(group_col)
+        .groupBy(group_col, id_col)
+        .agg(*_rrf_aggs(list(branches), rank_k))
+    )
     return topk_per_group(fused, group_col, k, id_col=id_col)
 
 
@@ -261,23 +265,12 @@ def max_dedup_fuse_batch(
     # one explicit exchange on the query id serves the dedup groupBy
     # (subset-key hash satisfies its clustering) AND the final per-query
     # window — same economy as rrf_fuse_batch
-    grouped = unioned.repartition(group_col).groupBy(group_col, id_col).agg(
-        F.max("score").alias("score"),
-        F.max(F.when(F.col("search_type") == "exact", F.lit(1)))
-        .isNotNull()
-        .alias("_has_exact"),
-        F.max(F.when(F.col("search_type") == "vector", F.lit(1)))
-        .isNotNull()
-        .alias("_has_vector"),
+    grouped = (
+        unioned.repartition(group_col)
+        .groupBy(group_col, id_col)
+        .agg(*_dedup_flag_aggs())
     )
     labeled = grouped.select(
-        F.col(group_col),
-        F.col(id_col),
-        F.col("score"),
-        F.concat_ws(
-            "+",
-            F.when(F.col("_has_exact"), F.lit("exact")),
-            F.when(F.col("_has_vector"), F.lit("vector")),
-        ).alias("search_type"),
+        F.col(group_col), F.col(id_col), F.col("score"), _dedup_label()
     )
     return topk_per_group(labeled, group_col, k, id_col=id_col)

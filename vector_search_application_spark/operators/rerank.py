@@ -72,8 +72,22 @@ def mmr_rerank(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Distributed candidate top-N -> driver-side greedy MMR -> inline
-    literal relation (rank, id, score, mmr)."""
+    literal relation (rank, id, score, mmr).
+
+    The picked ids ride back as UNQUOTED integer literals (and the
+    empty branch pins BIGINT), so the id column must be integral —
+    enforced here with a clear error rather than letting a string id
+    (e.g. products' partNumber _id) generate malformed SQL deep in
+    plan construction."""
     spark = vectors.sparkSession
+    id_type = dict(vectors.dtypes)[id_col]
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"mmr_rerank requires an integral id column (got {id_col}:"
+            f" {id_type}): picked ids are re-emitted as integer plan"
+            " literals — map string ids to a long key (e.g."
+            " P.md5_long) before reranking"
+        )
     cand_df = topk(
         score_against_query(vectors, query, id_col, vec_col, extra_cols=[vec_col]),
         n_candidates,

@@ -316,5 +316,6 @@ def keyset_page(
     )
 
 
-def rounded_score(col: Column, digits: int = ROUND_DIGITS) -> Column:
-    return P.rounded(col, digits)
+# (a rounded_score alias of P.rounded lived here with zero callers —
+# deleted: a second public name for the rounding primitive is exactly
+# how a third spelling drifts from ROUND_DIGITS)

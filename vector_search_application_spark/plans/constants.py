@@ -119,6 +119,17 @@ LSH_BUCKET_CAP = 1000
 IVF_CENTROIDS = 8
 IVF_PROBES = 2
 
+# event sessionization: per-user inactivity gap. SESSION_GAP_STR is the
+# engine twin (native session_window takes a duration STRING) derived
+# from the microsecond value — previously hand-spelled "30 minutes" in
+# streaming/ingest.py defaults while the oracles interpolated the
+# number, so tuning one silently left the other.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+SESSION_GAP_STR = f"{SESSION_GAP_US // 60_000_000} minutes"
+# streaming tumbling-window width (same derived-twin discipline)
+EVENT_WINDOW_NS = 3_600_000_000_000
+EVENT_WINDOW_STR = f"{EVENT_WINDOW_NS // 60_000_000_000} minutes"
+
 # text analysis
 STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "it", "for", "on")
 

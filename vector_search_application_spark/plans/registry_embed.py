@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import embedder as E
+from ..functions import portable as P
 from . import corpus
 from .constants import K
 from .registry_core import declare
@@ -60,7 +61,7 @@ def q_embed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_DOC_EMB_CTE},
 {_Q_EMB_CTE},
 scored AS (
-    SELECT e.id, round(sum(e.comp * q.comp)::DOUBLE, 6) AS score
+    SELECT e.id, {P.rounded_sql('sum(e.comp * q.comp)')} AS score
     FROM emb e JOIN qemb q USING (dim)
     GROUP BY e.id
 )

@@ -359,6 +359,7 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            ORDER BY epoch_us(ts) ASC, event_id ASC
            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS sliding_avg
 FROM events
+WHERE ts IS NOT NULL
 """.strip()
 
 
@@ -368,9 +369,11 @@ def q_event_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     preceding + current) — the §2.12 frame-spec surface the reference
     never exercises. The frame order is total (ts, event_id), so the
     FP accumulation order is identical in both engines; rounded to 6
-    per the portable-parity contract. One shuffle on user_id."""
+    per the portable-parity contract. One shuffle on user_id. NULL
+    event times excluded in both engines — the frame order is on ts,
+    and Spark sorts NULLS FIRST on ASC where DuckDB sorts NULLS LAST."""
     raw = corpus._read(spark, sf_dir, "events")
-    events = raw.select(
+    events = raw.filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", "value", corpus.ts_us(raw).alias("ts_us")
     )
     w = (

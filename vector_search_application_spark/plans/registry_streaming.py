@@ -14,14 +14,21 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming import ingest
+from .constants import EVENT_WINDOW_NS
 from .registry_core import declare
 
-_EVENTS_WINDOW_SQL = """
-SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS window_start_ms,
+# window width interpolated from the SAME constant whose derived
+# duration string drives the engine's F.window (constants.
+# EVENT_WINDOW_STR, the streaming/ingest.py default) — previously the
+# oracle hardcoded the nanos while the engine hardcoded "1 hour"
+_EVENTS_WINDOW_SQL = f"""
+SELECT (epoch_ns(ts) // {EVENT_WINDOW_NS}) * {EVENT_WINDOW_NS // 1_000_000}
+           AS window_start_ms,
        event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -46,15 +53,23 @@ def q_stream_ingest_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- gap-based sessionization over the event log --------------------------
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+# gap lives in plans/constants (SESSION_GAP_US + its derived duration-
+# string twin SESSION_GAP_STR, consumed by the native session_window
+# paths in streaming/ingest.py) — re-exported here for existing callers
+from .constants import SESSION_GAP_STR, SESSION_GAP_US  # noqa: E402,F401
 
-_SESSIONIZE_SQL = f"""
-WITH ordered AS (
+# one CTE stack for BOTH sessionize oracles (the stream variant differs
+# only in its final SELECT) — duplicated SQL drifts, single-sourced SQL
+# cannot (same rule as registry_extras._PQ_CODE_CTES). NULL event
+# times are EXCLUDED in both engines: an event without a time cannot be
+# ordered into a session, and Spark (NULLS FIRST on ASC) and DuckDB
+# (NULLS LAST) would otherwise place such rows in different sessions.
+_SESSIONIZE_CTES = f"""ordered AS (
     SELECT user_id, event_id, epoch_us(ts) AS ts_us,
            lag(epoch_us(ts)) OVER (
                PARTITION BY user_id
                ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ),
 marked AS (
     SELECT user_id, event_id, ts_us,
@@ -70,7 +85,10 @@ sessioned AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
     FROM marked
-)
+)"""
+
+_SESSIONIZE_SQL = f"""
+WITH {_SESSIONIZE_CTES}
 SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        count(*)::BIGINT AS n_events,
        min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -93,7 +111,9 @@ def q_event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import corpus
 
     raw = corpus._read(spark, sf_dir, "events")
-    events = raw.select(
+    # NULL event times excluded, same as the oracle CTE: un-orderable
+    # rows would land NULLS FIRST here and NULLS LAST in DuckDB
+    events = raw.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         corpus.ts_us(raw).alias("ts_us"),
@@ -145,30 +165,10 @@ def q_stream_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session_window's merge boundary equals the lag-formulation's: an
 # exactly-gap silence still merges, only strictly-greater breaks
 # (tests/test_streaming.py::test_session_rollup_gap_boundary) — so the
-# oracle is the batch sessionize SQL without the session_no column
+# oracle is the batch sessionize CTE stack without the session_no
+# column in the final SELECT (shared _SESSIONIZE_CTES, single source)
 _STREAM_SESSIONIZE_SQL = f"""
-WITH ordered AS (
-    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-           lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id
-               ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
-    FROM events
-),
-marked AS (
-    SELECT user_id, event_id, ts_us,
-           CASE WHEN prev_us IS NULL
-                     OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END
-               AS is_new
-    FROM ordered
-),
-sessioned AS (
-    SELECT user_id, ts_us,
-           sum(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_no
-    FROM marked
-)
+WITH {_SESSIONIZE_CTES}
 SELECT user_id,
        count(*)::BIGINT AS n_events,
        min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -196,12 +196,15 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_SQL = """
 WITH tagged AS (
+    -- NULL event times excluded in both engines: the fill window
+    -- orders on ts, and Spark (NULLS FIRST on ASC) vs DuckDB (NULLS
+    -- LAST) would place un-orderable rows differently
     SELECT user_id, event_id, epoch_us(ts) AS ts_us, 1 AS tag,
            NULL::BIGINT AS r_event_id, NULL::BIGINT AS r_ts_us
-    FROM events WHERE event_type = 'purchase'
+    FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     UNION ALL
     SELECT user_id, event_id, epoch_us(ts), 0, event_id, epoch_us(ts)
-    FROM events WHERE event_type = 'view'
+    FROM events WHERE event_type = 'view' AND ts IS NOT NULL
 ),
 filled AS (
     SELECT user_id, event_id, ts_us, tag,
@@ -231,7 +234,8 @@ def q_event_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import corpus
 
     raw = corpus._read(spark, sf_dir, "events")
-    events = raw.select(
+    # NULL event times excluded, matching the oracle's tagged CTE
+    events = raw.filter(F.col("ts").isNotNull()).select(
         "user_id", "event_id", "event_type", corpus.ts_us(raw).alias("ts_us")
     )
     purchases = events.filter(F.col("event_type") == "purchase").drop("event_type")

@@ -30,6 +30,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.constants import EVENT_WINDOW_STR, SESSION_GAP_STR
+
 
 # scratch dirs (shard sources, sink tables, checkpoints) registered for
 # removal at interpreter exit: returned DataFrames lazily READ these
@@ -142,7 +144,7 @@ def _run_to_memory_sink(
 
 def windowed_event_counts(
     events: DataFrame,
-    window_duration: str = "1 hour",
+    window_duration: str = EVENT_WINDOW_STR,
     watermark_delay: str = "10 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
@@ -156,7 +158,11 @@ def windowed_event_counts(
     """
     from ..plans.corpus import ts_us
 
-    with_ts = events.withColumn(
+    # NULL event times excluded in both engines (the oracle's WHERE ts
+    # IS NOT NULL): a null event-time row would be silently dropped by
+    # the streaming watermark path but grouped under a NULL window key
+    # by the batch oracle — divergent
+    with_ts = events.filter(F.col(ts_col).isNotNull()).withColumn(
         "__event_time", F.timestamp_micros(ts_us(events, ts_col))
     )
     if with_ts.isStreaming:
@@ -183,7 +189,7 @@ def windowed_event_counts(
 def stream_events_window(
     spark: SparkSession,
     events_path: str,
-    window_duration: str = "1 hour",
+    window_duration: str = EVENT_WINDOW_STR,
     watermark_delay: str = "10 minutes",
     state_partitions: int | None = None,
 ) -> DataFrame:
@@ -208,7 +214,7 @@ def stream_events_window(
 
 def session_rollup(
     events: DataFrame,
-    gap: str = "30 minutes",
+    gap: str = SESSION_GAP_STR,
     watermark_delay: str = "10 minutes",
     ts_col: str = "ts",
 ) -> DataFrame:
@@ -229,8 +235,14 @@ def session_rollup(
     """
     from ..plans.corpus import ts_us
 
-    with_ts = events.withColumn("__ts_us", ts_us(events, ts_col)).withColumn(
-        "__event_time", F.timestamp_micros(F.col("__ts_us"))
+    # NULL event times excluded — the window-function sessionize and
+    # its oracle do the same (plans/registry_streaming.py): an event
+    # without a time cannot be ordered into a session, and the three
+    # sessionize engines must agree on which rows participate
+    with_ts = (
+        events.filter(F.col(ts_col).isNotNull())
+        .withColumn("__ts_us", ts_us(events, ts_col))
+        .withColumn("__event_time", F.timestamp_micros(F.col("__ts_us")))
     )
     if with_ts.isStreaming:
         with_ts = with_ts.withWatermark("__event_time", watermark_delay)
@@ -256,7 +268,7 @@ LAST_SESSIONIZE_PROGRESS: list = []
 def stream_sessionize(
     spark: SparkSession,
     events_path: str,
-    gap: str = "30 minutes",
+    gap: str = SESSION_GAP_STR,
     watermark_delay: str = "10 minutes",
     state_partitions: int | None = None,
 ) -> DataFrame:
@@ -285,7 +297,7 @@ def stream_sessionize(
 def stream_sessionize_incremental(
     spark: SparkSession,
     events_path: str,
-    gap: str = "30 minutes",
+    gap: str = SESSION_GAP_STR,
     watermark_delay: str = "10 minutes",
     state_partitions: int | None = None,
 ) -> tuple[DataFrame, list[dict]]:
@@ -449,7 +461,13 @@ def stateful_ema(
     from ..sources import layout as _layout
 
     if not _layout.table_has_data(spark, out_dir):
-        return spark.createDataFrame([], "event_type string, ema double, n bigint")
+        # JVM-only empty relation — createDataFrame from a list needs
+        # Python workers, a vanilla-session hazard (see stream_dedup)
+        return spark.range(0).selectExpr(
+            "CAST(NULL AS STRING) AS event_type",
+            "CAST(NULL AS DOUBLE) AS ema",
+            "id AS n",
+        )
     sink = spark.read.parquet(out_dir)
     w_last = (
         sink.groupBy("event_type")
@@ -505,8 +523,14 @@ def stream_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.getFileStatus(hpath).isDirectory()
         and not _layout.table_has_data(spark, source)
     ):
-        return spark.createDataFrame(
-            [], "doc_id bigint, dim int, comp double"
+        # JVM-only empty relation (spark.range, like stream_dedup's
+        # limit(0)): createDataFrame from a list parallelizes through
+        # Python workers, which HANG on the driver's vanilla session —
+        # the exact path this guard exists to keep error-free
+        return spark.range(0).selectExpr(
+            "id AS doc_id",
+            "CAST(NULL AS INT) AS dim",
+            "CAST(NULL AS DOUBLE) AS comp",
         )
     schema = _read_source(spark, source).schema
 
