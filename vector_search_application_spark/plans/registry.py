@@ -973,10 +973,12 @@ from . import registry_curation  # noqa: E402,F401
 # changed since their last driver verification re-enter regardless of
 # age. Displaced queries keep tests/test_registry_oracle.py as their
 # net; after this (r9) window runs, every hash query's last driver row
-# is >= r7, and r10 should seat the ~18 remaining r7 slots
+# is >= r7, and r10 should seat the ~26 remaining r7 slots
 # (decontaminate/boilerplate, embed singles, the six TPC-H join/aggs,
 # the text-analysis family, normalize_min_max, delta_classify,
-# training_manifest_full).
+# training_manifest_full, plus the 8 paging/versioning/dense singles
+# the late-r9 code-changed entries displaced — see the window's tail
+# comment).
 
 DRIVER_WINDOW = [
     # r9 rotation (oldest-first, r8 VERDICT task 2): the 17 stalest
@@ -1001,15 +1003,23 @@ DRIVER_WINDOW = [
     # ... streaming entries sitting on the r9 _read_source conf-restore
     # and the stream-embed empty-source guard ...
     "stream_ingest_upsert", "stream_embed_ingest", "stream_dedup_ingest",
-    # ... and the 21 stalest r7 slots (dense/fusion families, mutation
-    # and paging singles), so after this window every hash query's last
-    # driver row is >= r7.
-    "dense_topk", "dense_topk_batch", "dense_topk_batch_salted",
+    # ... late-r9 code changes re-enter regardless of age (NULL-ts
+    # exclusion in the event-time operators, shared fusion aggregates,
+    # the embed oracle's shared rounding fragment, mmr's id guard) ...
+    "event_sessionize", "stream_sessionize", "stream_events_window",
+    "event_asof_join", "hybrid_rrf_batch", "fusion_max_dedup_batch",
+    "mmr_rerank_topk", "embed_search_topk",
+    # ... and the stalest r7 slots with untouched code (dense/fusion
+    # singles, ingest/mutation singles) as far as the 50 slots allow;
+    # the displaced r7-stale paging/versioning singles
+    # (dense_topk_batch_salted, dense_threshold, dense_postfilter,
+    # scroll_page, keyset_page, corpus_counts,
+    # search_details_projection, version_current) stay on r10's seat
+    # list with the pytest oracle sweep as their net.
+    "dense_topk", "dense_topk_batch",
     "bm25_topk", "hybrid_rrf", "linear_fusion", "fusion_max_dedup",
     "ingest_products", "validate_quarantine", "doc_content_hash",
-    "upsert_merge", "cleanup_old", "version_current",
-    "search_details_projection", "scroll_page", "keyset_page",
-    "corpus_counts", "dense_threshold", "dense_postfilter",
+    "upsert_merge", "cleanup_old",
     "dedup_exact", "directory_import_full",
 ]
 
