@@ -25,10 +25,15 @@ def _exact_ids_for(spark, vecs, qid, k):
 
 # SURVEY §7 aims for recall ~0.95 on clusterable real embeddings; the
 # synthetic fixture vectors are near-uniform in 64-dim space (no cluster
-# structure), so probing 2 of 8 IVF cells caps expected recall well
-# below that. Thresholds below sit just under the measured distribution
-# over 20 queries (IVF mean 0.715/min 0.4; MLlib LSH mean 0.925/min 0.8)
-# so a real recall regression trips them while fixture noise does not.
+# structure), capping expected recall below that. Under the r10
+# corpus-scaled schedule (C = max(8, ceil(sqrt(n))) cells, P = max(2,
+# ceil(log2(C))) probes — 5 of 23 at this 500-vector smoke SF) measured
+# recall over 10 queries: IVF mean 0.92/min 0.8, IVF-PQ 0.82/0.7,
+# trained-kmeans 0.64/0.4 — all HIGHER than the old frozen 2-of-8
+# config despite a smaller scan fraction, because narrower cells
+# concentrate true neighbors. Thresholds sit just under the measured
+# distributions so a real regression trips them while fixture noise
+# does not.
 RECALL_QUERY_IDS = list(range(10))
 
 
@@ -42,8 +47,8 @@ def test_ivf_recall(spark):
         assert qid in got  # the query vector itself must be found
         recalls.append(len(got & exact) / K)
     mean = sum(recalls) / len(recalls)
-    assert mean >= 0.6, f"IVF mean recall@{K} regressed: {mean} ({recalls})"
-    assert min(recalls) >= 0.3, f"IVF worst-query recall collapsed: {recalls}"
+    assert mean >= 0.8, f"IVF mean recall@{K} regressed: {mean} ({recalls})"
+    assert min(recalls) >= 0.6, f"IVF worst-query recall collapsed: {recalls}"
 
 
 def test_pq_recall(spark):
@@ -67,9 +72,9 @@ def test_pq_recall(spark):
 
 def test_ivfpq_recall(spark):
     """The stacked IVF->PQ->rescore funnel vs brute force: measured
-    mean 0.75 / min 0.4 over 10 queries (the 2-of-8-cell probe is the
-    binding constraint on this clusterless fixture, same as plain
-    IVF); thresholds just under."""
+    mean 0.82 / min 0.7 over 10 queries under the scheduled 5-of-23
+    probe (the PQ quantization error is now the binding constraint,
+    not the cell prune); thresholds just under."""
     vecs = corpus.vectors(spark, SF_SMOKE)
     recalls = []
     for qid in RECALL_QUERY_IDS:
@@ -79,8 +84,8 @@ def test_ivfpq_recall(spark):
         assert qid in got
         recalls.append(len(got & exact) / K)
     mean = sum(recalls) / len(recalls)
-    assert mean >= 0.65, f"IVF-PQ mean recall@{K} regressed: {mean} ({recalls})"
-    assert min(recalls) >= 0.3, f"IVF-PQ worst-query recall collapsed: {recalls}"
+    assert mean >= 0.7, f"IVF-PQ mean recall@{K} regressed: {mean} ({recalls})"
+    assert min(recalls) >= 0.5, f"IVF-PQ worst-query recall collapsed: {recalls}"
 
 
 def test_pq_kmeans_recall(spark):
@@ -268,12 +273,13 @@ def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):
     import re
 
     vecs = corpus.vectors(spark, SF_SMOKE)
+    n_cents, _ = ann.ivf_schedule(vecs)
     cents = [
         (r["vec_id"], list(r["embedding"]))
-        for r in vecs.filter(F.col("vec_id") < 8).collect()
+        for r in vecs.filter(F.col("vec_id") < n_cents).collect()
     ]
     path = str(tmp_path / "ivf")
-    ann.write_ivf_indexed(vecs, path, n_centroids=8)
+    ann.write_ivf_indexed(vecs, path)  # default = the same schedule
     q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
 
     indexed = ann.ivf_indexed_topk(spark, path, q, cents)
@@ -288,16 +294,20 @@ def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):
 
 def test_ivf_kmeans_trained_recall(spark):
     """Trained-centroid IVF (MLlib KMeans index build): measured mean
-    recall 0.56 / min 0.3 over 10 queries on the fixture. Lower than
-    first-N-centroid IVF (0.84) BECAUSE the fixture vectors are
+    recall 0.64 / min 0.4 over 10 queries on the fixture under the
+    scheduled count (23 trained cells at this SF). Lower than
+    first-N-centroid IVF (0.92) BECAUSE the fixture vectors are
     near-uniform: k-means converges toward interior means with flat
     cosine scores, while actual corpus vectors on the shell discriminate
     better. On clustered real embeddings the ordering flips — which is
     why production IVF trains centroids. Floors sit under the measured
     distribution to catch regressions, not to rank the two methods."""
+    from vector_search_application_spark.plans.constants import ivf_n_centroids
+
     vecs = corpus.vectors(spark, SF_SMOKE)
     cents = ann.kmeans_centroids(vecs)
-    assert len(cents) == 8 and all(len(v) == 64 for _, v in cents)
+    want_c = ivf_n_centroids(vecs.count())
+    assert len(cents) == want_c and all(len(v) == 64 for _, v in cents)
     recalls = []
     for qid in RECALL_QUERY_IDS:
         exact = _exact_ids_for(spark, vecs, qid, K)

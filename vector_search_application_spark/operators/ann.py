@@ -36,13 +36,13 @@ from pyspark.sql import functions as F
 from ..functions import portable as P
 from ..functions.cache import tracked_persist
 from ..plans.constants import (
-    IVF_CENTROIDS,
-    IVF_PROBES,
     K,
     LSH_BAND_PLANES,
     LSH_BANDS,
     LSH_BUCKET_CAP,
     LSH_PLANES,
+    ivf_n_centroids,
+    ivf_n_probe,
 )
 
 
@@ -326,14 +326,37 @@ def _centroid_table_from(
     return c.groupBy().agg(F.sort_array(F.collect_list("c")).alias("cents"))
 
 
+def ivf_schedule(
+    vectors: DataFrame,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+) -> tuple[int, int]:
+    """Resolve (n_centroids, n_probe) for an IVF build over ``vectors``:
+    explicit values pass through; None means the corpus-scaled schedule
+    (C = max(8, ceil(sqrt(n))), P = max(2, ceil(log2(C))) — one
+    metadata-only count() job, a single long on the driver). A frozen
+    (C, P) is a frozen pruning ratio — P/C of the corpus scanned per
+    query at EVERY scale — which is why None is the default everywhere:
+    the index should narrow as the corpus grows, exactly as the oracle
+    twins compute via scalar subqueries (constants.IVF_CENTS_BOUND_SQL /
+    IVF_PROBES_BOUND_SQL)."""
+    if n_centroids is None:
+        n_centroids = ivf_n_centroids(vectors.count())
+    if n_probe is None:
+        n_probe = ivf_n_probe(n_centroids)
+    return n_centroids, n_probe
+
+
 def centroid_table(
     vectors: DataFrame,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """The deterministic centroid set (first n_centroids corpus
-    vectors) as a one-row broadcastable table."""
+    vectors; None = corpus-scaled schedule) as a one-row broadcastable
+    table."""
+    n_centroids, _ = ivf_schedule(vectors, n_centroids, 0)
     return _centroid_table_from(
         vectors.filter(F.col(id_col) < n_centroids), id_col, vec_col
     )
@@ -465,15 +488,18 @@ def ivf_topk(
     vectors: DataFrame,
     query: DataFrame,
     k: int = K,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBES,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     payload_filter=None,
 ) -> DataFrame:
     """IVF search: probe the n_probe cells nearest the query, exact
     cosine top-k within them. Deterministic (centroids = the first
-    n_centroids corpus vectors), hence oracle-checkable.
+    n_centroids corpus vectors), hence oracle-checkable. None counts
+    mean the corpus-scaled schedule (ivf_schedule) — sized from the
+    UNFILTERED corpus, because the index is built once and payload
+    predicates arrive per query.
 
     Plan shape: scan -> broadcast-crossJoin the one-row centroid table
     -> per-row cell argmax -> cell IN (probe list) filter ->
@@ -490,6 +516,7 @@ def ivf_topk(
     top-k (the oversample-and-hope shape). Centroids still come from
     the UNFILTERED corpus: the index is built once, filters arrive per
     query."""
+    n_centroids, n_probe = ivf_schedule(vectors, n_centroids, n_probe)
     # sorted: collect() yields scan order, but the argmax tie-break
     # contract (first max in array order == lowest cid, matching the
     # oracle's ORDER BY cosine DESC, centroid_id ASC) needs cid-ascending
@@ -532,8 +559,8 @@ def ivf_topk_batch(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = K,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBES,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -554,6 +581,7 @@ def ivf_topk_batch(
     """
     from .topk import topk_per_group
 
+    n_centroids, n_probe = ivf_schedule(vectors, n_centroids, n_probe)
     cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
     corpus_cells = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{id_col} AS id",
@@ -577,7 +605,7 @@ def ivf_topk_batch(
 def write_ivf_indexed(
     vectors: DataFrame,
     path: str,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -602,12 +630,16 @@ def ivf_indexed_topk(
     query: DataFrame,
     cents: list[tuple[int, list]],
     k: int = K,
-    n_probe: int = IVF_PROBES,
+    n_probe: int | None = None,
 ) -> DataFrame:
     """IVF search over the partitioned layout: the probe list is
     derived driver-side from the centroid set (it IS the index
     metadata), the cell predicate prunes partition directories before
-    file I/O, and scoring + top-k touch only the probed cells' rows."""
+    file I/O, and scoring + top-k touch only the probed cells' rows.
+    n_probe=None schedules from the cell count the index was built
+    with (len(cents)) — no corpus count needed at query time."""
+    if n_probe is None:
+        n_probe = ivf_n_probe(len(cents))
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
     score = _cos_lit_sql("v", qvec)
@@ -622,7 +654,7 @@ def ivf_indexed_topk(
 
 def kmeans_centroids(
     vectors: DataFrame,
-    n_centroids: int = IVF_CENTROIDS,
+    n_centroids: int | None = None,
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
@@ -641,6 +673,7 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n_centroids, _ = ivf_schedule(vectors, n_centroids, 0)
     vec = vectors.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -677,14 +710,17 @@ def ivf_topk_trained(
     query: DataFrame,
     cents: list[tuple[int, list[float]]],
     k: int = K,
-    n_probe: int = IVF_PROBES,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF search against a TRAINED centroid set: same plan shape as
     ivf_topk (broadcast cents -> per-row cell argmax -> probe filter ->
     literal-query cosine -> TakeOrderedAndProject), but the cells come
-    from index metadata instead of the first-N corpus vectors."""
+    from index metadata instead of the first-N corpus vectors.
+    n_probe=None schedules from len(cents)."""
+    if n_probe is None:
+        n_probe = ivf_n_probe(len(cents))
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = _rank_probe_cells(cents, qvec, n_probe)
     return _ivf_search(vectors, cents, qvec, probe_cells, k, id_col, vec_col)
@@ -897,8 +933,8 @@ def ivfpq_topk(
     vectors: DataFrame,
     query: DataFrame,
     k: int = K,
-    n_centroids: int = IVF_CENTROIDS,
-    n_probe: int = IVF_PROBES,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
     oversample: int = PQ_OVERSAMPLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -914,6 +950,7 @@ def ivfpq_topk(
     bytes per vector), making the probe filter partition pruning and
     the ADC scan a read of codes only — full vectors load just for the
     k*oversample rescore rows."""
+    n_centroids, n_probe = ivf_schedule(vectors, n_centroids, n_probe)
     # sorted: collect() yields scan order, but the argmax tie-break
     # contract (first max in array order == lowest cid, matching the
     # oracle's ORDER BY cosine DESC, centroid_id ASC) needs cid-ascending

@@ -18,8 +18,8 @@ from ..functions import text as T
 from ..operators import ann, dedup
 from . import corpus
 from .constants import (
-    IVF_CENTROIDS,
-    IVF_PROBES,
+    IVF_CENTS_BOUND_SQL,
+    IVF_PROBES_BOUND_SQL,
     JACCARD_THRESHOLD,
     K,
     LSH_BANDS,
@@ -426,8 +426,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_topk",
     f"""
 WITH cents AS (
+    -- corpus-scaled schedule: C = max(8, ceil(sqrt(n))) seeded centroids
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    FROM embeddings WHERE vec_id < {IVF_CENTS_BOUND_SQL}
 ),
 assigned AS (
     SELECT id, centroid_id AS cell FROM (
@@ -441,13 +442,15 @@ assigned AS (
 ),
 q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 qcells AS (
+    -- probe P = max(2, ceil(log2(C))) cells (windowed: LIMIT can't
+    -- take the scalar-subquery bound)
     SELECT centroid_id AS cell FROM (
         SELECT c.centroid_id,
-               {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} AS cscore
+               row_number() OVER (
+                   ORDER BY {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} DESC,
+                            c.centroid_id ASC) AS rn
         FROM cents c CROSS JOIN q
-    )
-    ORDER BY cscore DESC, centroid_id ASC
-    LIMIT {IVF_PROBES}
+    ) WHERE rn <= {IVF_PROBES_BOUND_SQL}
 ),
 probed AS (
     SELECT e.vec_id AS id, e.embedding
@@ -554,7 +557,7 @@ IVF_BATCH_NQ = 20
     f"""
 WITH cents AS (
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    FROM embeddings WHERE vec_id < {IVF_CENTS_BOUND_SQL}
 ),
 assigned AS (
     SELECT id, centroid_id AS cell FROM (
@@ -578,7 +581,7 @@ qcells AS (
                    ORDER BY {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} DESC,
                             c.centroid_id ASC) AS rn
         FROM cents c CROSS JOIN q
-    ) WHERE rn <= {IVF_PROBES}
+    ) WHERE rn <= {IVF_PROBES_BOUND_SQL}
 ),
 scored AS (
     SELECT qc.query_id, e.vec_id AS id,
@@ -632,12 +635,13 @@ def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus copies — a correctness gate for build+lookup together, like
     payload_index_lookup."""
     vecs = corpus.vectors(spark, sf_dir)
+    n_cents, _ = ann.ivf_schedule(vecs)
     cents = sorted(
         (r["vec_id"], list(r["embedding"]))
-        for r in vecs.filter(F.col("vec_id") < IVF_CENTROIDS).collect()
+        for r in vecs.filter(F.col("vec_id") < n_cents).collect()
     )
     path = _ivf_index_scratch()
-    ann.write_ivf_indexed(vecs, path, n_centroids=IVF_CENTROIDS)
+    ann.write_ivf_indexed(vecs, path, n_centroids=n_cents)
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
     return ann.ivf_indexed_topk(spark, path, q, cents)
 
@@ -916,8 +920,10 @@ FILTER_LABEL = 3
     "ivf_topk_filtered",
     f"""
 WITH cents AS (
+    -- scheduled from the UNFILTERED corpus: the index is built once,
+    -- payload predicates arrive per query
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    FROM embeddings WHERE vec_id < {IVF_CENTS_BOUND_SQL}
 ),
 assigned AS (
     SELECT id, centroid_id AS cell FROM (
@@ -934,11 +940,11 @@ q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 qcells AS (
     SELECT centroid_id AS cell FROM (
         SELECT c.centroid_id,
-               {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} AS cscore
+               row_number() OVER (
+                   ORDER BY {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} DESC,
+                            c.centroid_id ASC) AS rn
         FROM cents c CROSS JOIN q
-    )
-    ORDER BY cscore DESC, centroid_id ASC
-    LIMIT {IVF_PROBES}
+    ) WHERE rn <= {IVF_PROBES_BOUND_SQL}
 ),
 probed AS (
     SELECT e.vec_id AS id, e.embedding

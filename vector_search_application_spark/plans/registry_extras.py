@@ -596,7 +596,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # I1+I2 — IVF-PQ: coarse cells prune, PQ ADC ranks, exact rescore
 # ---------------------------------------------------------------------------
 
-from .constants import IVF_CENTROIDS, IVF_PROBES  # noqa: E402
+from .constants import IVF_CENTS_BOUND_SQL, IVF_PROBES_BOUND_SQL  # noqa: E402
 
 
 @declare(
@@ -604,8 +604,9 @@ from .constants import IVF_CENTROIDS, IVF_PROBES  # noqa: E402
     f"""
 WITH {_PQ_CODE_CTES},
 cents AS (
+    -- corpus-scaled schedule: C = max(8, ceil(sqrt(n))) seeded centroids
     SELECT vec_id AS centroid_id, embedding AS cvec
-    FROM embeddings WHERE vec_id < {IVF_CENTROIDS}
+    FROM embeddings WHERE vec_id < {IVF_CENTS_BOUND_SQL}
 ),
 cells AS (
     SELECT id AS vec_id, centroid_id AS cell FROM (
@@ -621,11 +622,11 @@ q AS {corpus.query_vector_cte(QUERY_VEC_ID)},
 qcells AS (
     SELECT centroid_id AS cell FROM (
         SELECT c.centroid_id,
-               {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} AS cscore
+               row_number() OVER (
+                   ORDER BY {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} DESC,
+                            c.centroid_id ASC) AS rn
         FROM cents c CROSS JOIN q
-    )
-    ORDER BY cscore DESC, centroid_id ASC
-    LIMIT {IVF_PROBES}
+    ) WHERE rn <= {IVF_PROBES_BOUND_SQL}
 ),
 lut AS (
     SELECT c.s, c.j,
@@ -658,7 +659,8 @@ LIMIT {K}
 )
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composition (operators/ann.ivfpq_topk): probe the
-    {IVF_PROBES} nearest of {IVF_CENTROIDS} cells, ADC-rank the probed
+    scheduled max(2, ceil(log2(C))) nearest of C = max(8, ceil(sqrt(n)))
+    cells, ADC-rank the probed
     fraction from {PQ_SUBSPACES}-byte codes, exact-rescore the
     {PQ_OVERSAMPLE}x-oversampled survivors — the three-stage funnel a
     billion-vector index runs, end-to-end oracle-checked because both
