@@ -2,15 +2,19 @@
 identical-document mega-clique collides in EVERY band, so no band
 count dilutes it — C(c,2) pairs inside one hot bucket is the quadratic
 shape the controlled-duplicate scale probe deliberately excludes
-(SCALING_DEDUP.md). The guard drops over-full buckets whole before the
-self-join; identical-text cliques are exact_dedup's job, composed as
-the declared dedup_exact_then_near pipeline.
+(SCALING_DEDUP.md). The r10 guard emits a linear STAR to each over-cap
+bucket's min-id representative (a-side capped, b-side full) instead of
+dropping the bucket whole: identical-text cliques are still
+exact_dedup's job (composed as the declared dedup_exact_then_near
+pipeline), but NEAR-identical non-byte-identical mega-groups —
+invisible to exact dedup — must still collapse via components, which
+the dropped-whole behavior silently prevented (r9 VERDICT finding 2).
 
 Every corpus here is JVM-built (spark.range + selectExpr) so the tests
 mirror the Python-worker-free discipline of the declared queries.
 Without the cap, the clique below would generate ~8e8 candidate rows
 (16 bands x C(10k,2)) — these tests finishing at all is the guard
-working; the assertions pin WHICH pairs survive.
+working; the assertions pin WHICH pairs survive: exactly the star.
 """
 
 from pyspark.sql import functions as F
@@ -18,6 +22,7 @@ from pyspark.sql import functions as F
 from vector_search_application_spark.operators import ann, dedup
 from vector_search_application_spark.plans.constants import (
     JACCARD_THRESHOLD,
+    LSH_BUCKET_CAP,
     NEARDUP_COSINE_THRESHOLD,
 )
 
@@ -50,19 +55,30 @@ def _clique_docs(spark):
     return clique.unionByName(extras)
 
 
-def test_minhash_cap_drops_clique_keeps_near_pairs(spark):
+def _assert_star_only(found, n_members, rep=0):
+    """Intra-clique pairs must be EXACTLY the star to the min-id rep:
+    linear (n-1) pairs, every one anchored at the representative."""
+    intra = {p for p in found if p[0] < n_members and p[1] < n_members}
+    assert intra == {(rep, j) for j in range(1, n_members)}, (
+        f"expected a {n_members - 1}-pair star at {rep}, got "
+        f"{len(intra)} intra pairs (sample {sorted(intra)[:5]})"
+    )
+
+
+def test_minhash_cap_stars_clique_keeps_near_pairs(spark):
     pairs = dedup.minhash_dedup_pairs(
         _clique_docs(spark), "doc_id", "text", JACCARD_THRESHOLD
     ).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
     # the injected near pair among DISTINCT docs survives ...
     assert (CLIQUE_N, CLIQUE_N + 1) in found
-    # ... and no intra-clique pair is emitted: every clique bucket is
-    # over the cap in every band, so the clique contributes nothing
-    assert not [p for p in found if p[0] < CLIQUE_N and p[1] < CLIQUE_N]
+    # ... and the clique contributes exactly the linear star to doc 0
+    # (every bucket is over the cap in every band, so only the min-id
+    # rep enters the a side; jaccard(rep, member) = 1.0 >= threshold)
+    _assert_star_only(found, CLIQUE_N)
 
 
-def test_simhash_cap_drops_clique_keeps_twin_pair(spark):
+def test_simhash_cap_stars_clique_keeps_twin_pair(spark):
     # add an identical TWIN pair outside the clique: same simhash
     # (hamming 0), a 2-member bucket per band — must survive the cap,
     # so this test cannot pass vacuously on an empty result
@@ -80,13 +96,12 @@ def test_simhash_cap_drops_clique_keeps_twin_pair(spark):
         for r in dedup.simhash_pairs(sims, max_hamming=3).collect()
     }
     assert (CLIQUE_N + 10, CLIQUE_N + 11) in found
-    # identical clique docs have IDENTICAL simhash but sit in >cap
-    # buckets in every band, so they emit nothing
-    assert not [p for p in found if p[0] < CLIQUE_N and p[1] < CLIQUE_N]
-    assert all(i >= CLIQUE_N for p in found for i in p)
+    # identical clique docs have IDENTICAL simhash; their >cap buckets
+    # emit the star to doc 0 (hamming 0 passes the radius check)
+    _assert_star_only(found, CLIQUE_N)
 
 
-def test_embedding_lsh_cap_drops_clique_keeps_near_pair(spark):
+def test_embedding_lsh_cap_stars_clique_keeps_near_pair(spark):
     # CLIQUE_N identical vectors + a parallel (cosine 1.0) pair in a
     # different direction + one orthogonal-ish singleton
     clique = spark.range(CLIQUE_N).selectExpr(
@@ -109,7 +124,69 @@ def test_embedding_lsh_cap_drops_clique_keeps_near_pair(spark):
         ).collect()
     }
     assert (CLIQUE_N, CLIQUE_N + 1) in found
-    assert not [p for p in found if p[0] < CLIQUE_N and p[1] < CLIQUE_N]
+    _assert_star_only(found, CLIQUE_N)
+
+
+# the r9 VERDICT's recall hole, now closed: a >cap bucket of
+# NEAR-identical but byte-DISTINCT docs (templated boilerplate with a
+# varying field) is invisible to exact_dedup, so dropping its buckets
+# whole lost the whole group. Trailing whitespace varies per doc: the
+# tokenizer strips it, so all NEARDUP_N docs share one token sequence
+# (identical shingle sets -> identical minhash/simhash -> one >cap
+# bucket per band) while every raw text is byte-unique.
+NEARDUP_N = LSH_BUCKET_CAP + 200
+
+
+def _neardup_megagroup_docs(spark):
+    docs = spark.range(NEARDUP_N).selectExpr(
+        "id AS doc_id", f"concat('{BOILER}', repeat(' ', CAST(id AS INT))) AS text"
+    )
+    lone = spark.range(1).selectExpr(
+        f"id + {NEARDUP_N} AS doc_id",
+        "'entirely different words covering storage formats columnar parquet encodings' AS text",
+    )
+    return docs.unionByName(lone)
+
+
+def test_exact_dedup_blind_to_neardup_megagroup(spark):
+    """Sanity precondition: exact dedup sees NEARDUP_N distinct texts —
+    this group CANNOT be collapsed upstream, the star is its only path."""
+    verdicts = dedup.exact_dedup(
+        _neardup_megagroup_docs(spark), "doc_id", "text"
+    )
+    assert verdicts.filter(F.col("is_duplicate")).count() == 0
+
+
+def test_minhash_star_collapses_neardup_megagroup(spark):
+    """The whole >cap near-dup group must still collapse into ONE
+    component through the star to its min-id representative."""
+    docs = _neardup_megagroup_docs(spark)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    _assert_star_only(found, NEARDUP_N)
+    comps = dedup.connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    )
+    labels = {r.id: r.canonical_id for r in comps.collect()}
+    assert all(labels[i] == 0 for i in range(NEARDUP_N))  # one component
+    assert labels[NEARDUP_N] == NEARDUP_N  # the lone doc stays itself
+
+
+def test_capped_bucket_stats_counts_megagroup(spark):
+    """The observability aggregate must surface the capped buckets the
+    star-guard handled: simhash over the near-dup mega-group = one
+    >cap bucket per band (4 bands), max occupancy = the group size."""
+    docs = _neardup_megagroup_docs(spark)
+    sims = dedup.simhash(docs, "doc_id", "text")
+    banded = dedup.simhash_bands(sims.select("id", "simhash"))
+    row = dedup.capped_bucket_stats(
+        banded, ["band", "band_val"], LSH_BUCKET_CAP
+    ).first()
+    assert row.n_buckets_capped == 4
+    assert row.max_bucket_size == NEARDUP_N
+    assert row.n_rows_in_capped == 4 * NEARDUP_N
 
 
 def test_exact_then_near_pipeline_neutralizes_clique(spark):

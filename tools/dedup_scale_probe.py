@@ -53,6 +53,12 @@ DEDUP_QUERIES = [
     "dedup_canonical_quality",
 ]
 
+# occupancy-guard observability (r9 VERDICT task 4a / ADVICE): the
+# probe prints this query's VALUES per K, not just a timing — if
+# natural occupancy ever approaches LSH_BUCKET_CAP at a probed scale,
+# the capped-bucket count surfaces here instead of silently starring
+CAP_STATS_QUERY = "dedup_cap_stats"
+
 
 def measure_lsh_recall(spark) -> dict[str, float]:
     """Banded-LSH recall, two ways (r7 VERDICT task 2 'Done' gate):
@@ -248,6 +254,13 @@ def main(ks: list[int]) -> int:
                     best = min(best, time.perf_counter() - t0)
                 row[name] = {"sec": round(best, 3), "rows": n}
                 print(f"  x{k} {name}: {row[name]}", file=sys.stderr, flush=True)
+            cap_row = by_name[CAP_STATS_QUERY](spark, sf_dir).first()
+            cap_stats = {
+                "n_buckets_capped": cap_row["n_buckets_capped"],
+                "max_bucket_size": cap_row["max_bucket_size"],
+                "n_rows_in_capped": cap_row["n_rows_in_capped"],
+            }
+            print(f"  x{k} cap_stats: {cap_stats}", file=sys.stderr, flush=True)
             # scaled signature/bucket caches must not stay resident
             # into the next K (same discipline as scale_probe.py)
             release_all()
@@ -256,6 +269,7 @@ def main(ks: list[int]) -> int:
                 "scale": k,
                 "base": BASE,
                 "calibration_ratio": cal_results[k],
+                "cap_stats": cap_stats,
                 "queries": row,
             }
             lines.append(line)
@@ -421,14 +435,20 @@ the broadcast-argmax assignment. Two fixes, in order:
 Three more round-9 changes visible in the table:
 
 - **Occupancy cap on every band bucket** (constants.LSH_BUCKET_CAP,
-  oracle twins included): buckets over 1000 members generate no
-  candidate pairs — the guard against identical-boilerplate
+  oracle twins included): buckets over 1000 members emit a linear STAR
+  of candidates to their min-id representative (r10; previously they
+  were dropped whole) — the guard against identical-boilerplate
   mega-cliques, which collide in EVERY band (no band count dilutes
-  them; a 10k-identical-doc clique is C(10k,2) pairs per band). The
-  canonical pipeline order is now a declared, hash-oracled query
-  (dedup_exact_then_near: exact dedup first, near-dup on canonicals),
-  and tests/test_bucket_cap.py injects the 10k clique against minhash,
-  simhash, and embedding LSH.
+  them; a 10k-identical-doc clique is C(10k,2) pairs per band), while
+  NEAR-identical non-byte-identical mega-groups — invisible to exact
+  dedup — still collapse through components via the star. The guard is
+  observable: `dedup_cap_stats` (hash-oracled) reports
+  (n_buckets_capped, max_bucket_size, n_rows_in_capped), printed per K
+  in this probe's JSON lines. The canonical pipeline order is a
+  declared, hash-oracled query (dedup_exact_then_near: exact dedup
+  first, near-dup on canonicals), and tests/test_bucket_cap.py injects
+  a 10k identical clique AND a >cap near-dup (byte-distinct) group
+  against minhash, simhash, and embedding LSH.
 - **MinHash pipeline re-keyed to its own 32-bit md5 fold**
   (md5_shingle_arrays) **and verification moved in-row**
   (jaccard_verify_arrays: two array-fetch joins +

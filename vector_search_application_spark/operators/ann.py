@@ -252,12 +252,14 @@ def lsh_neardup_pairs(
     )
     # occupancy guard (constants.LSH_BUCKET_CAP): identical-embedding
     # mega-cliques collide in EVERY band, so no band count dilutes them
-    # — drop >cap buckets whole before the C(c,2) self-join; identical
-    # rows are exact-dedup's job (pipeline order: dedup_exact_then_near)
+    # — >cap buckets emit a linear star to their min-id representative
+    # instead of C(c,2) pairs (cap_buckets: a-side capped, b-side
+    # full); identical rows are exact-dedup's job (pipeline order:
+    # dedup_exact_then_near), near-identical mega-groups still collapse
     from .dedup import cap_buckets
 
-    banded = cap_buckets(banded, ["band", "bucket"], LSH_BUCKET_CAP)
-    a = banded.select(
+    a_rows = cap_buckets(banded, ["band", "bucket"], LSH_BUCKET_CAP)
+    a = a_rows.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
     )
     b = banded.select(

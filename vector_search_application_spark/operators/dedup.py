@@ -44,24 +44,66 @@ from ..plans.constants import (
 )
 
 
-def cap_buckets(rows: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
-    """Drop every bucket (group of ``keys``) holding more than
-    ``max_bucket`` rows BEFORE a bucket self-join generates C(c,2)
-    candidate pairs — the occupancy guard against identical-boilerplate
-    mega-cliques, which collide in EVERY band and are the one quadratic
-    shape banded candidate generation cannot dilute (constants.
-    LSH_BUCKET_CAP documents the sizing). Identical-text cliques are
-    exact_dedup's job; the composed pipeline order is declared as
-    dedup_exact_then_near.
+def cap_buckets(
+    rows: DataFrame, keys: list[str], max_bucket: int, id_col: str = "id"
+) -> DataFrame:
+    """The A-SIDE of an occupancy-guarded bucket self-join. Buckets
+    (groups of ``keys``) holding <= ``max_bucket`` rows pass whole, so
+    the downstream ``a.join(b, keys).filter(id_a < id_b)`` emits all
+    C(c,2) pairs; buckets OVER the cap keep only their min-``id_col``
+    row — joined against the FULL b side they emit a linear STAR
+    (representative, member) of c-1 candidates instead of C(c,2)
+    quadratic ones, and instead of NOTHING (the pre-r10 behavior).
 
-    One window count over the bucket keys: the window's hash
-    partitioning is exactly the self-join's ClusteredDistribution, so
-    both join sides reuse this exchange instead of adding one."""
+    Why a star beats dropping the bucket whole: identical-text
+    mega-cliques are exact_dedup's job (pipeline order
+    dedup_exact_then_near), but a >cap bucket of NEAR-identical,
+    non-byte-identical docs — templated boilerplate with one varying
+    field, a real 100 TB shape — is invisible to exact dedup, so
+    dropping it silently was a recall hole no boundary measurement
+    could see. Star candidates still pass the exact downstream verify
+    (jaccard / hamming / cosine), so precision is untouched, and the
+    whole group still collapses through connected components via its
+    deterministic min-id representative. The oracle twins model the
+    identical split (bsz/bmin window, a-side filter, full b side).
+
+    One window over the bucket keys (the count and min share one
+    frame); the window's hash partitioning is exactly the self-join's
+    ClusteredDistribution, so the a side reuses this exchange. Use
+    capped_bucket_stats for the observability aggregate."""
     w = Window.partitionBy(*keys)
     return (
         rows.withColumn("__bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("__bsz") <= max_bucket)
-        .drop("__bsz")
+        .withColumn("__bmin", F.min(id_col).over(w))
+        .filter(
+            (F.col("__bsz") <= max_bucket)
+            | (F.col(id_col) == F.col("__bmin"))
+        )
+        .drop("__bsz", "__bmin")
+    )
+
+
+def capped_bucket_stats(
+    rows: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """One-row observability aggregate for the occupancy guard
+    (n_buckets_capped, max_bucket_size, n_rows_in_capped): how many
+    band buckets exceeded the cap, the worst occupancy seen, and how
+    many signature rows sit in capped buckets — the no-silent-caps
+    diagnostic a 100 TB run logs next to its pair counts (if natural
+    occupancy ever approaches the cap, recall loss becomes measurable
+    here instead of invisible). Declared as the hash-oracled
+    dedup_cap_stats query and printed by the dedup scale probe."""
+    sizes = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("bsz"))
+    over = F.col("bsz") > max_bucket
+    return sizes.agg(
+        F.sum(F.when(over, 1).otherwise(0)).cast("bigint").alias(
+            "n_buckets_capped"
+        ),
+        F.max("bsz").cast("bigint").alias("max_bucket_size"),
+        F.sum(F.when(over, F.col("bsz")).otherwise(0)).cast("bigint").alias(
+            "n_rows_in_capped"
+        ),
     )
 
 
@@ -242,11 +284,13 @@ def lsh_candidates(
     bands: DataFrame, max_bucket: int = LSH_BUCKET_CAP
 ) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing at least one band bucket.
-    Buckets over ``max_bucket`` members are dropped whole before the
-    self-join (cap_buckets) — mega-cliques belong to exact_dedup."""
-    ok = cap_buckets(bands, ["band", "band_key"], max_bucket)
-    a = ok.select(F.col("id").alias("id_a"), "band", "band_key")
-    b = ok.select(F.col("id").alias("id_b"), "band", "band_key")
+    Buckets over ``max_bucket`` members contribute a linear star to
+    their min-id representative instead of C(c,2) pairs (cap_buckets:
+    a-side capped, b-side full) — identical-text mega-cliques belong
+    to exact_dedup; near-identical ones still collapse via the star."""
+    a_rows = cap_buckets(bands, ["band", "band_key"], max_bucket)
+    a = a_rows.select(F.col("id").alias("id_a"), "band", "band_key")
+    b = bands.select(F.col("id").alias("id_b"), "band", "band_key")
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -442,6 +486,27 @@ def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BIT
     )
 
 
+def simhash_bands(
+    sims: DataFrame, bits: int = SIMHASH_BITS, n_bands: int = 4
+) -> DataFrame:
+    """(id, simhash, band, band_val): each signature exploded into its
+    n_bands bit-slices — the banded index table both simhash_pairs and
+    the dedup_cap_stats observability query read."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sims.sparkSession.range(n_bands).select(
+        F.col("id").cast("int").alias("band")
+    )
+    return sims.crossJoin(F.broadcast(bands)).select(
+        "id",
+        "simhash",
+        "band",
+        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}").alias(
+            "band_val"
+        ),
+    )
+
+
 def simhash_pairs(
     sims: DataFrame,
     max_hamming: int = 3,
@@ -453,10 +518,12 @@ def simhash_pairs(
 
     Band join is exact for max_hamming < n_bands (pigeonhole: some
     band is untouched), so no recall loss at radius 3 with 4 bands —
-    EXCEPT inside band buckets over ``max_bucket`` members, which are
-    dropped whole (cap_buckets): a >cap bucket at 16-bit band width is
-    an identical-or-near-identical mega-clique, exact_dedup's job (the
-    declared pipeline order is dedup_exact_then_near).
+    EXCEPT inside band buckets over ``max_bucket`` members, which emit
+    a linear star to their min-id representative instead of C(c,2)
+    pairs (cap_buckets): a >cap bucket at 16-bit band width is an
+    identical-or-near-identical mega-clique — identical is exact_dedup's
+    job (the declared pipeline order is dedup_exact_then_near), and
+    near-identical still collapses via the star.
 
     The signature table is persisted before the self-join: the simhash
     column is an expensive aggregate() expression, and without a
@@ -466,17 +533,9 @@ def simhash_pairs(
     the scale shape: sign once, band-join the signed table.
     """
     sims = tracked_persist(sims.select("id", "simhash"))
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
-    bands = sims.sparkSession.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    exploded = sims.crossJoin(F.broadcast(bands)).select(
-        "id",
-        "simhash",
-        "band",
-        F.expr(f"shiftright(simhash, band * {band_bits}) & {mask}").alias("band_val"),
-    )
-    exploded = cap_buckets(exploded, ["band", "band_val"], max_bucket)
-    a = exploded.select(
+    exploded = simhash_bands(sims, bits, n_bands)
+    a_rows = cap_buckets(exploded, ["band", "band_val"], max_bucket)
+    a = a_rows.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("sim_a"), "band", "band_val"
     )
     b = exploded.select(

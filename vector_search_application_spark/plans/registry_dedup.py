@@ -142,18 +142,21 @@ mh AS (
 bands AS (
     {_BANDS_SQL}
 ),
-bands_ok AS (
-    -- occupancy guard twin (constants.LSH_BUCKET_CAP): buckets over the
-    -- cap generate no candidates in EITHER engine
+bands_a AS (
+    -- occupancy guard twin (constants.LSH_BUCKET_CAP): a >cap bucket
+    -- keeps only its min-id representative on the A side, so joined
+    -- against the FULL b side it emits a linear star, not C(c,2) —
+    -- and not nothing (near-identical mega-groups must still collapse)
     SELECT id, band, band_key FROM (
         SELECT id, band, band_key,
-               count(*) OVER (PARTITION BY band, band_key) AS bsz
+               count(*) OVER (PARTITION BY band, band_key) AS bsz,
+               min(id) OVER (PARTITION BY band, band_key) AS bmin
         FROM bands
-    ) WHERE bsz <= {LSH_BUCKET_CAP}
+    ) WHERE bsz <= {LSH_BUCKET_CAP} OR id = bmin
 ),
 cands AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM bands_ok a JOIN bands_ok b USING (band, band_key)
+    FROM bands_a a JOIN bands b USING (band, band_key)
     WHERE a.id < b.id
 ),
 sizes AS (SELECT id, count(*)::BIGINT AS n FROM shing32 GROUP BY id),
@@ -309,18 +312,20 @@ banded AS (
            (simhash >> (band * 16)) & 65535 AS band_val
     FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
 ),
-banded_ok AS (
-    -- occupancy guard twin (constants.LSH_BUCKET_CAP)
+banded_a AS (
+    -- occupancy guard twin (constants.LSH_BUCKET_CAP): star-not-drop,
+    -- see the minhash twin's bands_a comment
     SELECT id, simhash, band, band_val FROM (
         SELECT id, simhash, band, band_val,
-               count(*) OVER (PARTITION BY band, band_val) AS bsz
+               count(*) OVER (PARTITION BY band, band_val) AS bsz,
+               min(id) OVER (PARTITION BY band, band_val) AS bmin
         FROM banded
-    ) WHERE bsz <= {LSH_BUCKET_CAP}
+    ) WHERE bsz <= {LSH_BUCKET_CAP} OR id = bmin
 ),
 pairs AS (
     SELECT DISTINCT a.id AS id_a, b.id AS id_b,
            a.simhash AS sim_a, b.simhash AS sim_b
-    FROM banded_ok a JOIN banded_ok b USING (band, band_val)
+    FROM banded_a a JOIN banded b USING (band, band_val)
     WHERE a.id < b.id
 )
 SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
@@ -332,6 +337,45 @@ WHERE bit_count(xor(sim_a, sim_b)) <= 3
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = dedup.simhash(dedup_docs(spark, sf_dir), "doc_id", "text")
     return dedup.simhash_pairs(sims, max_hamming=3)
+
+
+@declare(
+    "dedup_cap_stats",
+    f"""
+WITH {DDOCS_CTE},
+{_SIMS_SQL},
+banded AS (
+    SELECT id, band,
+           (simhash >> (band * 16)) & 65535 AS band_val
+    FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+),
+bsizes AS (
+    SELECT band, band_val, count(*)::BIGINT AS bsz
+    FROM banded GROUP BY band, band_val
+)
+SELECT CAST(sum(CASE WHEN bsz > {LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_buckets_capped,
+       CAST(max(bsz) AS BIGINT) AS max_bucket_size,
+       CAST(sum(CASE WHEN bsz > {LSH_BUCKET_CAP} THEN bsz ELSE 0 END) AS BIGINT)
+           AS n_rows_in_capped
+FROM bsizes
+""",
+    survey_ids="dedup-simhash,dedup-cap",
+)
+def q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy-guard OBSERVABILITY (the no-silent-caps discipline):
+    one row of (n_buckets_capped, max_bucket_size, n_rows_in_capped)
+    over the simhash band index of the dedup corpus — the aggregate a
+    100 TB run logs next to its pair counts so recall loss from the
+    LSH_BUCKET_CAP star-guard is measurable, never invisible. On the
+    standard corpus all three are benign (0 capped buckets); the
+    planted 10k-clique tests (tests/test_bucket_cap.py) pin the
+    non-zero shape."""
+    sims = dedup.simhash(dedup_docs(spark, sf_dir), "doc_id", "text")
+    banded = dedup.simhash_bands(sims.select("id", "simhash"))
+    return dedup.capped_bucket_stats(
+        banded, ["band", "band_val"], LSH_BUCKET_CAP
+    )
 
 
 # --- embedding near-dup via deterministic hyperplane LSH -----------------
@@ -394,17 +438,19 @@ wb AS (
     SELECT v.vec_id AS id, v.embedding AS v, b.band, b.bucket
     FROM dvecs v JOIN buckets b ON b.id = v.vec_id
 ),
-wb_ok AS (
-    -- occupancy guard twin (constants.LSH_BUCKET_CAP)
+wb_a AS (
+    -- occupancy guard twin (constants.LSH_BUCKET_CAP): star-not-drop,
+    -- see the minhash twin's bands_a comment
     SELECT id, v, band, bucket FROM (
         SELECT id, v, band, bucket,
-               count(*) OVER (PARTITION BY band, bucket) AS bsz
+               count(*) OVER (PARTITION BY band, bucket) AS bsz,
+               min(id) OVER (PARTITION BY band, bucket) AS bmin
         FROM wb
-    ) WHERE bsz <= {LSH_BUCKET_CAP}
+    ) WHERE bsz <= {LSH_BUCKET_CAP} OR id = bmin
 ),
 pairs AS (
     SELECT a.id AS id_a, a.v AS va, b2.id AS id_b, b2.v AS vb
-    FROM wb_ok a JOIN wb_ok b2 USING (band, bucket)
+    FROM wb_a a JOIN wb b2 USING (band, bucket)
     WHERE a.id < b2.id
 ),
 scored AS (
