@@ -427,8 +427,9 @@ def test_import_full_duplicate_id_across_files_wins_by_name_order(
     engine, tmp_path
 ):
     """A duplicate _id spanning two files of one directory import must
-    resolve last-wins in FILE NAME order (the order a directory
-    iterator feeds the reference's in-request Qdrant upserts), not in
+    resolve last-wins in FILE NAME order (the reference drains an
+    unsorted glob through a thread pool in nondeterministic completion
+    order; lexicographic name order is OUR deterministic pin), not in
     part-file order of the written table — Spark schedules JSON splits
     size-DESCENDING, so the adversarial shape is 'later-named file is
     larger': it lands in an EARLIER part file, and a read-order dedupe

@@ -457,7 +457,8 @@ class Engine:
         old_products, old_dense, old_sparse = self._snapshot()
         # intake order as an EXPLICIT key. Directory imports
         # (import_full) stamp it AT THE JSON SCAN (__src_file/__src_pos:
-        # source file path + row position within the file) — the only
+        # source file path + per-partition position, monotonic within
+        # each file — see import_full's docstring) — the only
         # point where it still exists, because the parquet part-file
         # order of table_dir is the scan's size-descending split
         # packing, not the name-order a directory iterator processes

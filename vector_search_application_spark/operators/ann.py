@@ -247,8 +247,20 @@ def lsh_neardup_pairs(
         f"{_band_buckets_from_dots_sql(n_bands, band_planes)} AS buckets",
     )
     with_b = tracked_persist(with_b)
+    # SKINNY band join (r10): the signature rows that flow into the
+    # self-join carry (id, band, bucket) ONLY. The previous shape
+    # dragged the 64-double vector through the explode and BOTH join
+    # sides — 2 x B x N vector-payload rows of shuffle — and verified
+    # the cosine once per SHARED band (a true 0.95-cosine pair
+    # collides in ~B x 0.9^r of the bands, so each real pair paid the
+    # dot ~3-4 times). Now candidates dedup to unique (id_a, id_b)
+    # BEFORE the verify, and the vectors join back from the persisted
+    # signature table once per side: 2 x N vector rows shuffled
+    # instead of 2 x B x N, one cosine per unique pair. Output is
+    # bit-identical (same capped candidate set, same threshold), so
+    # the DuckDB twin is untouched.
     banded = with_b.select(
-        "id", "v", F.posexplode("buckets").alias("band", "bucket")
+        "id", F.posexplode("buckets").alias("band", "bucket")
     )
     # occupancy guard (constants.LSH_BUCKET_CAP): identical-embedding
     # mega-cliques collide in EVERY band, so no band count dilutes them
@@ -259,20 +271,24 @@ def lsh_neardup_pairs(
     from .dedup import cap_buckets
 
     a_rows = cap_buckets(banded, ["band", "bucket"], LSH_BUCKET_CAP)
-    a = a_rows.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket"
+    cand = (
+        a_rows.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(
+            banded.select(F.col("id").alias("id_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket"
+    va = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    scored = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b",
+        P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine"),
     )
-    pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine")
-    )
-    # threshold first (kills the false candidates), then dedup the real
-    # pairs that collided in more than one band — the distinct runs on
-    # the tiny verified set, not the candidate set
-    return scored.filter(F.col("cosine") >= threshold).distinct()
+    # candidates are already unique pairs; the threshold is the last cut
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def _lit_vec(arr) -> str:

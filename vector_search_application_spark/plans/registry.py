@@ -972,55 +972,55 @@ from . import registry_curation  # noqa: E402,F401
 # OLDEST-FIRST, with the override that queries whose backing code
 # changed since their last driver verification re-enter regardless of
 # age. Displaced queries keep tests/test_registry_oracle.py as their
-# net; after this (r9) window runs, every hash query's last driver row
-# is >= r7, and r10 should seat the ~26 remaining r7 slots
-# (decontaminate/boilerplate, embed singles, the six TPC-H join/aggs,
-# the text-analysis family, normalize_min_max, delta_classify,
-# training_manifest_full, plus the 8 paging/versioning/dense singles
-# the late-r9 code-changed entries displaced — see the window's tail
-# comment).
+# net; after this (r10) window runs, every hash query's last driver
+# row is >= r8, and r11 should seat the remaining r8 slots
+# (the exact-cascade family, version_archive/get/history, the PQ/
+# quantized singles, partno, payload/search projections, the bpe and
+# manifest entries the r10 fillers didn't reach).
 
 DRIVER_WINDOW = [
-    # r9 rotation (oldest-first, r8 VERDICT task 2): the 17 stalest
-    # hash slots (last driver row r6 — the curation/event/source
-    # singles the r8 window displaced) ...
-    "chunk_embed_pool", "dataset_split", "dataset_split_balance",
-    "deterministic_sample", "epoch_shuffle", "event_funnel",
-    "event_props_agg", "event_sliding_avg", "export_sharded_roundtrip",
-    "mixture_sample", "multimodal_dedup_stats", "quality_filter_funnel",
-    "source_data_card", "source_length_quantiles", "temperature_mixture",
-    "token_accounting_rollup", "vocab_topn",
-    # ... the query NEW this round (exact-first near-dup composition) ...
-    "dedup_exact_then_near",
-    # ... code changed THIS round: the whole banded-dedup family
-    # (occupancy cap in every band join + oracle twins, the 20-band
-    # recall bump, the array-intersect verify) and semantic dedup's
-    # sqrt-scaled centroids; components/canonical inherit the capped
-    # simhash pair SQL ...
-    "semantic_dedup", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_components", "dedup_components_star",
-    "dedup_canonical_quality", "embedding_neardup",
-    # ... streaming entries sitting on the r9 _read_source conf-restore
-    # and the stream-embed empty-source guard ...
-    "stream_ingest_upsert", "stream_embed_ingest", "stream_dedup_ingest",
-    # ... late-r9 code changes re-enter regardless of age (NULL-ts
-    # exclusion in the event-time operators, shared fusion aggregates,
-    # the embed oracle's shared rounding fragment, mmr's id guard) ...
-    "event_sessionize", "stream_sessionize", "stream_events_window",
-    "event_asof_join", "hybrid_rrf_batch", "fusion_max_dedup_batch",
-    "mmr_rerank_topk", "embed_search_topk",
-    # ... and the stalest r7 slots with untouched code (dense/fusion
-    # singles, ingest/mutation singles) as far as the 50 slots allow;
-    # the displaced r7-stale paging/versioning singles
-    # (dense_topk_batch_salted, dense_threshold, dense_postfilter,
-    # scroll_page, keyset_page, corpus_counts,
-    # search_details_projection, version_current) stay on r10's seat
-    # list with the pytest oracle sweep as their net.
-    "dense_topk", "dense_topk_batch",
-    "bm25_topk", "hybrid_rrf", "linear_fusion", "fusion_max_dedup",
-    "ingest_products", "validate_quarantine", "doc_content_hash",
-    "upsert_merge", "cleanup_old",
-    "dedup_exact", "directory_import_full",
+    # Never-driver-seated queries first (r9 VERDICT task 3): the
+    # observability aggregate NEW this round, and the trained-kmeans
+    # semantic sibling (rows-only by design, planted-copy-tested) ...
+    "dedup_cap_stats", "semantic_dedup_kmeans",
+    # ... code changed THIS round re-enters regardless of age: the
+    # occupancy cap now stars >cap buckets at a min-id representative
+    # in every band join (minhash/simhash/embedding + oracle twins;
+    # components/canonical/exact_then_near inherit the starred pair
+    # SQL) ...
+    "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
+    "dedup_components", "dedup_components_star",
+    "dedup_canonical_quality", "dedup_exact_then_near",
+    # ... and the IVF family moved to the corpus-scaled centroid
+    # schedule (C = max(8, ceil(sqrt(n))), P = max(2, ceil(log2(C))))
+    # with scalar-subquery bounds in the DuckDB twins; the rows-only
+    # trained siblings (last smoke row r5) re-enter with it ...
+    "ivf_topk", "ivf_topk_batch", "ivf_index_lookup",
+    "ivf_topk_filtered", "ivfpq_topk",
+    "ivf_kmeans_topk", "pq_kmeans_topk", "mllib_lsh_topk",
+    # ... the 26 r7-stale hash slots (r9 VERDICT task 2): paging/
+    # versioning/dense singles deferred by r9's late code changes,
+    # the text-analysis family, the TPC-H six, embed singles,
+    # decontaminate/boilerplate, delta_classify, and the
+    # training-manifest capstone (which also composes this round's
+    # changed dedup stages) ...
+    "dense_topk_batch_salted", "dense_threshold", "dense_postfilter",
+    "scroll_page", "keyset_page", "corpus_counts",
+    "search_details_projection", "version_current",
+    "text_langid", "text_quality", "text_repetition", "text_pii_scrub",
+    "token_stats",
+    "lineitem_pricing_summary", "returned_item_report",
+    "revenue_by_nation", "local_supplier_revenue",
+    "order_priority_semijoin", "top_customer_revenue",
+    "embed_documents", "embed_query",
+    "boilerplate_ngrams", "benchmark_decontaminate", "delta_classify",
+    "normalize_min_max", "training_manifest_full",
+    # ... and the oldest r8 slots as far as the 50 allow; the
+    # remaining r8 entries stay on r11's seat list with the pytest
+    # oracle sweep as their net.
+    "binary_quantized_topk", "bm25_topk_batch", "bpe_encode_stats",
+    "bpe_train_merges", "compare_preview", "dense_prefilter",
+    "doc_chunk_windows",
 ]
 
 

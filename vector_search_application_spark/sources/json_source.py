@@ -268,14 +268,22 @@ def import_full(spark: SparkSession, import_dir: str, table_dir: str) -> int:
     """S4: reset-and-load every *.json in the directory.
 
     Stamps intake order at the JSON SCAN: (source file path, row
-    position within the file). The parquet part-file order of the
-    written table is the scan's size-descending split packing — NOT
-    the name-order a directory iterator processes files in — so
-    without the stamp a duplicate id spanning two import files would
-    resolve last-wins by FILE SIZE downstream. multiLine JSON is not
-    splittable (one task per file), so the low 33 bits of
-    monotonically_increasing_id are exactly the row's position within
-    its file."""
+    position). The parquet part-file order of the written table is the
+    scan's size-descending split packing — NOT lexicographic file-name
+    order — so without the stamp a duplicate id spanning two import
+    files would resolve last-wins by FILE SIZE downstream. (The
+    reference's import_full drains an unsorted glob through a thread
+    pool in completion order — nondeterministic; name order is OUR
+    chosen deterministic pin, not a reference-parity claim.)
+
+    Stamp semantics: multiLine JSON is not splittable, but Spark may
+    bin-pack SEVERAL small files into one scan partition, so the low
+    33 bits of monotonically_increasing_id are the row's position
+    within its PARTITION, not its file. That is still sufficient:
+    files are read sequentially within a partition, so the stamp is
+    monotonic WITHIN each file, and cross-file order comes from
+    __src_file — the downstream last-wins dedupe orders by
+    (file name, stamp), never by raw stamp across files."""
     docs = read_json_array(spark, os.path.join(import_dir, "*.json"))
     docs = docs.select(
         "*",

@@ -86,27 +86,18 @@ def _read_source(spark: SparkSession, path: str) -> DataFrame:
     instead of re-incanting it in each registry wrapper (a new entry
     that forgot it would fail only on nanos-typed generations).
 
-    The conf is restored after the eager schema resolution below: left
-    set, the legacy flag would leak into every subsequent BATCH read in
-    the session (nanos columns silently landing as bare longs where the
-    caller expected a type error). Schema resolution happens at
-    DataFrame creation, so flipping the conf back does not disturb the
-    returned frame's plan."""
-    prev = None
-    try:
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
-    except Exception:
-        pass
+    The flag's effect is version-dependent: this Spark (4.1.2) reads
+    parquet nanos natively as timestamp_ntz and ignores the flag at
+    execution, while older Sparks re-read the session conf into the
+    scan's hadoopConf AT ACTION TIME — so restoring the conf after an
+    eager schema probe (the previous shape here) could fail the later
+    action on exactly the Sparks that need the flag. Set it for the
+    session and leave it set, matching what session.get_spark already
+    pins at build time (session.py); the only cost is nanos columns in
+    subsequent batch reads landing as longs instead of a type error,
+    which session-built sessions already accept."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force analysis while the escape hatch is on
-        return df
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        else:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.read.parquet(path)
 
 
 def _run_to_memory_sink(
