@@ -41,6 +41,7 @@ from ..plans.constants import (
     LSH_BANDS,
     LSH_BUCKET_CAP,
     LSH_PLANES,
+    NEARDUP_HAMMING_CAP,
     ivf_n_centroids,
     ivf_n_probe,
 )
@@ -132,59 +133,89 @@ def _bucket_sql(
     )
 
 
-def _dots_sql(vec_col: str, n_planes: int, dim: int = 64) -> str:
-    """All ``n_planes`` hyperplane dot products of a vector in ONE
-    fold over its dims: zip the vector with a dim-major (transposed)
-    literal weight matrix and accumulate an n_planes-wide running-sum
-    array. Per plane the accumulation is ((0 + x1*w1) + x2*w2) + ... —
-    the exact left-assoc order the per-plane ``aggregate`` in
-    P.dot/_bucket_sql uses, so every dot is bit-identical to the
-    plane-at-a-time form (0.0 + a == a in IEEE for every a except
-    -0.0, whose sign the rounded > 0 test cannot see anyway).
+def _banded_signature(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_bands: int,
+    band_planes: int,
+    dim: int,
+) -> DataFrame:
+    """(id, __bk0..__bkB-1): every band's sign-bit bucket, computed by
+    EXPLODE-AND-AGGREGATE in WSCG-SIZED PASSES — the fastest shape
+    this engine executes for a B*r x dim random projection. Every
+    alternative was measured at the x100 controlled-dup probe
+    (220k rows, 320 planes, dim 64):
 
-    The matrix rides as SQL-text CAST('..' AS DOUBLE) literals, NOT a
-    py4j F.lit nested array: both fold to identical IEEE doubles, but
-    converting 16k Python floats through py4j costs ~8s per plan
-    build (measured), vs ~1s of parser/analyzer time for the text
-    form. Execution cost is identical once folded.
+    - array HOFs (aggregate(zip_with(..)) shared pass): interpreted,
+      two boxed 320-wide double arrays allocated per vector DIMENSION
+      -> 216s, GC-bound at any parallelism.
+    - inline flat multiply-add chains: under whole-stage codegen the
+      stage fuses into ONE processNext() and ~20k ops overflow
+      Janino's 64KB method limit -> interpreted fallback, 146s (and
+      the compile attempt OOMs an 8g driver at 4+ bands per class);
+      routed around whole-stage codegen (>100 output fields) the
+      projection compiles per-expression but still executes at
+      ~75ns/term -> 335s.
+    - ONE explode-and-aggregate pass with all 320 sum() buffers:
+      correct and compact, but a 320-field buffer disables
+      whole-stage codegen for the aggregate (spark.sql.codegen.
+      maxFields = 100) and pays ~300ns of mutable-projection
+      invocation per (exploded row x plane) -> 42s.
+    - explode-and-aggregate in passes of <= 96 sums: the buffer stays
+      under maxFields, the aggregate stays INSIDE whole-stage codegen,
+      and a pass runs in ~5s -> ~4 passes + id-joins ~= 20s, the best
+      measured. This is that shape.
 
-    Guarded on the vector length like _bucket_sql: zip_with null-pads
-    a mismatch, which would silently NULL every dot."""
-    by_dim = _py_plane_weights(n_planes, dim)  # [plane][d-1]
-    wt = (
-        "array("
-        + ", ".join(
-            _lit_vec([by_dim[p][d] for p in range(n_planes)])
-            for d in range(dim)
-        )
-        + ")"
-    )
-    dots = (
-        f"aggregate(zip_with({vec_col}, {wt},"
-        " (x, ws) -> transform(ws, w -> cast(x as double) * w)),"
-        f" array_repeat(0.0D, {n_planes}),"
-        " (acc, xs) -> zip_with(acc, xs, (a, b) -> a + b))"
-    )
-    return (
-        f"CASE WHEN size({vec_col}) = {dim} THEN {dots}"
-        f" ELSE CAST(raise_error(concat('hyperplane dots expect dim {dim},"
+    The exploded (id, d, x) table is persisted once and shared by all
+    passes; when the caller pre-partitions vectors by id, explode
+    preserves the partitioning, so every groupBy(id) is
+    map-side-complete and the final id-joins are exchange-free.
+
+    Sign parity with the DuckDB twin: the twin sums x*w per (id,
+    plane) in arbitrary order; both engines round to 6 decimals
+    before the > 0 sign test, so a sign can only diverge if |dot| <
+    5e-7 while weights are O(3e4) — the same reassociation tolerance
+    the twin has always relied on. Weight family (md5) and bit
+    packing are byte-identical to every previous shape, so buckets —
+    and therefore oracle hashes — do not move. Weights ride as
+    SQL-text literals that fold to ONE array literal per plane."""
+    by_plane = _py_plane_weights(n_bands * band_planes, dim)
+    guarded = (
+        f"CASE WHEN size({vec_col}) = {dim} THEN {vec_col}"
+        f" ELSE CAST(raise_error(concat('hyperplane buckets expect dim {dim},"
         f" got ', cast(size({vec_col}) as string))) AS ARRAY<DOUBLE>) END"
     )
-
-
-def _band_buckets_from_dots_sql(n_bands: int, band_planes: int) -> str:
-    """array<bigint> of band buckets from a ``__dots`` column: band b's
-    bucket packs the sign bits of planes b*r .. b*r+r-1 (sign decided
-    on the ROUNDED dot — same cross-engine rationale as _bucket_sql)."""
-    buckets = []
-    for b in range(n_bands):
-        terms = " + ".join(
-            f"CASE WHEN round(__dots[{b * band_planes + i}], 6) > 0.0D"
-            f" THEN {1 << i}L ELSE 0L END"
-            for i in range(band_planes)
+    ex = tracked_persist(
+        vectors.selectExpr(
+            f"{id_col} AS id", f"posexplode({guarded}) AS (__d, __x)"
         )
-        buckets.append(f"CAST({terms} AS BIGINT)")
-    return "array(" + ", ".join(buckets) + ")"
+    )
+    bands_per_pass = max(1, 96 // band_planes)
+    parts = []
+    for b0 in range(0, n_bands, bands_per_pass):
+        bset = range(b0, min(b0 + bands_per_pass, n_bands))
+        dot_aggs = [
+            F.expr(
+                f"sum(cast(__x as double) * {_lit_vec(by_plane[p])}[__d])"
+            ).alias(f"__dot{p}")
+            for b in bset
+            for p in range(b * band_planes, (b + 1) * band_planes)
+        ]
+        dots = ex.groupBy("id").agg(*dot_aggs)
+        bucket_cols = []
+        for b in bset:
+            terms = " + ".join(
+                f"CASE WHEN round(__dot{b * band_planes + i}, 6) > 0.0D"
+                f" THEN {1 << i}L ELSE 0L END"
+                for i in range(band_planes)
+            )
+            bucket_cols.append(f"CAST({terms} AS BIGINT) AS __bk{b}")
+        parts.append(dots.selectExpr("id", *bucket_cols))
+    sig = parts[0]
+    for part in parts[1:]:
+        sig = sig.join(part, "id")
+    return tracked_persist(sig)
 
 
 def hyperplane_buckets(
@@ -213,6 +244,7 @@ def lsh_neardup_pairs(
     dim: int = 64,
     n_bands: int | None = None,
     band_planes: int | None = None,
+    corpus_partitions: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) for pairs sharing >=1 LSH band bucket and
     above the cosine threshold — embedding near-duplicate detection.
@@ -226,41 +258,43 @@ def lsh_neardup_pairs(
     the 0.95 threshold (any one of B bands may match). The banded
     signature table is what you'd write out at scale, partitioned by
     (band, bucket); band width is the log2(N) knob that holds bucket
-    occupancy constant as the corpus grows."""
+    occupancy constant as the corpus grows.
+
+    corpus_partitions: same knob as topk.score_pairs, but partitioned
+    BY ID — a small corpus in one parquet split would compute the
+    whole signature on one core, and id-partitioning makes every
+    signature pass's groupBy(id) map-side-complete
+    (_banded_signature). At 100 TB the scan is already thousands of
+    splits; leave None (the signature passes then shuffle by id
+    once, which is the write-once index build you would run anyway)."""
     n_bands = LSH_BANDS if n_bands is None else n_bands
     band_planes = LSH_BAND_PLANES if band_planes is None else band_planes
-    # all B band buckets in one per-row projection, persisted BEFORE the
-    # posexplode: the explode then stacks cached attributes, so the
-    # expensive dot expressions are computed exactly once per vector
-    # (exploding un-materialized array(struct(...)) re-inlines them).
-    # The B*r plane dots come from ONE shared pass over the vector
-    # (_band_buckets_sql) rather than B*r separate aggregate() HOFs —
-    # same left-assoc per-plane accumulation, measured ~15% cheaper at
-    # 256 planes (the dots are the whole cost of this stage at sf0.1).
-    with_b = vectors.selectExpr(
-        f"{id_col} AS id",
-        f"{vec_col} AS v",
-        f"{_dots_sql(vec_col, n_bands * band_planes, dim)} AS __dots",
-    ).selectExpr(
-        "id",
-        "v",
-        f"{_band_buckets_from_dots_sql(n_bands, band_planes)} AS buckets",
+    if corpus_partitions:
+        # BY ID: explode preserves this partitioning, so every
+        # signature pass's groupBy(id) is map-side-complete and the
+        # pass-joins are exchange-free (_banded_signature)
+        vectors = vectors.repartition(corpus_partitions, F.col(id_col))
+    # all B band buckets as flat columns (_banded_signature — the HOF
+    # and single-class-codegen alternatives both fail, see there),
+    # persisted as the SKINNY signature table: id + B bucket longs,
+    # no vector payload. The bucket columns double as the hamming
+    # prefilter's bits below.
+    sig_flat = _banded_signature(
+        vectors, id_col, vec_col, n_bands, band_planes, dim
     )
-    with_b = tracked_persist(with_b)
-    # SKINNY band join (r10): the signature rows that flow into the
-    # self-join carry (id, band, bucket) ONLY. The previous shape
-    # dragged the 64-double vector through the explode and BOTH join
-    # sides — 2 x B x N vector-payload rows of shuffle — and verified
-    # the cosine once per SHARED band (a true 0.95-cosine pair
-    # collides in ~B x 0.9^r of the bands, so each real pair paid the
-    # dot ~3-4 times). Now candidates dedup to unique (id_a, id_b)
-    # BEFORE the verify, and the vectors join back from the persisted
-    # signature table once per side: 2 x N vector rows shuffled
-    # instead of 2 x B x N, one cosine per unique pair. Output is
-    # bit-identical (same capped candidate set, same threshold), so
-    # the DuckDB twin is untouched.
-    banded = with_b.select(
-        "id", F.posexplode("buckets").alias("band", "bucket")
+    # the band self-join rows carry (id, ALL B buckets, band, bucket):
+    # +8B*B per row over the skinny (id, band, bucket) shape, in
+    # exchange for the hamming prefilter running INSIDE the join stage
+    # — no candidate-set shuffle, no signature re-join. The previous
+    # shapes either dragged the 64-double vector through the join
+    # (2 x B x N vector rows of shuffle) or distinct'ed the raw
+    # candidate set (14.8M-row exchange at the x100 probe) and joined
+    # the signature back per side (two more 14.8M-row SMJs).
+    bks = [f"__bk{b}" for b in range(n_bands)]
+    banded = sig_flat.selectExpr(
+        "id",
+        *bks,
+        "posexplode(array(" + ", ".join(bks) + ")) AS (band, bucket)",
     )
     # occupancy guard (constants.LSH_BUCKET_CAP): identical-embedding
     # mega-cliques collide in EVERY band, so no band count dilutes them
@@ -271,18 +305,45 @@ def lsh_neardup_pairs(
     from .dedup import cap_buckets
 
     a_rows = cap_buckets(banded, ["band", "bucket"], LSH_BUCKET_CAP)
+    a = a_rows.selectExpr(
+        "id AS id_a", *[f"__bk{b} AS __sa{b}" for b in range(n_bands)],
+        "band", "bucket",
+    )
+    b_side = banded.selectExpr(
+        "id AS id_b", *[f"__bk{b} AS __sb{b}" for b in range(n_bands)],
+        "band", "bucket",
+    )
+    # HAMMING PREFILTER (constants.NEARDUP_HAMMING_CAP), applied in
+    # the join stage itself: the candidate stream is dominated by
+    # background-cosine noise (~15M band-collision rows for 20k true
+    # pairs at the x100 probe). Hamming distance over the B*r sign
+    # bits estimates the angle: true >=0.95 pairs sit at
+    # mean+4.5sigma <= the cap while background pairs are >10 sigma
+    # above it — B bit_count(xor) terms of whole-stage codegen kill
+    # them as the join emits, so the distinct and the exact-cosine
+    # verify below run on ~the true pairs only. The DuckDB twin
+    # applies the identical cut on identical bits, so the
+    # (astronomically rare) true pair beyond the cap is dropped by
+    # BOTH engines and hashes cannot move.
+    hamming = " + ".join(
+        f"bit_count(__sa{b} ^ __sb{b})" for b in range(n_bands)
+    )
     cand = (
-        a_rows.select(F.col("id").alias("id_a"), "band", "bucket")
-        .join(
-            banded.select(F.col("id").alias("id_b"), "band", "bucket"),
-            ["band", "bucket"],
-        )
+        a.join(b_side, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.expr(f"{hamming} <= {NEARDUP_HAMMING_CAP}"))
         .select("id_a", "id_b")
         .distinct()
     )
-    va = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # exact verify on the survivors (~true pairs only): the vector
+    # join is linear in the OUTPUT, not the candidate set. Persist the
+    # narrow vector table ONCE — both verify sides read the cache
+    # instead of re-deriving the (possibly synthesized) input twice.
+    vtab = tracked_persist(
+        vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    )
+    va = vtab.select(F.col("__vid").alias("id_a"), F.col("__v").alias("va"))
+    vb = vtab.select(F.col("__vid").alias("id_b"), F.col("__v").alias("vb"))
     scored = cand.join(va, "id_a").join(vb, "id_b").select(
         "id_a", "id_b",
         P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine"),

@@ -115,6 +115,32 @@ LSH_BAND_PLANES = 16
 # before natural occupancy approaches it.
 LSH_BUCKET_CAP = 1000
 
+# Hamming prefilter on the banded signature (r10): before any vector
+# payload joins into the near-dup verify, candidate pairs are cut on
+# the hamming distance between their full B*r = 320 sign bits — a
+# quantity BOTH engines already computed for the band buckets, so the
+# prefilter is join-free information. For a pair at cosine c each bit
+# disagrees independently with p = acos(c)/pi, so at the 0.95
+# threshold hamming ~ Binomial(320, 0.10099): mean 32.3, sigma 5.39.
+# The cap is mean + 4.5 sigma (P[loss] < 4e-6 per true pair, and both
+# engines drop the SAME pairs, so oracle hashes cannot move), while
+# background pairs (|cos| ~ 1/sqrt(dim) = 0.125 -> p ~ 0.46, mean
+# ~147, sigma ~8.9) sit >10 sigma above it — the x100 probe's 14.8M
+# noise candidates die here instead of paying two vector joins and a
+# cosine each. Derived, not tuned: moves automatically with the
+# threshold and the band geometry.
+import math as _math  # noqa: E402
+
+_NEARDUP_P_BIT = _math.acos(NEARDUP_COSINE_THRESHOLD) / _math.pi
+_NEARDUP_NBITS = LSH_BANDS * LSH_BAND_PLANES
+NEARDUP_HAMMING_CAP = int(
+    _math.ceil(
+        _NEARDUP_NBITS * _NEARDUP_P_BIT
+        + 4.5
+        * _math.sqrt(_NEARDUP_NBITS * _NEARDUP_P_BIT * (1 - _NEARDUP_P_BIT))
+    )
+)
+
 # IVF: the cell count scales with the corpus — the same discipline the
 # SemDeDup schedule below established (a FIXED count is a fixed pruning
 # ratio: the r9 judge showed IVF_CENTROIDS=8/IVF_PROBES=2 frozen means

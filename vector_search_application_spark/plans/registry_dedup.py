@@ -31,6 +31,7 @@ from .constants import (
     MINHASH_PERMS,
     MINHASH_PRIME,
     NEARDUP_COSINE_THRESHOLD,
+    NEARDUP_HAMMING_CAP,
     QUERY_VEC_ID,
     RARE_SHINGLE_DF_CAP,
     SEMDEDUP_MIN_CENTROIDS,
@@ -434,37 +435,56 @@ buckets AS (
                AS bucket
     FROM dots GROUP BY id, plane // {LSH_BAND_PLANES}
 ),
-wb AS (
-    SELECT v.vec_id AS id, v.embedding AS v, b.band, b.bucket
-    FROM dvecs v JOIN buckets b ON b.id = v.vec_id
-),
 wb_a AS (
     -- occupancy guard twin (constants.LSH_BUCKET_CAP): star-not-drop,
     -- see the minhash twin's bands_a comment
-    SELECT id, v, band, bucket FROM (
-        SELECT id, v, band, bucket,
+    SELECT id, band, bucket FROM (
+        SELECT id, band, bucket,
                count(*) OVER (PARTITION BY band, bucket) AS bsz,
                min(id) OVER (PARTITION BY band, bucket) AS bmin
-        FROM wb
+        FROM buckets
     ) WHERE bsz <= {LSH_BUCKET_CAP} OR id = bmin
 ),
-pairs AS (
-    SELECT a.id AS id_a, a.v AS va, b2.id AS id_b, b2.v AS vb
-    FROM wb_a a JOIN wb b2 USING (band, bucket)
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+    FROM wb_a a JOIN buckets b2 USING (band, bucket)
     WHERE a.id < b2.id
 ),
+sigs AS (
+    SELECT id, array_agg(bucket ORDER BY band) AS sig FROM buckets GROUP BY id
+),
+pre AS (
+    -- hamming prefilter twin (constants.NEARDUP_HAMMING_CAP): the
+    -- identical cut on the identical sign bits — both engines drop
+    -- the same candidates, so hashes cannot move
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sigs sa ON sa.id = c.id_a
+    JOIN sigs sb ON sb.id = c.id_b
+    WHERE list_sum(list_transform(range(1, {LSH_BANDS + 1}),
+              i -> bit_count(xor(sa.sig[i], sb.sig[i]))))
+          <= {NEARDUP_HAMMING_CAP}
+),
 scored AS (
-    SELECT id_a, id_b, {P.rounded_sql(P.cosine_sql('va', 'vb'))} AS cosine
-    FROM pairs
+    SELECT p.id_a, p.id_b,
+           {P.rounded_sql(P.cosine_sql('va.embedding', 'vb.embedding'))} AS cosine
+    FROM pre p
+    JOIN dvecs va ON va.vec_id = p.id_a
+    JOIN dvecs vb ON vb.vec_id = p.id_b
 )
-SELECT DISTINCT id_a, id_b, cosine FROM scored
+SELECT id_a, id_b, cosine FROM scored
 WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
 """,
     survey_ids="dedup-embedding,ann-lsh",
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan the B*r-plane signature map-stage out to the cluster
+    # parallelism: a small corpus in one parquet split would otherwise
+    # compute every plane dot on one core (see lsh_neardup_pairs)
     return ann.lsh_neardup_pairs(
-        dedup_vectors(spark, sf_dir), NEARDUP_COSINE_THRESHOLD
+        dedup_vectors(spark, sf_dir),
+        NEARDUP_COSINE_THRESHOLD,
+        corpus_partitions=spark.sparkContext.defaultParallelism,
     )
 
 
