@@ -460,6 +460,44 @@ Three more round-9 changes visible in the table:
   -> 0.963 (the >=0.95 discipline), ~10% warm-wall cost, measured in a
   single-session A/B (16/20/24 bands; 24 gave 0.997 at +36% — not
   taken).
+
+## Round 10: embedding_neardup rebuilt end to end
+
+Measuring the operator COLD (this probe's best-of-2 lets rep 2 reuse
+rep 1's persisted signature, so prior rounds' rows amortized the
+signature build away) exposed two costs the warm rows never showed:
+the 320-plane signature took 216s at x100 on interpreted array HOFs
+(allocation-bound at any parallelism), and the verify joined
+64-double vectors to 14.8M candidate pairs of which only ~20k were
+real — the background-cosine noise floor of 16-bit bands at 220k
+rows. Both fixed, output bit-identical, boundary recall unchanged
+(see the recall line above):
+
+1. **Signature: explode-and-aggregate in whole-stage-codegen-sized
+   passes** (operators/ann.py:_banded_signature — the docstring
+   records the measured graveyard: HOF 216s, inlined flat chains
+   overflow Janino's 64KB method limit into interpreted fallback
+   146s / an 8g driver OOM at wider chunks, one 320-buffer aggregate
+   loses codegen above spark.sql.codegen.maxFields and pays 42s in
+   mutable-projection calls; <=96-sum passes keep the aggregate
+   inside codegen at ~5s each).
+2. **Hamming prefilter inside the band self-join**
+   (constants.NEARDUP_HAMMING_CAP, derived mean+4.5sigma at the
+   threshold, not tuned): the join sides carry all B bucket columns
+   and B bit_count(xor) terms kill pairs whose 320 sign bits
+   disagree beyond the cap — true pairs pass with P > 1-4e-6,
+   background pairs sit >10 sigma out. No candidate-set exchange, no
+   signature re-join, and the exact-cosine verify is linear in the
+   OUTPUT. The DuckDB twin applies the identical cut on identical
+   bits.
+
+x100 wall 32.4s (warm r9) -> ~5s (warm r10); honest cold ~280s ->
+33s. One reading note: the x1 row now carries the pipeline's
+one-time plan-analysis + codegen warm-up (the session's first heavy
+query), so the x100/x1 ratio UNDERSTATES scaling health — read
+absolute walls across the K columns instead (x10 -> x100 is the
+meaningful step). MinHash and n-gram Jaccard also dropped (~9.5 ->
+~6s, ~14 -> ~8s at x100) from the shared candidate-join shape.
 """
         )
     print(f"wrote {out}", file=sys.stderr)
