@@ -1,0 +1,112 @@
+"""Incremental (batch-vs-corpus) near-dup: the ingest-time dedup shape
+a 100 TB pipeline actually runs — an arriving batch is checked against
+the already-indexed corpus WITHOUT regenerating any corpus-corpus
+candidate (that work happened when the corpus was deduped). The
+declared dedup_incremental query carries the hash oracle; these tests
+pin the operator's semantic contract on planted JVM-built corpora:
+which pairs exist, which direction they point, and that a corpus-side
+boilerplate flood collapses to its min-id representative instead of
+fanning a batch doc out to every flood member.
+"""
+
+from pyspark.sql import functions as F
+
+from vector_search_application_spark.operators import dedup
+from vector_search_application_spark.plans.constants import (
+    JACCARD_THRESHOLD,
+    LSH_BUCKET_CAP,
+)
+
+_CORPUS = [
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa a long "
+    "passage about distributed query planning and shuffle exchanges",
+    "columnar storage formats parquet orc encodings dictionaries and "
+    "run length compression for analytical scans over wide tables",
+    "watermarks and session windows govern late arriving events in "
+    "structured streaming state stores across micro batch executions",
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_incremental_finds_batch_vs_corpus_pairs_only(spark):
+    corpus = _df(spark, [(i, t) for i, t in enumerate(_CORPUS)])
+    batch = _df(
+        spark,
+        [
+            # near copy of corpus doc 0: one appended token
+            (100, _CORPUS[0] + " updated"),
+            # exact copy of corpus doc 1
+            (101, _CORPUS[1]),
+            # novel doc: no corpus relative
+            (
+                102,
+                "entirely different words covering vector quantization "
+                "codebooks residuals and asymmetric distance computation",
+            ),
+        ],
+    )
+    rows = dedup.minhash_incremental_pairs(
+        corpus, batch, "doc_id", "text", JACCARD_THRESHOLD
+    ).collect()
+    pairs = {(r.batch_id, r.corpus_id): r.jaccard for r in rows}
+    assert (100, 0) in pairs and pairs[(100, 0)] >= JACCARD_THRESHOLD
+    assert pairs[(101, 1)] == 1.0
+    assert not any(b == 102 for b, _ in pairs)  # novel doc matches nothing
+    # direction is strictly batch -> corpus: no corpus-corpus or
+    # batch-batch pair can exist in the output id spaces
+    assert all(b >= 100 and c < 100 for b, c in pairs)
+
+
+def test_incremental_corpus_flood_collapses_to_representative(spark):
+    """A >LSH_BUCKET_CAP clique of identical docs in the CORPUS index:
+    a batch doc with the same text must match exactly the clique's
+    min-id representative (one verified pair), not all members — the
+    occupancy guard applied to the indexed side. Without the cap this
+    test would emit flood-size pairs per band."""
+    flood_n = LSH_BUCKET_CAP + 500
+    boiler = (
+        "the same boilerplate legal disclaimer text repeated verbatim "
+        "across every copy of this document in the crawl snapshot"
+    )
+    flood = spark.range(flood_n).selectExpr(
+        "id AS doc_id", f"'{boiler}' AS text"
+    )
+    distinct_doc = _df(spark, [(flood_n, _CORPUS[2])])
+    corpus = flood.unionByName(distinct_doc)
+    batch = _df(spark, [(10_000_000, boiler)])
+    rows = dedup.minhash_incremental_pairs(
+        corpus, batch, "doc_id", "text", JACCARD_THRESHOLD
+    ).collect()
+    assert [(r.batch_id, r.corpus_id, r.jaccard) for r in rows] == [
+        (10_000_000, 0, 1.0)
+    ]
+
+
+def test_incremental_agrees_with_full_minhash_on_cross_pairs(spark):
+    """On a small corpus+batch, the incremental pair set must equal the
+    full minhash_dedup_pairs run over corpus UNION batch, restricted to
+    cross (batch, corpus) pairs — incrementality changes WHAT is
+    compared, never the verdict on a compared pair."""
+    corpus = _df(spark, [(i, t) for i, t in enumerate(_CORPUS)])
+    batch = _df(
+        spark,
+        [(200, _CORPUS[0] + " updated"), (201, _CORPUS[2]), (202, _CORPUS[2] + " addendum")],
+    )
+    inc = {
+        (r.batch_id, r.corpus_id, r.jaccard)
+        for r in dedup.minhash_incremental_pairs(
+            corpus, batch, "doc_id", "text", JACCARD_THRESHOLD
+        ).collect()
+    }
+    full = dedup.minhash_dedup_pairs(
+        corpus.unionByName(batch), "doc_id", "text", JACCARD_THRESHOLD
+    ).collect()
+    cross = {
+        (r.id_b, r.id_a, r.jaccard)  # full emits id_a < id_b; batch ids are larger
+        for r in full
+        if r.id_b >= 200 and r.id_a < 200
+    }
+    assert inc == cross

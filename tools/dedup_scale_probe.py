@@ -43,6 +43,7 @@ DEDUP_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_incremental",
     "embedding_neardup",
     "semantic_dedup",
     "dedup_components",

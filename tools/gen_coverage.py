@@ -83,6 +83,7 @@ SURVEY_IDS: dict[str, str] = {
     "dedup-simhash": "SimHash near-dup",
     "dedup-ngram-jaccard": "n-gram Jaccard dedup",
     "dedup-embedding": "embedding-cosine near-dup",
+    "dedup-incremental": "incremental batch-vs-corpus near-dup",
     "ann-ivf": "IVF-pruned ANN",
     "ann-lsh": "hyperplane LSH ANN",
     "ann-mllib": "MLlib BucketedRandomProjectionLSH",

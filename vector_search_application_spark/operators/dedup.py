@@ -368,6 +368,70 @@ def minhash_dedup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_bucket: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Incremental (ingest-time) MinHash-LSH near-dup: (batch_id,
+    corpus_id, jaccard) for every incoming-batch doc whose true shingle
+    Jaccard against an ALREADY-INDEXED corpus doc is >= threshold. No
+    corpus-corpus candidate is ever generated — that work was done when
+    the corpus was deduped; re-doing it on every ingest is the thing a
+    100 TB pipeline cannot afford.
+
+    Scale shape: the corpus band table is the persistent LSH index
+    (built once, written partitioned by (band, band_key)); an arriving
+    batch computes its own signatures — linear in the batch, per-row,
+    no shuffle — and the small batch band table BROADCASTS into the
+    index join, so the corpus side never shuffles at ingest and the
+    per-ingest cost is O(|batch| + matched bucket rows), independent of
+    corpus size. The occupancy guard applies to the CORPUS side (the
+    side a boilerplate flood accumulates in): a batch doc landing in a
+    >cap bucket matches that bucket's min-id representative instead of
+    fanning out to every member — still a verified dup verdict, one
+    pair instead of thousands.
+
+    Verification fetches the pair's shingle-set arrays by key join
+    (batch side broadcast again) and intersects in-row, exactly like
+    jaccard_verify_arrays — at 100 TB the corpus (id, shs) table is the
+    other half of the persisted index."""
+    c_sharr = tracked_persist(md5_shingle_arrays(corpus, id_col, text_col))
+    b_sharr = tracked_persist(md5_shingle_arrays(batch, id_col, text_col))
+    c_bands = cap_buckets(
+        lsh_band_keys(minhash_signatures(c_sharr)),
+        ["band", "band_key"],
+        max_bucket,
+    )
+    b_bands = lsh_band_keys(minhash_signatures(b_sharr))
+    cands = (
+        F.broadcast(b_bands.select(F.col("id").alias("batch_id"), "band", "band_key"))
+        .join(c_bands.select(F.col("id").alias("corpus_id"), "band", "band_key"),
+              ["band", "band_key"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    b_side = b_sharr.select(F.col("id").alias("batch_id"), F.col("shs").alias("__sha"))
+    c_side = c_sharr.select(F.col("id").alias("corpus_id"), F.col("shs").alias("__shb"))
+    n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb"))).cast("bigint")
+    denom = (
+        F.size("__sha").cast("bigint") + F.size("__shb").cast("bigint") - n_inter
+    )
+    return (
+        cands.join(F.broadcast(b_side), "batch_id")
+        .join(c_side, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            P.rounded(n_inter.cast("double") / denom.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard with rare-shingle blocking
 # ---------------------------------------------------------------------------

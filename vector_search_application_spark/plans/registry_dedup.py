@@ -379,6 +379,121 @@ def q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental (batch-vs-corpus) near-dup -------------------------------
+
+def _mh_band_ctes(src: str, p: str) -> str:
+    """The shingle -> 32-bit fold -> minhash -> band CTE chain from a
+    (doc_id, text) CTE named ``src``, every CTE name prefixed ``p`` so
+    TWO chains (corpus + batch) can coexist in one oracle query. Same
+    permutation family and band layout as _MINHASH_FROM_DDOCS /
+    operators/dedup.py — a third copy of the constants would drift, so
+    both chains interpolate MINHASH_A/B/PRIME from plans.constants."""
+    bands_sql = "\n    UNION ALL\n    ".join(
+        "SELECT id, {b} AS band, md5({key}) AS band_key FROM {p}mh".format(
+            b=b,
+            p=p,
+            key=" || ',' || ".join(
+                f"m{b * _ROWS_PER_BAND + j}::VARCHAR"
+                for j in range(_ROWS_PER_BAND)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""{p}shing32 AS (
+    SELECT DISTINCT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM (
+        SELECT doc_id AS id,
+               unnest(list_transform(
+                   range(1, len(toks) - {SHINGLE_N - 2}),
+                   i -> array_to_string(list_slice(toks, i, i + {SHINGLE_N - 1}), '_')
+               )) AS sh
+        FROM (SELECT doc_id, {P.tokens_sql('text')} AS toks FROM {src})
+        WHERE len(toks) >= {SHINGLE_N}
+    )
+),
+{p}mh AS (
+    SELECT id,
+           {_MH_MINS}
+    FROM {p}shing32
+    GROUP BY id
+),
+{p}bands AS (
+    {bands_sql}
+)"""
+
+
+@declare(
+    "dedup_incremental",
+    f"""
+WITH corpus_docs AS (SELECT doc_id, text FROM documents),
+batch_docs AS (
+    SELECT doc_id + {NEAR_OFFSET} AS doc_id, text || ' updated' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + {EXACT_OFFSET}, text
+    FROM documents WHERE doc_id % 10 = 5
+),
+{_mh_band_ctes('corpus_docs', 'c')},
+{_mh_band_ctes('batch_docs', 'b')},
+cbands_a AS (
+    -- occupancy guard on the INDEXED side only (cap_buckets twin):
+    -- a batch doc landing in a >cap corpus bucket matches the
+    -- bucket's min-id representative, not every member
+    SELECT id, band, band_key FROM (
+        SELECT id, band, band_key,
+               count(*) OVER (PARTITION BY band, band_key) AS bsz,
+               min(id) OVER (PARTITION BY band, band_key) AS bmin
+        FROM cbands
+    ) WHERE bsz <= {LSH_BUCKET_CAP} OR id = bmin
+),
+cands AS (
+    SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+    FROM bbands b JOIN cbands_a c USING (band, band_key)
+),
+inter AS (
+    SELECT cd.batch_id, cd.corpus_id, count(*)::BIGINT AS n_inter
+    FROM cands cd
+    JOIN bshing32 sa ON sa.id = cd.batch_id
+    JOIN cshing32 sb ON sb.id = cd.corpus_id AND sa.h = sb.h
+    GROUP BY cd.batch_id, cd.corpus_id
+),
+bsizes AS (SELECT id, count(*)::BIGINT AS n FROM bshing32 GROUP BY id),
+csizes AS (SELECT id, count(*)::BIGINT AS n FROM cshing32 GROUP BY id),
+verified AS (
+    SELECT i.batch_id, i.corpus_id,
+           {P.rounded_sql('i.n_inter::DOUBLE / (na.n + nb.n - i.n_inter)::DOUBLE')}
+               AS jaccard
+    FROM inter i
+    JOIN bsizes na ON na.id = i.batch_id
+    JOIN csizes nb ON nb.id = i.corpus_id
+)
+SELECT batch_id, corpus_id, jaccard FROM verified
+WHERE jaccard >= {JACCARD_THRESHOLD}
+""",
+    survey_ids="dedup-incremental,dedup-minhash",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup: which docs of an ARRIVING batch duplicate
+    the already-indexed corpus (>= Jaccard threshold), without ever
+    generating a corpus-corpus candidate. The batch here is the dedup
+    corpus's synthesized copies (near copies of doc_id%10==0, exact
+    copies of doc_id%10==5) arriving against the base documents table —
+    the exact shape of a crawl refresh hitting a deduped corpus. The
+    100 TB plan (see operators/dedup.minhash_incremental_pairs): the
+    corpus band table is the persistent LSH index, the batch bands
+    broadcast into it, per-ingest cost is O(|batch|), not O(corpus)."""
+    docs = corpus.docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + NEAR_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + EXACT_OFFSET).alias("doc_id"), "text"
+    )
+    return dedup.minhash_incremental_pairs(
+        docs, near.unionByName(exact), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
 # --- embedding near-dup via deterministic hyperplane LSH -----------------
 
 DVECS_CTE = f"""
