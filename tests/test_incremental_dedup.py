@@ -9,12 +9,15 @@ boilerplate flood collapses to its min-id representative instead of
 fanning a batch doc out to every flood member.
 """
 
+import math
+
 from pyspark.sql import functions as F
 
-from vector_search_application_spark.operators import dedup
+from vector_search_application_spark.operators import ann, dedup
 from vector_search_application_spark.plans.constants import (
     JACCARD_THRESHOLD,
     LSH_BUCKET_CAP,
+    NEARDUP_COSINE_THRESHOLD,
 )
 
 _CORPUS = [
@@ -106,6 +109,72 @@ def test_incremental_agrees_with_full_minhash_on_cross_pairs(spark):
     ).collect()
     cross = {
         (r.id_b, r.id_a, r.jaccard)  # full emits id_a < id_b; batch ids are larger
+        for r in full
+        if r.id_b >= 200 and r.id_a < 200
+    }
+    assert inc == cross
+
+
+# --- embedding-space sibling (ann.lsh_incremental_pairs) ------------------
+
+DIM = 64
+
+
+def _unit(block: int) -> list[float]:
+    """Unit vector supported on coordinate block ``block`` (16 coords
+    per block, 4 blocks at DIM=64): distinct blocks are EXACTLY
+    orthogonal, so 'novel' batch vectors provably match nothing."""
+    lo = (block % 4) * 16
+    v = [0.0] * DIM
+    for d in range(lo, lo + 16):
+        v[d] = 0.25  # 16 * 0.25^2 = 1
+    return v
+
+
+def _vdf(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_embedding_incremental_finds_batch_vs_corpus_pairs_only(spark):
+    base = [_unit(s) for s in range(3)]
+    corpus = _vdf(spark, [(i, v) for i, v in enumerate(base)])
+    perturbed = [1.1 * base[0][0]] + base[0][1:]
+    batch = _vdf(
+        spark,
+        [(100, perturbed), (101, base[1]), (102, _unit(99))],
+    )
+    rows = ann.lsh_incremental_pairs(
+        corpus, batch, NEARDUP_COSINE_THRESHOLD
+    ).collect()
+    pairs = {(r.batch_id, r.corpus_id): r.cosine for r in rows}
+    assert (100, 0) in pairs and pairs[(100, 0)] >= NEARDUP_COSINE_THRESHOLD
+    assert pairs[(101, 1)] == 1.0
+    assert not any(b == 102 for b, _ in pairs)
+    assert all(b >= 100 and c < 100 for b, c in pairs)
+
+
+def test_embedding_incremental_agrees_with_full_on_cross_pairs(spark):
+    base = [_unit(s) for s in range(3)]
+    corpus = _vdf(spark, [(i, v) for i, v in enumerate(base)])
+    batch = _vdf(
+        spark,
+        [
+            (200, [1.1 * base[0][0]] + base[0][1:]),
+            (201, base[2]),
+            (202, _unit(3)),
+        ],
+    )
+    inc = {
+        (r.batch_id, r.corpus_id, r.cosine)
+        for r in ann.lsh_incremental_pairs(
+            corpus, batch, NEARDUP_COSINE_THRESHOLD
+        ).collect()
+    }
+    full = ann.lsh_neardup_pairs(
+        corpus.unionByName(batch), NEARDUP_COSINE_THRESHOLD
+    ).collect()
+    cross = {
+        (r.id_b, r.id_a, r.cosine)
         for r in full
         if r.id_b >= 200 and r.id_a < 200
     }

@@ -45,6 +45,7 @@ DEDUP_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_incremental",
     "embedding_neardup",
+    "embedding_incremental",
     "semantic_dedup",
     "dedup_components",
     # overlap-join family (r7 VERDICT task 4): same controlled-dup
@@ -499,6 +500,27 @@ query), so the x100/x1 ratio UNDERSTATES scaling health — read
 absolute walls across the K columns instead (x10 -> x100 is the
 meaningful step). MinHash and n-gram Jaccard also dropped (~9.5 ->
 ~6s, ~14 -> ~8s at x100) from the shared candidate-join shape.
+
+## Round 10 (late): the incremental (ingest-time) family
+
+`dedup_incremental` and `embedding_incremental` measure the shape a
+100 TB pipeline actually runs every day: an ARRIVING batch checked
+against the already-deduped corpus, never corpus-vs-corpus. In both
+the batch's signatures broadcast into the corpus band table (the
+persistent index — at scale written once, partitioned by band key),
+so the corpus side never shuffles at ingest and per-ingest cost is
+O(|batch| + matched bucket rows). The probe's batch is the injected
+duplicate set (20% of docs / 10% of vectors), so batch size grows
+with K and the rows columns must still be ~Kx — what the table
+checks is that the CROSS-ONLY candidate generation stays linear.
+The occupancy guard applies on the indexed side only: a batch doc
+landing in a >cap corpus bucket matches the bucket's min-id
+representative (one verified pair, not thousands). Contract tests
+(tests/test_incremental_dedup.py) pin direction, flood collapse, and
+exact agreement with the full pairwise run restricted to cross
+pairs. Same warm-up reading note as above applies to the x1/x10
+columns (the two queries share signature machinery with their full
+siblings and land later in the per-K run order).
 """
         )
     print(f"wrote {out}", file=sys.stderr)

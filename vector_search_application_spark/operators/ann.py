@@ -352,6 +352,78 @@ def lsh_neardup_pairs(
     return scored.filter(F.col("cosine") >= threshold)
 
 
+def lsh_incremental_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_bands: int | None = None,
+    band_planes: int | None = None,
+    corpus_partitions: int | None = None,
+) -> DataFrame:
+    """Incremental (ingest-time) embedding near-dup: (batch_id,
+    corpus_id, cosine) for every ARRIVING vector whose cosine against
+    an already-indexed corpus vector is >= threshold — the embedding
+    twin of dedup.minhash_incremental_pairs, and the same contract: no
+    corpus-corpus candidate is ever generated.
+
+    Scale shape: the corpus banded signature table is the persistent
+    index (at 100 TB written once, partitioned by (band, bucket));
+    the batch computes its own signatures — linear in the batch — and
+    BROADCASTS into the index join, so the corpus never shuffles at
+    ingest. The occupancy guard caps flooded corpus buckets at their
+    min-id representative, the hamming prefilter over the B*r sign
+    bits runs inside the join stage (same cut as lsh_neardup_pairs,
+    so the noise candidates die before the distinct), and the exact
+    cosine verify joins vectors only for the surviving ~true pairs."""
+    n_bands = LSH_BANDS if n_bands is None else n_bands
+    band_planes = LSH_BAND_PLANES if band_planes is None else band_planes
+    if corpus_partitions:
+        corpus = corpus.repartition(corpus_partitions, F.col(id_col))
+    c_sig = _banded_signature(corpus, id_col, vec_col, n_bands, band_planes, dim)
+    b_sig = _banded_signature(batch, id_col, vec_col, n_bands, band_planes, dim)
+    bks = [f"__bk{b}" for b in range(n_bands)]
+    explode = "posexplode(array(" + ", ".join(bks) + ")) AS (band, bucket)"
+    from .dedup import cap_buckets
+
+    c_banded = cap_buckets(
+        c_sig.selectExpr("id", *bks, explode), ["band", "bucket"], LSH_BUCKET_CAP
+    ).selectExpr(
+        "id AS corpus_id",
+        *[f"__bk{b} AS __sc{b}" for b in range(n_bands)],
+        "band", "bucket",
+    )
+    b_banded = b_sig.selectExpr("id", *bks, explode).selectExpr(
+        "id AS batch_id",
+        *[f"__bk{b} AS __sb{b}" for b in range(n_bands)],
+        "band", "bucket",
+    )
+    hamming = " + ".join(
+        f"bit_count(__sb{b} ^ __sc{b})" for b in range(n_bands)
+    )
+    cand = (
+        F.broadcast(b_banded)
+        .join(c_banded, ["band", "bucket"])
+        .filter(F.expr(f"{hamming} <= {NEARDUP_HAMMING_CAP}"))
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    bv = batch.select(F.col(id_col).alias("batch_id"), F.col(vec_col).alias("va"))
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("vb"))
+    scored = (
+        cand.join(F.broadcast(bv), "batch_id")
+        .join(cv, "corpus_id")
+        .select(
+            "batch_id",
+            "corpus_id",
+            P.rounded(P.cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
 def _lit_vec(arr) -> str:
     """Array-of-doubles literal; string->double cast is exact for the
     Python float repr, so the constant folds to the identical IEEE bits."""

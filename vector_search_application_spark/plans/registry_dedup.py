@@ -603,6 +603,114 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hyperplane-bucket CTE chain from a (vec_id, embedding) CTE named
+# ``src``, prefixed ``p`` — two chains (indexed corpus + arriving
+# batch) coexist in the incremental oracle below; the plane-weight
+# table pw is shared unprefixed. Mirrors embedding_neardup's chain.
+def _hp_bucket_ctes(src: str, p: str) -> str:
+    return f"""{p}comps AS (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+           unnest(embedding)::DOUBLE AS x
+    FROM {src}
+),
+{p}dots AS (
+    SELECT id, plane, sum(x * w) AS dot
+    FROM {p}comps JOIN pw USING (d) GROUP BY id, plane
+),
+{p}buckets AS (
+    SELECT id, plane // {LSH_BAND_PLANES} AS band,
+           CAST(sum(CASE WHEN round(dot, 6) > 0
+                         THEN (1::BIGINT << (plane % {LSH_BAND_PLANES}))
+                         ELSE 0 END) AS BIGINT)
+               AS bucket
+    FROM {p}dots GROUP BY id, plane // {LSH_BAND_PLANES}
+),
+{p}sigs AS (
+    SELECT id, array_agg(bucket ORDER BY band) AS sig FROM {p}buckets GROUP BY id
+)"""
+
+
+@declare(
+    "embedding_incremental",
+    f"""
+WITH corpus_vecs AS (SELECT vec_id, embedding FROM embeddings),
+batch_vecs AS (
+    SELECT vec_id + {NEAR_OFFSET} AS vec_id,
+           list_transform(embedding,
+               (x, i) -> CASE WHEN i = 1 THEN CAST(x * 1.1 AS FLOAT) ELSE x END)
+               AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+pw AS (
+    SELECT plane, d,
+           ('0x' || substr(md5(plane::VARCHAR || '_' || d::VARCHAR), 1, 4))::INT::DOUBLE
+               - 32767.5 AS w
+    FROM (SELECT unnest(range(0, {LSH_BANDS * LSH_BAND_PLANES})) AS plane)
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS d)
+),
+{_hp_bucket_ctes('corpus_vecs', 'c')},
+{_hp_bucket_ctes('batch_vecs', 'b')},
+cbuckets_a AS (
+    -- occupancy guard on the INDEXED side only (cap_buckets twin)
+    SELECT id, band, bucket FROM (
+        SELECT id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS bsz,
+               min(id) OVER (PARTITION BY band, bucket) AS bmin
+        FROM cbuckets
+    ) WHERE bsz <= {LSH_BUCKET_CAP} OR id = bmin
+),
+cand AS (
+    SELECT DISTINCT b2.id AS batch_id, c2.id AS corpus_id
+    FROM bbuckets b2 JOIN cbuckets_a c2 USING (band, bucket)
+),
+pre AS (
+    -- hamming prefilter twin (constants.NEARDUP_HAMMING_CAP)
+    SELECT cd.batch_id, cd.corpus_id
+    FROM cand cd
+    JOIN bsigs sa ON sa.id = cd.batch_id
+    JOIN csigs sb ON sb.id = cd.corpus_id
+    WHERE list_sum(list_transform(range(1, {LSH_BANDS + 1}),
+              i -> bit_count(xor(sa.sig[i], sb.sig[i]))))
+          <= {NEARDUP_HAMMING_CAP}
+),
+scored AS (
+    SELECT p.batch_id, p.corpus_id,
+           {P.rounded_sql(P.cosine_sql('va.embedding', 'vb.embedding'))} AS cosine
+    FROM pre p
+    JOIN batch_vecs va ON va.vec_id = p.batch_id
+    JOIN corpus_vecs vb ON vb.vec_id = p.corpus_id
+)
+SELECT batch_id, corpus_id, cosine FROM scored
+WHERE cosine >= {NEARDUP_COSINE_THRESHOLD}
+""",
+    survey_ids="dedup-incremental,dedup-embedding,ann-lsh",
+)
+def q_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time embedding near-dup: which ARRIVING vectors duplicate
+    the already-indexed corpus (cosine >= threshold) — the embedding
+    twin of dedup_incremental, same contract: the corpus banded
+    signature table is the persistent index, the batch signatures
+    broadcast into it, no corpus-corpus candidate exists and the
+    corpus never shuffles at ingest. The batch is the dedup fixture's
+    perturbed copies (first component x1.1 of vec_id%10==0) arriving
+    against the base embeddings table."""
+    vecs = corpus.vectors(spark, sf_dir).select("vec_id", "embedding")
+    # Spark's transform() lambda index is 0-based (DuckDB's is 1-based)
+    batch = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + NEAR_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " (x, i) -> CASE WHEN i = 0 THEN CAST(x * 1.1 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+    )
+    return ann.lsh_incremental_pairs(
+        vecs,
+        batch,
+        NEARDUP_COSINE_THRESHOLD,
+        corpus_partitions=spark.sparkContext.defaultParallelism,
+    )
+
+
 @declare(
     "ivf_topk",
     f"""
