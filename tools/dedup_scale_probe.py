@@ -43,6 +43,7 @@ DEDUP_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_substring_spans",
     "dedup_incremental",
     "embedding_neardup",
     "embedding_incremental",
@@ -521,6 +522,16 @@ exact agreement with the full pairwise run restricted to cross
 pairs. Same warm-up reading note as above applies to the x1/x10
 columns (the two queries share signature machinery with their full
 siblings and land later in the per-K run order).
+
+`dedup_substring_spans` is the same round's third addition: the
+suffix-array exact-substring pass (Lee et al. 2022) as stride-1
+W-token rolling windows — duplicated-window starts merged into
+maximal per-doc REMOVE spans. Its rows are spans, not pairs, and
+must scale ~Kx like the rest (replica token renaming keeps
+within-replica repeats identical to x1 and cross-replica windows
+disjoint); no stage is pairwise, so boilerplate floods make windows
+MORE duplicated without any candidate blowup — the operator has no
+occupancy cap because there is nothing quadratic to cap.
 """
         )
     print(f"wrote {out}", file=sys.stderr)

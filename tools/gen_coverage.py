@@ -84,6 +84,7 @@ SURVEY_IDS: dict[str, str] = {
     "dedup-ngram-jaccard": "n-gram Jaccard dedup",
     "dedup-embedding": "embedding-cosine near-dup",
     "dedup-incremental": "incremental batch-vs-corpus near-dup",
+    "dedup-substring": "exact-substring span dedup (suffix-array semantics)",
     "ann-ivf": "IVF-pruned ANN",
     "ann-lsh": "hyperplane LSH ANN",
     "ann-mllib": "MLlib BucketedRandomProjectionLSH",

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from ..functions import portable as P
 from ..functions.cache import tracked_persist
 from ..plans.constants import (
+    EXACT_SUBSTR_WINDOW,
     LSH_BUCKET_CAP,
     MINHASH_A,
     MINHASH_B,
@@ -430,6 +431,75 @@ def minhash_incremental_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (suffix-array semantics via rolling windows)
+# ---------------------------------------------------------------------------
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = EXACT_SUBSTR_WINDOW,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, span_start, span_end): maximal token spans (1-based,
+    inclusive) covered by some >= ``window``-token substring that
+    occurs >= ``min_count`` times in the corpus — the output shape of
+    suffix-array exact-substring dedup (Lee et al. 2022), computed
+    distributed: a repeated substring of length L >= W shares all its
+    L-W+1 stride-1 W-token windows, so duplicated-window starts merged
+    over overlapping covers ARE the >= W repeated spans.
+
+    Scale shape: the window explode is linear in corpus tokens and the
+    window id is hashed IN-ROW (xxhash64 over the joined tokens — the
+    hashed_ngram_ids trade: the oracle twin groups true window STRINGS,
+    so the driver hash gate continuously re-proves 64-bit collision
+    innocence); the duplicate-hash aggregate is a bucketed map-side
+    count; the join-back moves only 8-byte keys; and the island merge
+    shuffles ONLY marked starts by doc id. No stage is quadratic in
+    anything — boilerplate floods make windows MORE duplicated, not
+    candidate pairs more numerous (there are no pairs).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= window)
+    # CASE-total for the same InferFiltersFromGenerate reason as
+    # shingle_arrays
+    wins_expr = F.expr(
+        f"CASE WHEN size(toks) >= {window} THEN"
+        f" transform(sequence(1, size(toks) - {window - 1}),"
+        f" i -> struct(i AS pos,"
+        f" xxhash64(concat_ws('_', slice(toks, i, {window}))) AS h))"
+        f" ELSE array() END"
+    )
+    wins = tracked_persist(
+        toks.select("id", F.explode(wins_expr).alias("w")).select(
+            "id", "w.pos", "w.h"
+        )
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    marked = wins.join(dup, "h").select("id", "pos")
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") > F.lag("pos").over(w_ord) + window, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = marked.withColumn("brk", brk).withColumn(
+        "g",
+        F.sum("brk").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return isl.groupBy("id", "g").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + F.lit(window - 1)).cast("bigint").alias("span_end"),
+    ).select("id", "span_start", "span_end")
 
 
 # ---------------------------------------------------------------------------

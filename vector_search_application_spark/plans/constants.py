@@ -115,6 +115,18 @@ LSH_BAND_PLANES = 16
 # before natural occupancy approaches it.
 LSH_BUCKET_CAP = 1000
 
+# Exact-substring span dedup (the suffix-array dedup of Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better",
+# re-expressed as W-token rolling windows): any substring of >= W
+# tokens repeated anywhere in the corpus shares ALL its stride-1
+# W-windows, so marking duplicated windows and merging overlapping
+# covers reproduces the suffix-array span output for matches >= W.
+# Lee et al. use 50 BPE tokens; the synthetic fixture docs are 10-99
+# tokens over a ~30-word vocabulary, so 12 keeps chance repeats
+# negligible (30^12 >> corpus windows at any probed scale) while
+# planted copies still share full-length spans.
+EXACT_SUBSTR_WINDOW = 12
+
 # Hamming prefilter on the banded signature (r10): before any vector
 # payload joins into the near-dup verify, candidate pairs are cut on
 # the hamming distance between their full B*r = 320 sign bits — a

@@ -976,10 +976,11 @@ from . import registry_curation  # noqa: E402,F401
 # row is >= r8, and r11 should seat the remaining r8 slots
 # (the exact-cascade family, version_archive/get/history, the PQ/
 # quantized singles, partno, payload/search projections, the bpe and
-# manifest entries the r10 fillers didn't reach, plus dense_prefilter
-# and doc_chunk_windows — displaced late in r10 by the two new
-# incremental dedup queries, which as never-seated entries outrank
-# r8-green fillers under the oldest-first policy).
+# manifest entries the r10 fillers didn't reach, plus dense_prefilter,
+# doc_chunk_windows, and compare_preview — displaced late in r10 by
+# the two new incremental dedup queries and the exact-substring span
+# query, which as never-seated entries outrank r8-green fillers under
+# the oldest-first policy).
 
 DRIVER_WINDOW = [
     # Never-driver-seated queries first (r9 VERDICT task 3): the
@@ -988,7 +989,7 @@ DRIVER_WINDOW = [
     # the two incremental (batch-vs-corpus) near-dup queries NEW this
     # round — the ingest-time dedup shape, text and embedding spaces ...
     "dedup_cap_stats", "semantic_dedup_kmeans",
-    "dedup_incremental", "embedding_incremental",
+    "dedup_incremental", "embedding_incremental", "dedup_substring_spans",
     # ... code changed THIS round re-enters regardless of age: the
     # occupancy cap now stars >cap buckets at a min-id representative
     # in every band join (minhash/simhash/embedding + oracle twins;
@@ -1025,7 +1026,7 @@ DRIVER_WINDOW = [
     # remaining r8 entries stay on r11's seat list with the pytest
     # oracle sweep as their net.
     "binary_quantized_topk", "bm25_topk_batch", "bpe_encode_stats",
-    "bpe_train_merges", "compare_preview",
+    "bpe_train_merges",
 ]
 
 

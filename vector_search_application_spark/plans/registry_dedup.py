@@ -18,6 +18,7 @@ from ..functions import text as T
 from ..operators import ann, dedup
 from . import corpus
 from .constants import (
+    EXACT_SUBSTR_WINDOW,
     IVF_CENTS_BOUND_SQL,
     IVF_PROBES_BOUND_SQL,
     JACCARD_THRESHOLD,
@@ -376,6 +377,59 @@ def q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = dedup.simhash_bands(sims.select("id", "simhash"))
     return dedup.capped_bucket_stats(
         banded, ["band", "band_val"], LSH_BUCKET_CAP
+    )
+
+
+# --- exact-substring span dedup (suffix-array semantics) ------------------
+
+@declare(
+    "dedup_substring_spans",
+    f"""
+WITH {DDOCS_CTE},
+toks AS (SELECT doc_id, {P.tokens_sql('text')} AS toks FROM ddocs),
+wins AS (
+    -- zipped unnests: (start position, W-token window string)
+    SELECT doc_id AS id,
+           unnest(range(1, len(toks) - {EXACT_SUBSTR_WINDOW - 2})) AS pos,
+           unnest(list_transform(range(1, len(toks) - {EXACT_SUBSTR_WINDOW - 2}),
+               i -> array_to_string(
+                   list_slice(toks, i, i + {EXACT_SUBSTR_WINDOW - 1}), '_')))
+               AS w
+    FROM toks WHERE len(toks) >= {EXACT_SUBSTR_WINDOW}
+),
+dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+marked AS (SELECT id, pos FROM wins JOIN dup USING (w)),
+isl AS (
+    SELECT id, pos,
+           CASE WHEN pos > lag(pos) OVER (PARTITION BY id ORDER BY pos)
+                          + {EXACT_SUBSTR_WINDOW}
+                THEN 1 ELSE 0 END AS brk
+    FROM marked
+),
+grp AS (
+    SELECT id, pos,
+           sum(brk) OVER (PARTITION BY id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS g
+    FROM isl
+)
+SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {EXACT_SUBSTR_WINDOW - 1} AS BIGINT) AS span_end
+FROM grp GROUP BY id, g
+""",
+    survey_ids="dedup-substring",
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring dedup (Lee et al. 2022) as rolling
+    W-token windows: maximal token spans covered by a >= W-token
+    substring occurring >= 2 times anywhere in the dedup corpus —
+    the per-doc REMOVE list a substring-level dedup pass feeds to the
+    trainer, where pair-based near-dup modes instead drop whole docs.
+    Engine marks windows by in-row xxhash64 (operators/dedup.
+    exact_substring_spans); the oracle twin groups TRUE window strings,
+    so the driver hash gate re-proves 64-bit collision innocence on
+    every run."""
+    return dedup.exact_substring_spans(
+        dedup_docs(spark, sf_dir), "doc_id", "text"
     )
 
 
