@@ -574,3 +574,59 @@ def test_stream_dedup_ingest_empty_source_and_negative_ids(spark, tmp_path):
         | {min(i - 5 for i in range(40) if (i - 5) % 10 == 0)}
     )
     assert ids == expected
+
+
+def test_stream_neardup_ingest_matches_global_rule(spark, tmp_path):
+    """The streaming near-dup ingest's settled set must equal the
+    GLOBAL statement of its rule — a doc survives iff no banded
+    MinHash pair (id_a < id_b, jaccard >= threshold) names it as id_b
+    over the whole corpus — including the chain case the per-batch
+    split could get wrong: B (near A, dropped in a later batch) must
+    still drop C (near B, NOT near A) in a yet-later batch, which
+    requires the state index to retain DROPPED docs. Texts are crafted
+    so the chain spans the 4 doc_id-range shards: A (id 1) in shard 1,
+    B (id 30) in shard 2, C (id 60) in shard 3; ids avoid multiples of
+    40 so the function's own boilerplate seeding leaves them alone.
+    The banding is deterministic (fixed MINHASH_A/B), so whatever
+    pairs the band family finds, BOTH sides of this assertion see —
+    the test pins the streaming/batch agreement, not band recall."""
+    from vector_search_application_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+    from vector_search_application_spark.plans.constants import (
+        JACCARD_THRESHOLD,
+    )
+    from vector_search_application_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    x = [f"x{i}" for i in range(1, 31)]
+    a_text = " ".join(x)                                   # x1..x30
+    b_text = " ".join(x[:29] + ["y1"])                     # ~0.87 vs A
+    c_text = " ".join(x[5:29] + ["y1"] + [f"z{i}" for i in range(1, 6)])
+    sf = tmp_path / "neardup_sf"
+    os.makedirs(sf)
+    spark.sql(
+        f"SELECT CAST(id AS BIGINT) AS doc_id,"
+        f" CASE WHEN id = 1 THEN '{a_text}'"
+        f"      WHEN id = 30 THEN '{b_text}'"
+        f"      WHEN id = 60 THEN '{c_text}'"
+        f"      ELSE concat('unrelated filler words about topic ', id,"
+        f"                  ' covering storage engines and planners ', id)"
+        f" END AS text"
+        f" FROM range(1, 100) WHERE id % 40 != 0"
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    settled = {r.doc_id for r in stream_neardup_ingest(spark, str(sf)).collect()}
+
+    docs = spark.read.parquet(str(sf / "documents.parquet"))
+    pairs = minhash_dedup_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD)
+    dropped = {r.id_b for r in pairs.collect()}
+    expected = {r.doc_id for r in docs.collect()} - dropped
+    assert settled == expected
+    # the planted chain must actually exercise the state-retains-
+    # dropped-docs path: A survives, B drops (near A); if the band
+    # family catches (B, C) — deterministic either way — C must drop
+    # even though its only partner was itself dropped
+    assert 1 in settled and 30 not in settled
+    assert (60 in settled) == (60 not in dropped)

@@ -127,6 +127,21 @@ LSH_BUCKET_CAP = 1000
 # planted copies still share full-length spans.
 EXACT_SUBSTR_WINDOW = 12
 
+# stream_neardup_ingest seeding (engine + oracle twin interpolate the
+# SAME values): every MOD-th doc's text becomes the boilerplate run
+# plus one per-doc trailing token — a NEAR-dup clique (pairwise
+# jaccard ~0.81 at 3-token shingles) spanning every ingest shard.
+# MOD is sized so the clique stays under LSH_BUCKET_CAP at sf0.1
+# (20k docs / 40 = 500 <= 1000): the occupancy guard must stay
+# DORMANT here, because the engine caps per-batch/state band views
+# while the oracle caps the global one — divergent only if a bucket
+# actually exceeds the cap.
+STREAM_NEARDUP_MOD = 40
+STREAM_NEARDUP_BOILER = (
+    "streamed boilerplate block alpha beta gamma delta epsilon zeta "
+    "eta theta iota kappa lambda mu nu xi omicron pi rho"
+)
+
 # Hamming prefilter on the banded signature (r10): before any vector
 # payload joins into the near-dup verify, candidate pairs are cut on
 # the hamming distance between their full B*r = 320 sign bits — a

@@ -365,3 +365,50 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the corpus table; the settled table equals the batch
     exact-dedup canonical set."""
     return ingest.stream_dedup_ingest(spark, sf_dir)
+
+
+# --- streaming NEAR-dup ingest (the incremental family's capstone) --------
+# oracle: the global statement of the at-ingest rule — a doc survives
+# iff NO banded-minhash pair (id_a < id_b, jaccard >= threshold) names
+# it as id_b. The pair list is registry_dedup's _MINHASH_FROM_DDOCS
+# fragment verbatim (same bands, same cap twin, same rounding), with
+# the final projection narrowed to the dropped side; band collision is
+# a per-doc property, so WHICH micro-batch each side arrived in cannot
+# change the pair set.
+from .constants import STREAM_NEARDUP_BOILER, STREAM_NEARDUP_MOD  # noqa: E402
+from .registry_dedup import _MINHASH_FROM_DDOCS  # noqa: E402
+
+_STREAM_NEARDUP_SQL = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {STREAM_NEARDUP_MOD} = 0
+                THEN '{STREAM_NEARDUP_BOILER} v' || CAST(doc_id AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+)
+SELECT doc_id, text FROM seeded
+WHERE doc_id NOT IN (
+    WITH ddocs AS (SELECT doc_id, text FROM seeded),
+    {_MINHASH_FROM_DDOCS.replace(
+        "SELECT id_a, id_b, jaccard FROM verified",
+        "SELECT id_b FROM verified",
+    )}
+)
+""".strip()
+
+
+@declare(
+    "stream_neardup_ingest",
+    _STREAM_NEARDUP_SQL,
+    survey_ids="dedup-minhash,dedup-incremental,S5,streaming-ingest",
+)
+def q_stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup rejection AT INGEST as a real streaming query — the
+    streaming capstone of the incremental dedup family: each
+    micro-batch MinHash-verifies itself (any smaller-id partner drops
+    a doc) and broadcast-probes the ACCUMULATED LSH index of every
+    previously seen doc; the index state appends per batch (dropped
+    docs included), the sink keeps survivors. The seeded boilerplate
+    clique is near-identical but never byte-identical — exact-dedup
+    ingest cannot catch it; this one must."""
+    return ingest.stream_neardup_ingest(spark, sf_dir)

@@ -687,3 +687,143 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return docs.limit(0)
     return spark.read.parquet(out).drop("__h", _layout.BUCKET_COL)
 
+
+
+def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup rejection AT INGEST — the streaming twin of
+    operators/dedup.minhash_incremental_pairs, composing this round's
+    incremental family with the micro-batch path: doc_id-range shards
+    arrive one micro-batch each, and a batch doc is dropped iff its
+    true shingle Jaccard against ANY smaller-id doc (earlier batch OR
+    earlier in this batch) reaches the threshold.
+
+    State = the accumulated LSH index, exactly what a production
+    pipeline persists: every seen doc's (id, shs) shingle-set table
+    and (id, band, band_key) band table are APPENDED per batch —
+    including dropped docs, because "near-dup of any smaller-id doc"
+    must see them — and each new batch's band keys broadcast into the
+    state band table (the corpus-side index never shuffles at
+    ingest). The settled sink holds survivors only.
+
+    Seeding (constants.STREAM_NEARDUP_MOD/_BOILER, shared with the
+    oracle): every 40th doc becomes the boilerplate run plus one
+    per-doc token — a near-dup clique (pairwise jaccard ~0.81, never
+    byte-identical, invisible to exact dedup) spanning every shard, so
+    drops provably happen within AND across batches; its min-id member
+    survives. The oracle is the global statement of the same rule:
+    seeded docs minus every id_b of the corpus-wide banded-minhash
+    pair list (pairs emit id_a < id_b) — the within/cross split is an
+    execution detail, not a semantics change, because a pair's band
+    collision is a per-doc property independent of which batch each
+    side arrived in."""
+    from ..operators import dedup as D
+    from ..plans.constants import JACCARD_THRESHOLD as _T
+    from ..plans.constants import (
+        STREAM_NEARDUP_BOILER,
+        STREAM_NEARDUP_MOD,
+    )
+    from ..sources import layout as _layout
+
+    work = _scratch_dir("stream_neardup_")
+    src_dir = os.path.join(work, "source")
+    out = os.path.join(work, "table")
+    ckpt = os.path.join(work, "checkpoint")
+    sig_dir = os.path.join(work, "state_shingles")
+    band_dir = os.path.join(work, "state_bands")
+    os.makedirs(src_dir)
+
+    docs = _read_source(spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % STREAM_NEARDUP_MOD == 0,
+            F.concat(
+                F.lit(STREAM_NEARDUP_BOILER + " v"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"] or 0, bounds["hi"] or 0
+    n_shards = 4
+    step = (hi - lo) // n_shards + 1
+    import glob as _glob
+
+    for i in range(n_shards):
+        shard_dir = os.path.join(work, f"shard{i}")
+        pred = F.lit(True)
+        if i > 0:
+            pred = pred & (F.col("doc_id") >= lo + i * step)
+        if i < n_shards - 1:
+            pred = pred & (F.col("doc_id") < lo + (i + 1) * step)
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(shard_dir)
+        parts = _glob.glob(os.path.join(shard_dir, "part-*.parquet"))
+        if not parts:
+            continue
+        dst = os.path.join(src_dir, f"{i:02d}.parquet")
+        shutil.move(parts[0], dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = docs.schema
+
+    def neardup_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        sharr = D.md5_shingle_arrays(batch, "doc_id", "text")
+        bands = D.lsh_band_keys(D.minhash_signatures(sharr))
+        # within-batch: any pair (a, b), a < b drops b
+        within = D.jaccard_verify_arrays(D.lsh_candidates(bands), sharr)
+        dropped = (
+            within.filter(F.col("jaccard") >= _T)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        )
+        if _layout.table_has_data(s, band_dir):
+            # cross-batch: batch bands broadcast into the state index;
+            # every state id is smaller (shards ascend by doc_id)
+            state_bands = s.read.parquet(band_dir)
+            state_sharr = s.read.parquet(sig_dir)
+            cands = (
+                F.broadcast(
+                    bands.select(F.col("id").alias("id_b"), "band", "band_key")
+                )
+                .join(
+                    state_bands.select(
+                        F.col("id").alias("id_a"), "band", "band_key"
+                    ),
+                    ["band", "band_key"],
+                )
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            cross = D.jaccard_verify_arrays(
+                cands, sharr.unionByName(state_sharr)
+            )
+            dropped = dropped.unionByName(
+                cross.filter(F.col("jaccard") >= _T)
+                .select(F.col("id_b").alias("doc_id"))
+                .distinct()
+            ).distinct()
+        # survivors write FIRST (reads the pre-batch state), then the
+        # batch's full index rows append — dropped docs included, so
+        # later near-dups of a dropped doc still drop
+        batch.join(dropped, "doc_id", "left_anti").write.mode("append").parquet(out)
+        sharr.write.mode("append").parquet(sig_dir)
+        bands.write.mode("append").parquet(band_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(neardup_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not _layout.table_has_data(spark, out):
+        return docs.limit(0)
+    return spark.read.parquet(out).select("doc_id", "text")
