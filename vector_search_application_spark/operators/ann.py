@@ -178,9 +178,28 @@ def _banded_signature(
     5e-7 while weights are O(3e4) — the same reassociation tolerance
     the twin has always relied on. Weight family (md5) and bit
     packing are byte-identical to every previous shape, so buckets —
-    and therefore oracle hashes — do not move. Weights ride as
-    SQL-text literals that fold to ONE array literal per plane."""
-    by_plane = _py_plane_weights(n_bands * band_planes, dim)
+    and therefore oracle hashes — do not move.
+
+    Weights arrive as DATA, not literals (r10 late fix): a one-row
+    broadcast relation computes the full [n_planes][dim] weight table
+    with the SAME md5 formula _py_plane_weights uses (conv(md5(p||
+    '_'||d)[1:4]) - 32767.5 — integer-valued, so the double is exact
+    and products are bit-identical to the literal form). The previous
+    shape inlined ~20k CAST'd literals across every pass plan, which
+    (a) spiked Janino compilation and (b) leaked ~200+ MB per
+    signature consumer into session-lifetime plan/codegen retention —
+    measured: TWO signature queries in one default-1g vanilla session
+    (the round driver's gate shape) OOM'd the JVM mid-window, while
+    each ran fine solo. With the broadcast table the generated
+    aggregate code is literal-free and plan strings stay compact."""
+    n_planes_total = n_bands * band_planes
+    pw_expr = (
+        f"transform(sequence(0, {n_planes_total - 1}), p ->"
+        f" transform(sequence(1, {dim}), d ->"
+        f" cast(conv(substring(md5(concat(cast(p as string), '_',"
+        f" cast(d as string))), 1, 4), 16, 10) as double) - 32767.5D))"
+    )
+    wrow = vectors.sparkSession.range(1).select(F.expr(pw_expr).alias("__pw"))
     guarded = (
         f"CASE WHEN size({vec_col}) = {dim} THEN {vec_col}"
         f" ELSE CAST(raise_error(concat('hyperplane buckets expect dim {dim},"
@@ -193,16 +212,19 @@ def _banded_signature(
     )
     bands_per_pass = max(1, 96 // band_planes)
     parts = []
+    # one-row broadcast side streams through BNLJ, so the left side's
+    # id partitioning (and the map-side-complete groupBy) is preserved
+    based = ex.crossJoin(F.broadcast(wrow))
     for b0 in range(0, n_bands, bands_per_pass):
         bset = range(b0, min(b0 + bands_per_pass, n_bands))
         dot_aggs = [
             F.expr(
-                f"sum(cast(__x as double) * {_lit_vec(by_plane[p])}[__d])"
+                f"sum(cast(__x as double) * __pw[{p}][__d])"
             ).alias(f"__dot{p}")
             for b in bset
             for p in range(b * band_planes, (b + 1) * band_planes)
         ]
-        dots = ex.groupBy("id").agg(*dot_aggs)
+        dots = based.groupBy("id").agg(*dot_aggs)
         bucket_cols = []
         for b in bset:
             terms = " + ".join(
