@@ -977,11 +977,12 @@ from . import registry_curation  # noqa: E402,F401
 # (the exact-cascade family, version_archive/get/history, the PQ/
 # quantized singles, partno, payload/search projections, the bpe and
 # manifest entries the r10 fillers didn't reach, plus dense_prefilter,
-# doc_chunk_windows, compare_preview, and bpe_train_merges — displaced
-# late in r10 by the four queries NEW this round (both incremental
-# near-dup queries, the exact-substring span query, and the streaming
-# near-dup ingest), which as never-seated entries outrank r8-green
-# fillers under the oldest-first policy).
+# doc_chunk_windows, compare_preview, bpe_train_merges, and
+# bpe_encode_stats — displaced late in r10 by the five queries NEW
+# this round (both incremental near-dup queries, the exact-substring
+# span query + its scrub data card, and the streaming near-dup
+# ingest), which as never-seated entries outrank r8-green fillers
+# under the oldest-first policy).
 
 DRIVER_WINDOW = [
     # Never-driver-seated queries first (r9 VERDICT task 3): the
@@ -991,7 +992,7 @@ DRIVER_WINDOW = [
     # round — the ingest-time dedup shape, text and embedding spaces ...
     "dedup_cap_stats", "semantic_dedup_kmeans",
     "dedup_incremental", "embedding_incremental", "dedup_substring_spans",
-    "stream_neardup_ingest",
+    "substring_scrub_card", "stream_neardup_ingest",
     # ... code changed THIS round re-enters regardless of age: the
     # occupancy cap now stars >cap buckets at a min-id representative
     # in every band join (minhash/simhash/embedding + oracle twins;
@@ -1027,7 +1028,7 @@ DRIVER_WINDOW = [
     # ... and the oldest r8 slots as far as the 50 allow; the
     # remaining r8 entries stay on r11's seat list with the pytest
     # oracle sweep as their net.
-    "binary_quantized_topk", "bm25_topk_batch", "bpe_encode_stats",
+    "binary_quantized_topk", "bm25_topk_batch",
 ]
 
 

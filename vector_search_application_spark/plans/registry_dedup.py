@@ -382,10 +382,11 @@ def q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact-substring span dedup (suffix-array semantics) ------------------
 
-@declare(
-    "dedup_substring_spans",
-    f"""
-WITH {DDOCS_CTE},
+# the token -> stride-1 window -> duplicated-start -> merged-span CTE
+# chain from the ddocs corpus, shared by the span list query and the
+# scrub data card (one definition; a drifted copy would silently break
+# the card's removed_tokens against the span list)
+_SUBSTR_SPANS_CTES = f"""
 toks AS (SELECT doc_id, {P.tokens_sql('text')} AS toks FROM ddocs),
 wins AS (
     -- zipped unnests: (start position, W-token window string)
@@ -411,10 +412,21 @@ grp AS (
            sum(brk) OVER (PARTITION BY id ORDER BY pos
                           ROWS UNBOUNDED PRECEDING) AS g
     FROM isl
+),
+spans AS (
+    SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {EXACT_SUBSTR_WINDOW - 1} AS BIGINT) AS span_end
+    FROM grp GROUP BY id, g
 )
-SELECT id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + {EXACT_SUBSTR_WINDOW - 1} AS BIGINT) AS span_end
-FROM grp GROUP BY id, g
+""".strip()
+
+
+@declare(
+    "dedup_substring_spans",
+    f"""
+WITH {DDOCS_CTE},
+{_SUBSTR_SPANS_CTES}
+SELECT id, span_start, span_end FROM spans
 """,
     survey_ids="dedup-substring",
 )
@@ -430,6 +442,66 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     every run."""
     return dedup.exact_substring_spans(
         dedup_docs(spark, sf_dir), "doc_id", "text"
+    )
+
+
+@declare(
+    "substring_scrub_card",
+    f"""
+WITH {DDOCS_CTE},
+{_SUBSTR_SPANS_CTES},
+corpus_tokens AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+    FROM toks
+),
+removal AS (
+    SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_docs_with_spans,
+           CAST(coalesce(sum(span_end - span_start + 1), 0) AS BIGINT)
+               AS removed_tokens
+    FROM spans
+)
+SELECT c.n_docs, r.n_docs_with_spans, c.total_tokens, r.removed_tokens,
+       {P.rounded_sql('r.removed_tokens::DOUBLE / c.total_tokens::DOUBLE')}
+           AS removed_ratio
+FROM corpus_tokens c, removal r
+""",
+    survey_ids="dedup-substring",
+)
+def q_substring_scrub_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card number a substring-dedup pass publishes: one row
+    of (n_docs, n_docs_with_spans, total_tokens, removed_tokens,
+    removed_ratio) over the dedup corpus — how much of the corpus the
+    >= W-token repeated spans would scrub. Spans are disjoint per doc
+    by construction (maximal merged covers), so removed_tokens is a
+    plain sum of span lengths; total_tokens counts EVERY doc's tokens
+    (including docs too short to window), so the ratio is corpus-true,
+    not windowed-subset-true."""
+    docs = dedup_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.size(P.tokens(F.col("text"))).alias("__nt")
+    )
+    corpus_agg = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("total_tokens"),
+    )
+    spans = dedup.exact_substring_spans(docs, "doc_id", "text")
+    removal = spans.agg(
+        F.countDistinct("id").cast("bigint").alias("n_docs_with_spans"),
+        F.coalesce(
+            F.sum(F.col("span_end") - F.col("span_start") + F.lit(1)),
+            F.lit(0),
+        ).cast("bigint").alias("removed_tokens"),
+    )
+    return corpus_agg.crossJoin(F.broadcast(removal)).select(
+        "n_docs",
+        "n_docs_with_spans",
+        "total_tokens",
+        "removed_tokens",
+        P.rounded(
+            F.col("removed_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("removed_ratio"),
     )
 
 
