@@ -179,3 +179,55 @@ def test_embedding_incremental_agrees_with_full_on_cross_pairs(spark):
         if r.id_b >= 200 and r.id_a < 200
     }
     assert inc == cross
+
+
+# --- edge shapes (empty batch, NULL text, short docs) ----------------------
+
+def test_incremental_empty_batch_and_null_text(spark):
+    """An EMPTY arriving batch matches nothing (no error), and NULL /
+    too-short texts on either side are never near-dup candidates (no
+    shingle row -> no band row -> no pair), exactly like the full
+    pipeline's shingle filter."""
+    corpus = _df(
+        spark,
+        [(0, _CORPUS[0]), (1, None), (2, "too short")],
+    )
+    empty = _df(spark, []).limit(0)
+    assert (
+        dedup.minhash_incremental_pairs(
+            corpus, empty, "doc_id", "text", JACCARD_THRESHOLD
+        ).count()
+        == 0
+    )
+    batch = _df(spark, [(100, None), (101, "tiny"), (102, _CORPUS[0])])
+    pairs = {
+        (r.batch_id, r.corpus_id)
+        for r in dedup.minhash_incremental_pairs(
+            corpus, batch, "doc_id", "text", JACCARD_THRESHOLD
+        ).collect()
+    }
+    assert pairs == {(102, 0)}  # only the real copy; NULL/short silent
+
+
+def test_substring_spans_ignore_null_and_short_docs(spark):
+    """NULL-text and sub-window docs produce no windows and no spans;
+    they also cannot poison other docs' duplicate counts."""
+    from vector_search_application_spark.plans.constants import (
+        EXACT_SUBSTR_WINDOW as W,
+    )
+
+    run = " ".join(f"s{i}" for i in range(1, W + 1))
+    docs = _df(
+        spark,
+        [
+            (0, run + " tail0"),
+            (1, run + " tail1"),
+            (2, None),
+            (3, "short text"),
+        ],
+    )
+    spans = {
+        (r.id, r.span_start, r.span_end)
+        for r in dedup.exact_substring_spans(docs, "doc_id", "text").collect()
+    }
+    assert spans == {(0, 1, W), (1, 1, W)}
