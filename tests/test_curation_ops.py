@@ -122,6 +122,26 @@ def test_semantic_dedup_kmeans_catches_planted_copies(spark):
     assert len(right_rep) / len(caught) >= 0.9
 
 
+def test_semantic_dedup_incremental_catches_planted_batch(spark):
+    """The ingest-time sibling: the arriving batch IS the perturbed
+    copies, checked against the indexed base corpus only. Same recall
+    contract as the full query (>=90% caught, right representative),
+    one verdict row per BATCH point (never per corpus point), and no
+    corpus id may appear in the id column."""
+    rows = RD.q_semantic_dedup_incremental(spark, SF_SMOKE).collect()
+    n_batch = (
+        RD.corpus.vectors(spark, SF_SMOKE)
+        .filter("vec_id % 10 = 0")
+        .count()
+    )
+    assert len(rows) == n_batch
+    assert all(r.id >= RD.NEAR_OFFSET for r in rows)
+    caught = [r for r in rows if r.is_duplicate]
+    assert len(caught) / len(rows) >= 0.9
+    right_rep = [r for r in caught if r.kept_by == r.id - RD.NEAR_OFFSET]
+    assert len(right_rep) / len(caught) >= 0.9
+
+
 def test_source_data_card_counts(spark):
     """Card rows cover every source; counts are internally consistent
     (rates = counts/docs, PII incidence equals the seeded 1-in-10

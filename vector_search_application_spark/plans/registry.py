@@ -977,12 +977,14 @@ from . import registry_curation  # noqa: E402,F401
 # (the exact-cascade family, version_archive/get/history, the PQ/
 # quantized singles, partno, payload/search projections, the bpe and
 # manifest entries the r10 fillers didn't reach, plus dense_prefilter,
-# doc_chunk_windows, compare_preview, bpe_train_merges, and
-# bpe_encode_stats — displaced late in r10 by the five queries NEW
-# this round (both incremental near-dup queries, the exact-substring
-# span query + its scrub data card, and the streaming near-dup
-# ingest), which as never-seated entries outrank r8-green fillers
-# under the oldest-first policy).
+# doc_chunk_windows, compare_preview, bpe_train_merges,
+# bpe_encode_stats, and bm25_topk_batch — displaced late in r10 by
+# the six queries NEW this round (the incremental near-dup trio across
+# token/embedding/semantic spaces, the exact-substring span query +
+# its scrub data card, and the streaming near-dup ingest), which as
+# never-seated entries outrank r8-green fillers under the oldest-first
+# policy; bm25_topk_batch additionally stays bench-measured every
+# round as a HEADLINE family).
 
 DRIVER_WINDOW = [
     # Never-driver-seated queries first (r9 VERDICT task 3): the
@@ -993,6 +995,7 @@ DRIVER_WINDOW = [
     "dedup_cap_stats", "semantic_dedup_kmeans",
     "dedup_incremental", "embedding_incremental", "dedup_substring_spans",
     "substring_scrub_card", "stream_neardup_ingest",
+    "semantic_dedup_incremental",
     # ... code changed THIS round re-enters regardless of age: the
     # occupancy cap now stars >cap buckets at a min-id representative
     # in every band join (minhash/simhash/embedding + oracle twins;
@@ -1028,7 +1031,7 @@ DRIVER_WINDOW = [
     # ... and the oldest r8 slots as far as the 50 allow; the
     # remaining r8 entries stay on r11's seat list with the pytest
     # oracle sweep as their net.
-    "binary_quantized_topk", "bm25_topk_batch",
+    "binary_quantized_topk",
 ]
 
 

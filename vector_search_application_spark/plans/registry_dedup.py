@@ -1306,6 +1306,123 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_verdicts(ann.ivf_assign(vecs, cents, keep_vec=True))
 
 
+# nearest-centroid assignment CTE from a (vec_id, embedding) CTE named
+# ``src`` against the shared scents — prefixed so the incremental
+# oracle assigns corpus and batch under one statement
+def _sem_assign_cte(src: str, p: str) -> str:
+    return f"""{p}assigned AS (
+    SELECT id, embedding, cell FROM (
+        SELECT v.vec_id AS id, v.embedding, c.centroid_id AS cell,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('v.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM {src} v CROSS JOIN scents c
+    ) WHERE rn = 1
+)"""
+
+
+@declare(
+    "semantic_dedup_incremental",
+    f"""
+WITH corpus_vecs AS (SELECT vec_id, embedding FROM embeddings),
+batch_vecs AS (
+    SELECT vec_id + {NEAR_OFFSET} AS vec_id,
+           list_transform(embedding,
+               (x, i) -> CASE WHEN i = 1 THEN CAST(x * 1.1 AS FLOAT) ELSE x END)
+               AS embedding
+    FROM embeddings WHERE vec_id % 10 = 0
+),
+{_SEMDEDUP_CENTS},
+{_sem_assign_cte('corpus_vecs', 'c')},
+{_sem_assign_cte('batch_vecs', 'b')},
+bpairs AS (
+    SELECT b.id AS id, c.id AS corpus_id,
+           {P.rounded_sql(P.cosine_sql('b.embedding', 'c.embedding'))} AS cosine
+    FROM bassigned b JOIN cassigned c USING (cell)
+),
+bdrops AS (
+    SELECT id, min(corpus_id) AS kept_by, max(cosine) AS dup_cos
+    FROM bpairs WHERE cosine >= {SEMDEDUP_THRESHOLD}
+    GROUP BY id
+)
+SELECT w.id, w.cell,
+       d.id IS NOT NULL AS is_duplicate,
+       d.kept_by, d.dup_cos
+FROM bassigned w LEFT JOIN bdrops d USING (id)
+""",
+    survey_ids="dedup-semantic,dedup-incremental",
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time SemDeDup — the semantic member of the incremental
+    family: an ARRIVING vector batch is assigned to the EXISTING
+    centroid schedule (the index artifact; both assignments are
+    broadcast argmaxes, nothing shuffles), then verified ONLY against
+    the indexed corpus members of its own cell — no corpus-corpus pair
+    is ever scored. Output is a verdict per batch point, same shape as
+    semantic_dedup: (id, cell, is_duplicate, kept_by, dup_cos) with
+    kept_by the smallest matching corpus id. Per-ingest cost is
+    O(|batch| x cell-occupancy) against a persisted cell-partitioned
+    assignment table."""
+    base = corpus.vectors(spark, sf_dir).select("vec_id", "embedding")
+    batch = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + NEAR_OFFSET).alias("vec_id"),
+        F.expr(
+            "transform(embedding,"
+            " (x, i) -> CASE WHEN i = 0 THEN CAST(x * 1.1 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+    )
+    n_cents = _semdedup_n_centroids(spark, sf_dir)
+    cents = base.filter(F.col("vec_id") < n_cents).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    # corpus assignment+norm = the persisted index side; batch side is
+    # small and broadcasts into the cell join
+    cw = tracked_persist(
+        ann.ivf_assign(base, cents, keep_vec=True).withColumn(
+            "nrm", F.sqrt(P.dot(F.col("v"), F.col("v")))
+        )
+    )
+    bw = tracked_persist(
+        ann.ivf_assign(batch, cents, keep_vec=True).withColumn(
+            "nrm", F.sqrt(P.dot(F.col("v"), F.col("v")))
+        )
+    )
+    b = bw.select(
+        F.col("id").alias("bid"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    c = cw.select(
+        F.col("id").alias("corpus_id"), F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"), "cell",
+    )
+    denom = F.col("nb") * F.col("nc")
+    scored = F.broadcast(b).join(c, "cell").select(
+        "bid",
+        "corpus_id",
+        P.rounded(
+            F.when(denom > 0.0, P.dot(F.col("vb"), F.col("vc")) / denom)
+            .otherwise(0.0)
+        ).alias("cosine"),
+    )
+    drops = (
+        scored.filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .groupBy("bid")
+        .agg(
+            F.min("corpus_id").alias("kept_by"),
+            F.max("cosine").alias("dup_cos"),
+        )
+    )
+    return bw.join(drops, bw["id"] == drops["bid"], "left").select(
+        bw["id"],
+        bw["cell"],
+        drops["bid"].isNotNull().alias("is_duplicate"),
+        "kept_by",
+        "dup_cos",
+    )
+
+
 @declare(
     "semantic_dedup_kmeans",
     None,  # trained centroids are float-iteration artifacts: rows-only
