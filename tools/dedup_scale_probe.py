@@ -48,6 +48,7 @@ DEDUP_QUERIES = [
     "embedding_neardup",
     "embedding_incremental",
     "semantic_dedup",
+    "semantic_dedup_incremental",
     "dedup_components",
     # overlap-join family (r7 VERDICT task 4): same controlled-dup
     # corpus is the fair harness for the shingle-blocked decontheck
@@ -525,6 +526,13 @@ exact agreement with the full pairwise run restricted to cross
 pairs. Same warm-up reading note as above applies to the x1/x10
 columns (the two queries share signature machinery with their full
 siblings and land later in the per-K run order).
+
+`semantic_dedup_incremental` completes the ingest-time trio across
+similarity spaces: the batch assigns to the EXISTING sqrt-scheduled
+centroids (broadcast argmax, corpus never shuffles) and scores only
+against indexed members of its own cell — per-ingest cost
+O(|batch| x cell-occupancy), vs the full query's O(n^1.5) all-pairs
+stage, which is exactly the asymmetry the row ratio shows at x100.
 
 `dedup_substring_spans` is the same round's third addition: the
 suffix-array exact-substring pass (Lee et al. 2022) as stride-1
