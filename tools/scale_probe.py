@@ -526,9 +526,20 @@ the fair scaling evidence for overlap joins). Same-loop calibration
 bounds cross-run drift (the slow-window pathology hits interpreted HOF
 expressions hardest, so featurization rows are the least stable across
 sessions).
-bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The ANN rows (pq/ivfpq/ivf) stay bounded
+bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The PQ/IVFPQ rows stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
+The ivf_topk/ivf_topk_batch x{kmax} walls are the corpus-scaled index
+BUILD, not the query: the r10 sqrt schedule (C = max(8, ceil(sqrt(n)))
+-> 448 centroids at 200k vectors, probes = ceil(log2(C)) = 9) makes
+the one-time nearest-centroid assignment an n x C broadcast argmax —
+O(n^1.5), the standard IVF training cost — while the per-QUERY scan
+fraction drops from the frozen schedule's 25% to probes/C ~ 2%. This
+probe's cold policy charges that build to every row; a deployment
+writes the cell-partitioned assignment once (ivf_index_lookup reads
+exactly that layout) and pays only the 2% scans per query — the trade
+the r9 review explicitly requested in place of the frozen 8-cell
+index whose 25%-scan never improved with scale.
 Queries are forced via a one-row xxhash64 aggregate over every output
 column, so timings measure the distributed plan, not a driver collect.
 """.replace("{kmax}", str(kmax)).replace(
