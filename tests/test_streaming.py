@@ -630,3 +630,22 @@ def test_stream_neardup_ingest_matches_global_rule(spark, tmp_path):
     # even though its only partner was itself dropped
     assert 1 in settled and 30 not in settled
     assert (60 in settled) == (60 not in dropped)
+
+
+def test_stream_neardup_ingest_empty_source(spark, tmp_path):
+    """The empty-corpus resume contract, same as stream_dedup_ingest:
+    a zero-row documents table must come back as an empty (doc_id,
+    text) frame, not a missing-path or missing-part-file error."""
+    from vector_search_application_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    sf = tmp_path / "empty_neardup_sf"
+    os.makedirs(sf)
+    spark.sql(
+        "SELECT CAST(id AS BIGINT) AS doc_id, CAST(NULL AS STRING) AS text"
+        " FROM range(0)"
+    ).write.parquet(str(sf / "documents.parquet"))
+    got = stream_neardup_ingest(spark, str(sf))
+    assert got.count() == 0
+    assert got.columns == ["doc_id", "text"]
