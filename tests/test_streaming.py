@@ -649,3 +649,43 @@ def test_stream_neardup_ingest_empty_source(spark, tmp_path):
     got = stream_neardup_ingest(spark, str(sf))
     assert got.count() == 0
     assert got.columns == ["doc_id", "text"]
+
+
+def test_neardup_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """Checkpoint-restart semantics (r10 ADVICE): replaying a micro-
+    batch whose writes already landed must leave the sink and state
+    unchanged. Before the fix, the replayed batch's docs paired with
+    their own already-appended state copies (jaccard 1.0) and dropped
+    themselves — including the clique's min-id survivor — while the
+    sink/state double-appended. The per-epoch overwrite layout plus the
+    id_a < id_b candidate filter make replay a deterministic rewrite."""
+    from vector_search_application_spark.streaming.ingest import (
+        neardup_ingest_batch,
+    )
+
+    out = str(tmp_path / "table")
+    sig_dir = str(tmp_path / "state_shingles")
+    band_dir = str(tmp_path / "state_bands")
+    x = [f"x{i}" for i in range(1, 31)]
+    a_text = " ".join(x)                    # survives (min id)
+    b_text = " ".join(x[:29] + ["y1"])      # ~0.87 vs A -> drops
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    batch0 = mk([(1, a_text), (2, "unrelated filler about storage engines")])
+    batch1 = mk([(30, b_text), (31, "another unrelated planner sentence")])
+
+    neardup_ingest_batch(batch0, 0, out, sig_dir, band_dir)
+    neardup_ingest_batch(batch1, 1, out, sig_dir, band_dir)
+    settled = lambda: sorted(
+        r.doc_id for r in spark.read.parquet(out + "/b*").collect()
+    )
+    state_rows = lambda d: spark.read.parquet(d + "/b*").count()
+    first = settled()
+    assert first == [1, 2, 31]  # 30 dropped as B~A near-dup
+    sig_n, band_n = state_rows(sig_dir), state_rows(band_dir)
+
+    # replay batch 1 (restart after its writes committed but before
+    # the checkpoint recorded the epoch)
+    neardup_ingest_batch(batch1, 1, out, sig_dir, band_dir)
+    assert settled() == first
+    assert state_rows(sig_dir) == sig_n
+    assert state_rows(band_dir) == band_n

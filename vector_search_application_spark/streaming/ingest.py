@@ -689,6 +689,88 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def neardup_ingest_batch(
+    batch: DataFrame,
+    batch_id: int,
+    out: str,
+    sig_dir: str,
+    band_dir: str,
+) -> None:
+    """One micro-batch of near-dup rejection at ingest (the foreachBatch
+    body of stream_neardup_ingest, module-level so restart replay is
+    directly testable): MinHash-verify the batch against itself and the
+    accumulated LSH index state, write survivors + the batch's index
+    rows. Idempotent per epoch — a checkpoint-restart replay of the same
+    batch_id rewrites identical content instead of double-appending."""
+    from ..operators import dedup as D
+    from ..plans.constants import JACCARD_THRESHOLD as _T
+    from ..plans.constants import LSH_BUCKET_CAP
+    from ..sources import layout as _layout
+
+    s = batch.sparkSession
+    sharr = D.md5_shingle_arrays(batch, "doc_id", "text")
+    bands = D.lsh_band_keys(D.minhash_signatures(sharr))
+    # within-batch: any pair (a, b), a < b drops b
+    within = D.jaccard_verify_arrays(D.lsh_candidates(bands), sharr)
+    dropped = (
+        within.filter(F.col("jaccard") >= _T)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    if _layout.table_has_data(s, band_dir):
+        # cross-batch: batch bands broadcast into the state index;
+        # under normal flow every state id is smaller (shards ascend
+        # by doc_id), but a checkpoint-restart replay sees the batch's
+        # OWN already-written state copies too, so the id_a < id_b
+        # filter is load-bearing: without it each doc pairs with its
+        # replayed self (jaccard 1.0) and drops — including the
+        # clique's min-id survivor. The state side is occupancy-capped
+        # exactly like the batch-vs-corpus operator
+        # (minhash_incremental_pairs) and the oracle's bands_a twin: a
+        # >cap bucket contributes only its min-id representative, a
+        # linear star instead of a quadratic fan-out once a
+        # boilerplate flood accumulates in state.
+        state_bands = D.cap_buckets(
+            s.read.parquet(os.path.join(band_dir, "b*")),
+            ["band", "band_key"],
+            LSH_BUCKET_CAP,
+        )
+        state_sharr = s.read.parquet(os.path.join(sig_dir, "b*"))
+        cands = (
+            F.broadcast(
+                bands.select(F.col("id").alias("id_b"), "band", "band_key")
+            )
+            .join(
+                state_bands.select(
+                    F.col("id").alias("id_a"), "band", "band_key"
+                ),
+                ["band", "band_key"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cross = D.jaccard_verify_arrays(cands, sharr.unionByName(state_sharr))
+        dropped = dropped.unionByName(
+            cross.filter(F.col("jaccard") >= _T)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
+        ).distinct()
+    # survivors write FIRST (reads the pre-batch state), then the
+    # batch's full index rows land — dropped docs included, so later
+    # near-dups of a dropped doc still drop. Each epoch writes
+    # OVERWRITE under its own batch-keyed subdirectory (read back via
+    # the b* glob): a replayed epoch rewrites the same deterministic
+    # content instead of double-appending sink/state rows, so
+    # checkpoint restart is idempotent.
+    epoch = f"b{batch_id:05d}"
+    batch.join(dropped, "doc_id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, epoch))
+    sharr.write.mode("overwrite").parquet(os.path.join(sig_dir, epoch))
+    bands.write.mode("overwrite").parquet(os.path.join(band_dir, epoch))
+
+
 def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-dup rejection AT INGEST — the streaming twin of
     operators/dedup.minhash_incremental_pairs, composing this round's
@@ -716,8 +798,6 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution detail, not a semantics change, because a pair's band
     collision is a per-doc property independent of which batch each
     side arrived in."""
-    from ..operators import dedup as D
-    from ..plans.constants import JACCARD_THRESHOLD as _T
     from ..plans.constants import (
         STREAM_NEARDUP_BOILER,
         STREAM_NEARDUP_MOD,
@@ -769,48 +849,7 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = docs.schema
 
     def neardup_batch(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        sharr = D.md5_shingle_arrays(batch, "doc_id", "text")
-        bands = D.lsh_band_keys(D.minhash_signatures(sharr))
-        # within-batch: any pair (a, b), a < b drops b
-        within = D.jaccard_verify_arrays(D.lsh_candidates(bands), sharr)
-        dropped = (
-            within.filter(F.col("jaccard") >= _T)
-            .select(F.col("id_b").alias("doc_id"))
-            .distinct()
-        )
-        if _layout.table_has_data(s, band_dir):
-            # cross-batch: batch bands broadcast into the state index;
-            # every state id is smaller (shards ascend by doc_id)
-            state_bands = s.read.parquet(band_dir)
-            state_sharr = s.read.parquet(sig_dir)
-            cands = (
-                F.broadcast(
-                    bands.select(F.col("id").alias("id_b"), "band", "band_key")
-                )
-                .join(
-                    state_bands.select(
-                        F.col("id").alias("id_a"), "band", "band_key"
-                    ),
-                    ["band", "band_key"],
-                )
-                .select("id_a", "id_b")
-                .distinct()
-            )
-            cross = D.jaccard_verify_arrays(
-                cands, sharr.unionByName(state_sharr)
-            )
-            dropped = dropped.unionByName(
-                cross.filter(F.col("jaccard") >= _T)
-                .select(F.col("id_b").alias("doc_id"))
-                .distinct()
-            ).distinct()
-        # survivors write FIRST (reads the pre-batch state), then the
-        # batch's full index rows append — dropped docs included, so
-        # later near-dups of a dropped doc still drop
-        batch.join(dropped, "doc_id", "left_anti").write.mode("append").parquet(out)
-        sharr.write.mode("append").parquet(sig_dir)
-        bands.write.mode("append").parquet(band_dir)
+        neardup_ingest_batch(batch, batch_id, out, sig_dir, band_dir)
 
     stream = (
         spark.readStream.schema(schema)
@@ -826,4 +865,4 @@ def stream_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     if not _layout.table_has_data(spark, out):
         return docs.limit(0)
-    return spark.read.parquet(out).select("doc_id", "text")
+    return spark.read.parquet(os.path.join(out, "b*")).select("doc_id", "text")
