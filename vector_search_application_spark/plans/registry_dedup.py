@@ -1050,15 +1050,13 @@ def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus copies — a correctness gate for build+lookup together, like
     payload_index_lookup."""
     vecs = corpus.vectors(spark, sf_dir)
-    n_cents, _ = ann.ivf_schedule(vecs)
-    cents = sorted(
-        (r["vec_id"], list(r["embedding"]))
-        for r in vecs.filter(F.col("vec_id") < n_cents).collect()
-    )
     path = _ivf_index_scratch()
-    ann.write_ivf_indexed(vecs, path, n_centroids=n_cents)
+    ann.write_ivf_indexed(vecs, path)  # default = corpus-scaled schedule
     q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
-    return ann.ivf_indexed_topk(spark, path, q, cents)
+    # no cents arg: the lookup reads the metadata table the build
+    # persisted next to the layout — the serving shape; nothing
+    # centroid-sized ever crosses to the driver
+    return ann.ivf_indexed_topk(spark, path, q)
 
 
 _IVF_SCRATCH: list[str] = []
