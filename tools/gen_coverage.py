@@ -85,6 +85,7 @@ SURVEY_IDS: dict[str, str] = {
     "dedup-embedding": "embedding-cosine near-dup",
     "dedup-incremental": "incremental batch-vs-corpus near-dup",
     "dedup-substring": "exact-substring span dedup (suffix-array semantics)",
+    "dedup-cap": "LSH bucket occupancy cap (star fallback + stats)",
     "ann-ivf": "IVF-pruned ANN",
     "ann-lsh": "hyperplane LSH ANN",
     "ann-mllib": "MLlib BucketedRandomProjectionLSH",
