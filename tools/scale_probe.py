@@ -285,6 +285,42 @@ def main(ks: list[int]) -> int:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             print(f"  x{k} {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # --- IVF warm-index split (r10 VERDICT task 3): the cold
+        # ivf_topk/ivfpq_topk rows above charge the O(n^1.5) index
+        # BUILD to every execution; a deployment builds the
+        # cell-partitioned layout once and pays only the probed-cell
+        # scans per query. Measure both halves separately so the table
+        # shows the serving number next to the cold one.
+        from vector_search_application_spark.operators import ann as _ann
+        from vector_search_application_spark.plans import corpus as _corpus
+        from vector_search_application_spark.plans.constants import (
+            QUERY_VEC_ID as _QVID,
+        )
+
+        ivf_root = tempfile.mkdtemp(prefix=f"probe_ivf_x{k}_")
+        try:
+            ivf_dir = os.path.join(ivf_root, "vectors")
+            vecs = _corpus.vectors(spark, sf_dir)
+            t0 = time.perf_counter()
+            _ann.write_ivf_indexed(vecs, ivf_dir)
+            timings["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+            print(f"  x{k} ivf_index_build: {timings['ivf_index_build']}s",
+                  file=sys.stderr, flush=True)
+            q = _corpus.query_vector(spark, sf_dir, _QVID)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = _ann.ivf_indexed_topk(spark, ivf_dir, q)
+                df.agg(
+                    F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+                ).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings["ivf_index_lookup_warm"] = round(best, 3)
+            print(f"  x{k} ivf_index_lookup_warm: "
+                  f"{timings['ivf_index_lookup_warm']}s",
+                  file=sys.stderr, flush=True)
+        finally:
+            shutil.rmtree(ivf_root, ignore_errors=True)
         # free the batch queries' persisted intermediates BEFORE the
         # streaming section: at x100 the complete-mode sessionize holds
         # ~9.5M session rows in state + MemorySink, and the cached
@@ -445,7 +481,7 @@ def main(ks: list[int]) -> int:
         f.write(header)
         f.write("|---|" + "---|" * (len(results) + 1) + "\n")
         kmax = max(results)
-        for name in PROBE_QUERIES:
+        for name in PROBE_QUERIES + ["ivf_index_build", "ivf_index_lookup_warm"]:
             row = [results[k][name] for k in results]
             base_t = results[1][name]
             ratio = results[kmax][name] / base_t if base_t > 0 else float("inf")
@@ -537,9 +573,15 @@ O(n^1.5), the standard IVF training cost — while the per-QUERY scan
 fraction drops from the frozen schedule's 25% to probes/C ~ 2%. This
 probe's cold policy charges that build to every row; a deployment
 writes the cell-partitioned assignment once (ivf_index_lookup reads
-exactly that layout) and pays only the 2% scans per query — the trade
-the r9 review explicitly requested in place of the frozen 8-cell
-index whose 25%-scan never improved with scale.
+exactly that layout) and pays only the 2% scans per query. The
+ivf_index_build / ivf_index_lookup_warm rows measure that split
+directly: build = write_ivf_indexed (assignment + cell-partitioned
+write + the persisted centroid-metadata table), warm lookup =
+ivf_indexed_topk against the written layout (in-plan probe ranking
+over the metadata table, literal cell predicate pruning partition
+directories before file I/O). The warm row is the serving number a
+1000-executor deployment pays per query; the build row amortizes
+across the corpus lifetime like any index build.
 Queries are forced via a one-row xxhash64 aggregate over every output
 column, so timings measure the distributed plan, not a driver collect.
 """.replace("{kmax}", str(kmax)).replace(

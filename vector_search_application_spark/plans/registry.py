@@ -972,66 +972,50 @@ from . import registry_curation  # noqa: E402,F401
 # OLDEST-FIRST, with the override that queries whose backing code
 # changed since their last driver verification re-enter regardless of
 # age. Displaced queries keep tests/test_registry_oracle.py as their
-# net; after this (r10) window runs, every hash query's last driver
-# row is >= r8, and r11 should seat the remaining r8 slots
-# (the exact-cascade family, version_archive/get/history, the PQ/
-# quantized singles, partno, payload/search projections, the bpe and
-# manifest entries the r10 fillers didn't reach, plus dense_prefilter,
-# doc_chunk_windows, compare_preview, bpe_train_merges,
-# bpe_encode_stats, and bm25_topk_batch — displaced late in r10 by
-# the six queries NEW this round (the incremental near-dup trio across
-# token/embedding/semantic spaces, the exact-substring span query +
-# its scrub data card, and the streaming near-dup ingest), which as
-# never-seated entries outrank r8-green fillers under the oldest-first
-# policy; bm25_topk_batch additionally stays bench-measured every
-# round as a HEADLINE family).
+# net. After this (r11) window runs, every hash query's last driver
+# row is >= r9 (the r10 VERDICT task-5 done condition): the full r8
+# cohort seats below, so the only out-of-window queries are r9/r10
+# greens whose code is untouched this round.
 
 DRIVER_WINDOW = [
-    # Never-driver-seated queries first (r9 VERDICT task 3): the
-    # observability aggregate NEW this round, the trained-kmeans
-    # semantic sibling (rows-only by design, planted-copy-tested), and
-    # the two incremental (batch-vs-corpus) near-dup queries NEW this
-    # round — the ingest-time dedup shape, text and embedding spaces ...
-    "dedup_cap_stats", "semantic_dedup_kmeans",
-    "dedup_incremental", "embedding_incremental", "dedup_substring_spans",
-    "substring_scrub_card", "stream_neardup_ingest",
-    "semantic_dedup_incremental",
-    # ... code changed THIS round re-enters regardless of age: the
-    # occupancy cap now stars >cap buckets at a min-id representative
-    # in every band join (minhash/simhash/embedding + oracle twins;
-    # components/canonical/exact_then_near inherit the starred pair
-    # SQL) ...
-    "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
-    "dedup_components", "dedup_components_star",
-    "dedup_canonical_quality", "dedup_exact_then_near",
-    # ... and the IVF family moved to the corpus-scaled centroid
-    # schedule (C = max(8, ceil(sqrt(n))), P = max(2, ceil(log2(C))))
-    # with scalar-subquery bounds in the DuckDB twins; the rows-only
-    # trained siblings (last smoke row r5) re-enter with it ...
-    "ivf_topk", "ivf_topk_batch", "ivf_index_lookup",
-    "ivf_topk_filtered", "ivfpq_topk",
-    "ivf_kmeans_topk", "pq_kmeans_topk", "mllib_lsh_topk",
-    # ... the 26 r7-stale hash slots (r9 VERDICT task 2): paging/
-    # versioning/dense singles deferred by r9's late code changes,
-    # the text-analysis family, the TPC-H six, embed singles,
-    # decontaminate/boilerplate, delta_classify, and the
-    # training-manifest capstone (which also composes this round's
-    # changed dedup stages) ...
-    "dense_topk_batch_salted", "dense_threshold", "dense_postfilter",
-    "scroll_page", "keyset_page", "corpus_counts",
-    "search_details_projection", "version_current",
-    "text_langid", "text_quality", "text_repetition", "text_pii_scrub",
-    "token_stats",
-    "lineitem_pricing_summary", "returned_item_report",
-    "revenue_by_nation", "local_supplier_revenue",
-    "order_priority_semijoin", "top_customer_revenue",
-    "embed_documents", "embed_query",
-    "boilerplate_ngrams", "benchmark_decontaminate", "delta_classify",
-    "normalize_min_max", "training_manifest_full",
-    # ... and the oldest r8 slots as far as the 50 allow; the
-    # remaining r8 entries stay on r11's seat list with the pytest
-    # oracle sweep as their net.
-    "binary_quantized_topk",
+    # Code changed THIS round re-enters regardless of age (r7 policy):
+    # the IVF family's probe ranking moved fully in-plan — no more
+    # sqrt(n) driver centroid collect; ivf_index_lookup now reads the
+    # metadata table the build persists next to the layout; the
+    # trained-kmeans siblings inherit the shared _ivf_search_tbl body
+    # and the TRAINED_CENTROID_CAP (rows-only by design) ...
+    "ivf_topk", "ivf_topk_filtered", "ivfpq_topk", "ivf_index_lookup",
+    "ivf_kmeans_topk", "pq_kmeans_topk", "semantic_dedup_kmeans",
+    # ... and the streaming near-dup ingest gained restart-idempotent
+    # per-epoch writes + the capped, self-pair-filtered state probe
+    # (r10 ADVICE) ...
+    "stream_neardup_ingest",
+    # ... the complete 31-query r8-stale cohort (r10 VERDICT task 5 —
+    # oldest evidence first): the exact-cascade family, versioning
+    # singles, PQ/quantized singles, partno classifier pair,
+    # payload/search projections, bpe/manifest entries, import/export
+    # round-trips, and the batch headliners displaced late in r10 ...
+    "exact_cascade_primary", "exact_cascade_secondary",
+    "exact_cascade_miss", "exact_cascade_batch",
+    "version_archive", "version_get", "version_history",
+    "pq_topk", "pq_topk_batch", "quantized_topk",
+    "partno_classifier", "partno_explain",
+    "payload_index_lookup", "search_ids_projection",
+    "bpe_train_merges", "bpe_encode_stats", "token_stats_bpe",
+    "training_manifest", "retrieval_manifest",
+    "targz_import", "json_export_roundtrip",
+    "compare_preview", "dense_prefilter", "doc_chunk_windows",
+    "doc_fingerprint", "domain_mix_weights", "event_value_median",
+    "multimodal_byte_features", "normalize_z_score", "sequence_pack",
+    "bm25_topk_batch",
+    # ... and the oldest r9 slots as far as the 50 allow (headline
+    # search families + the mutation pair); the remaining r9 entries
+    # stay on r12's seat list with the pytest oracle sweep as their
+    # net.
+    "bm25_topk", "dense_topk", "dense_topk_batch",
+    "hybrid_rrf", "hybrid_rrf_batch",
+    "fusion_max_dedup", "fusion_max_dedup_batch", "linear_fusion",
+    "ingest_products", "upsert_merge", "cleanup_old",
 ]
 
 
