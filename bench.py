@@ -143,6 +143,46 @@ def bench_index_builds(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_ivf_serving(spark, sf_dir: str) -> dict[str, float]:
+    """The IVF build/query split (r10 VERDICT task 2/3): ivf_topk in
+    the headline loop is the COLD number — every execution re-derives
+    the centroid table in-plan. A deployment writes the cell-
+    partitioned layout + centroid metadata once (ivf_index_build) and
+    each query pays only the probed-cell directory scans
+    (ivf_index_lookup_warm) — partition pruning from a literal cell
+    predicate, probe ranking in-plan over the persisted metadata
+    table. Layout written under a temp dir, removed before return."""
+    import shutil
+    import tempfile
+
+    from vector_search_application_spark.operators import ann
+    from vector_search_application_spark.plans.constants import QUERY_VEC_ID
+
+    out: dict[str, float] = {}
+    root = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        path = os.path.join(root, "vectors")
+        vecs = corpus.vectors(spark, sf_dir)
+        t0 = time.perf_counter()
+        ann.write_ivf_indexed(vecs, path)
+        out["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+        q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = ann.ivf_indexed_topk(spark, path, q)
+            df.agg(
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        out["ivf_index_lookup_warm"] = round(best, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    for name, sec in out.items():
+        print(f"  {name}: {sec}s", file=sys.stderr, flush=True)
+    return out
+
+
 def bench_dense_batch(spark, sf_dir: str) -> tuple[float, float]:
     """(best, median) for the 1000-query dense top-10 batch: corpus
     stays partitioned, the query set (small side) is broadcast, one
@@ -436,6 +476,9 @@ def main() -> None:
     # index builds LAST: each rep clears the whole plan cache, which
     # would otherwise re-cold the persisted indexes mid-bench
     timings.update(bench_index_builds(spark, sf_dir))
+    # IVF build/serving split (adds two keys r11+: cross-round totals
+    # gain ~the build wall once — noted in the README ledger)
+    timings.update(bench_ivf_serving(spark, sf_dir))
 
     cal_end = CAL.calibration_secs(spark, reps=5)
     print(f"  calibration(end): {cal_end}", file=sys.stderr, flush=True)
