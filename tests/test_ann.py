@@ -391,6 +391,7 @@ def test_ivf_query_paths_have_no_centroid_collect():
         ann.ivf_topk_trained,
         ann.ivf_indexed_topk,
         ann._ivf_search_tbl,
+        ann.probe_cells_tbl,
         ann.write_ivf_indexed,
     ):
         src = inspect.getsource(fn)
