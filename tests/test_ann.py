@@ -396,3 +396,30 @@ def test_ivf_query_paths_have_no_centroid_collect():
     ):
         src = inspect.getsource(fn)
         assert ".collect()" not in src, f"{fn.__name__} collects driver-side"
+
+
+def test_ivf_topk_prebuilt_cent_tbl_matches_cold(spark):
+    """The warm-index parameter contract: passing a pre-built
+    centroid-metadata table (the serving shape — centroid_table output
+    or the table write_ivf_indexed persists) must answer identically to
+    the cold path that derives it in-query, with n_probe scheduled from
+    the table's own cell count."""
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+    want = [(r["id"], r["score"]) for r in ann.ivf_topk(vecs, q).collect()]
+
+    cent_tbl = ann.centroid_table(vecs)  # scheduled count, one-row cents
+    got = [
+        (r["id"], r["score"])
+        for r in ann.ivf_topk(vecs, q, cent_tbl=cent_tbl).collect()
+    ]
+    assert got == want
+
+    pq_want = [
+        (r["vec_id"], r["score"]) for r in ann.ivfpq_topk(vecs, q).collect()
+    ]
+    pq_got = [
+        (r["vec_id"], r["score"])
+        for r in ann.ivfpq_topk(vecs, q, cent_tbl=cent_tbl).collect()
+    ]
+    assert pq_got == pq_want
