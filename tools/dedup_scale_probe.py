@@ -55,6 +55,14 @@ DEDUP_QUERIES = [
     # and the components+quality canonical pass
     "benchmark_decontaminate",
     "dedup_canonical_quality",
+    # streaming near-dup rejection AT INGEST (r11: restart-idempotent
+    # per-epoch writes + occupancy-capped state probe): the full 4-batch
+    # stream, end to end. Its own seeding (every 40th doc becomes the
+    # boilerplate run) makes ONE corpus-wide clique — n/40 members, far
+    # over LSH_BUCKET_CAP at x10+ — so this row exercises the capped
+    # star path in BOTH the within-batch and the accumulated-state
+    # joins at scale, exactly the fan-out the r10 ADVICE flagged.
+    "stream_neardup_ingest",
 ]
 
 # occupancy-guard observability (r9 VERDICT task 4a / ADVICE): the
@@ -367,6 +375,16 @@ def main(ks: list[int]) -> int:
             f"per-replica mean of {decon_mean:.1f}\nat x{kmax}. The "
             "underlying shingle-collision join's hit pairs scale "
             "linearly\n(the wall ratio is the real signal).\n"
+            "`stream_neardup_ingest` is the full 4-micro-batch "
+            "streaming run end to end\n(source sharding, checkpointed "
+            "foreachBatch, per-epoch idempotent state\nwrites). Its "
+            "own boilerplate seeding builds ONE corpus-wide clique of "
+            "n/40\nmembers — far over LSH_BUCKET_CAP beyond x1 — so "
+            "the row measures the capped\nmin-id star in both the "
+            "within-batch and accumulated-state band joins: a\n"
+            "near-linear wall here means the ingest-time probe stayed "
+            "linear under the\nexact flood the cap exists for; rows = "
+            "settled survivors (~Kx).\n"
         )
         f.write(
             """
