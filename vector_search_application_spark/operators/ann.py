@@ -815,11 +815,21 @@ def write_ivf_indexed(
     centroids from the corpus (or collecting them driver-side)."""
     cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
     cent_tbl.write.mode("overwrite").parquet(ivf_cents_path(path))
-    vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
+    assigned = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{id_col} AS id",
         f"{vec_col} AS v",
         f"{_cell_over_cents_sql(vec_col)} AS cell",
-    ).write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    # repartition by cell before the partitioned write: without it
+    # every input task writes a file into every cell directory it
+    # touches — tasks x C files, a small-files explosion at C =
+    # sqrt(n) (1e5 cells at 1e10 vectors). Clustered on the partition
+    # column, each cell is written by exactly one task; the shuffle is
+    # a one-time index-build cost that the lookup's directory prune
+    # repays on every query.
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_cents_path(path: str) -> str:
