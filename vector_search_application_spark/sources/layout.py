@@ -45,12 +45,13 @@ def _fs(spark: SparkSession, path: str):
 
 def table_has_data(spark: SparkSession, path: str) -> bool:
     """True when the table directory exists and holds parquet data
-    (flat or one level of partition directories)."""
+    (flat, or one/two levels of partition directories — two covers
+    the streaming state's (__epoch, __bucket) layout)."""
     fs, hpath, jvm = _fs(spark, path)
     if not fs.exists(hpath):
         return False
     mk = jvm.org.apache.hadoop.fs.Path
-    for pat in ("/*.parquet", "/*/*.parquet"):
+    for pat in ("/*.parquet", "/*/*.parquet", "/*/*/*.parquet"):
         st = fs.globStatus(mk(path.rstrip("/") + pat))
         if st is not None and len(st) > 0:
             return True
