@@ -29,12 +29,14 @@ Correctness is always defined by the exact brute-force operator
 from __future__ import annotations
 
 import math
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
 from ..functions.cache import tracked_persist
+from ..sources import layout as _layout_meta
 from ..plans.constants import (
     K,
     LSH_BAND_PLANES,
@@ -640,6 +642,31 @@ def probe_cells_tbl(
     return [int(c) for c in row["pc"]]
 
 
+def _probe_from_cent_tbl(
+    cent_tbl: DataFrame, n_centroids: int | None, n_probe: int | None
+) -> int:
+    """Schedule guard for pre-built-index callers (r11 ADVICE): when a
+    cent_tbl is passed, the table OWNS the centroid set — an explicit
+    n_centroids alongside it signals the caller thinks it controls a
+    build that never happens (a prebuilt-table/requested-schedule
+    mismatch), and an explicit n_probe above the table's cell count
+    would silently probe every cell. Both raise instead of masking."""
+    if n_centroids is not None:
+        raise ValueError(
+            "n_centroids cannot be combined with cent_tbl — the prebuilt "
+            "table owns the centroid set; n_probe schedules from its "
+            "own cell count"
+        )
+    n_cells = int(cent_tbl.selectExpr("size(cents) AS c").first()["c"])
+    if n_probe is None:
+        return ivf_n_probe(n_cells)
+    if n_probe > n_cells:
+        raise ValueError(
+            f"n_probe={n_probe} exceeds the cent_tbl's {n_cells} cells"
+        )
+    return n_probe
+
+
 def _ivf_search_tbl(
     searched: DataFrame,
     cent_tbl: DataFrame,
@@ -716,8 +743,8 @@ def ivf_topk(
         # ×10 this beats both a persisted cents row and the old
         # literal-cents table (3.1 vs 6.7 / 3.7 s)
         cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
-    elif n_probe is None:
-        n_probe = ivf_n_probe(cent_tbl.selectExpr("size(cents) AS c").first()["c"])
+    else:
+        n_probe = _probe_from_cent_tbl(cent_tbl, n_centroids, n_probe)
     qvec = [float(x) for x in query.first()["qvec"]]
     searched = (
         vectors if payload_filter is None else vectors.filter(payload_filter)
@@ -814,7 +841,6 @@ def write_ivf_indexed(
     rank probe cells, so lookups read it back instead of re-deriving
     centroids from the corpus (or collecting them driver-side)."""
     cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
-    cent_tbl.write.mode("overwrite").parquet(ivf_cents_path(path))
     assigned = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
         f"{id_col} AS id",
         f"{vec_col} AS v",
@@ -830,6 +856,25 @@ def write_ivf_indexed(
     assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(path)
+    # build-id stamp (r11 ADVICE): a rebuild interrupted between the
+    # two writes would otherwise leave a cents table beside a layout
+    # it did not produce — lookups would rank probe cells with
+    # centroids that don't match the stored cell assignments, wrong
+    # results with no error. Both artifacts carry the same build id
+    # (layout: a meta file written after the data; cents: a column),
+    # the LONG write lands first, and ivf_indexed_topk refuses a
+    # mismatch — torn builds fail loudly instead of serving wrong
+    # neighbors.
+    build_id = uuid.uuid4().hex
+    _layout_meta.write_json_meta(
+        vectors.sparkSession, path, IVF_BUILD_META, {"build_id": build_id}
+    )
+    cent_tbl.withColumn("build_id", F.lit(build_id)).write.mode(
+        "overwrite"
+    ).parquet(ivf_cents_path(path))
+
+
+IVF_BUILD_META = "_IVF_BUILD.json"
 
 
 def ivf_cents_path(path: str) -> str:
@@ -856,11 +901,27 @@ def ivf_indexed_topk(
     file I/O. Scoring + top-k touch only the probed cells' rows.
     n_probe=None schedules from the index's own cell count — no corpus
     count needed at query time."""
-    cent_tbl = (
-        centroid_table_lit(spark, cents)
-        if cents is not None
-        else spark.read.parquet(ivf_cents_path(path))
-    )
+    if cents is not None:
+        cent_tbl = centroid_table_lit(spark, cents)
+    else:
+        cent_tbl = spark.read.parquet(ivf_cents_path(path))
+        if "build_id" in cent_tbl.columns:
+            # torn-build guard (r11 ADVICE): the cents table and the
+            # layout each carry the build id that produced them; a
+            # rebuild interrupted between the two writes leaves them
+            # mismatched, and ranking probe cells with centroids that
+            # don't match the stored assignments is wrong-results-
+            # without-error territory. Refuse loudly instead.
+            meta = _layout_meta.read_json_meta(spark, path, IVF_BUILD_META)
+            cents_bid = cent_tbl.select("build_id").first()["build_id"]
+            if meta is None or meta.get("build_id") != cents_bid:
+                raise ValueError(
+                    f"IVF index at {path} is torn: cents build_id "
+                    f"{cents_bid!r} does not match the layout's "
+                    f"{None if meta is None else meta.get('build_id')!r} "
+                    f"— rebuild with write_ivf_indexed"
+                )
+            cent_tbl = cent_tbl.drop("build_id")
     if n_probe is None:
         n = len(cents) if cents is not None else (
             cent_tbl.selectExpr("size(cents) AS c").first()["c"]
@@ -1193,8 +1254,8 @@ def ivfpq_topk(
         n_centroids, n_probe = ivf_schedule(vectors, n_centroids, n_probe)
         # unpersisted two-evaluation shape, same reasoning as ivf_topk
         cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
-    elif n_probe is None:
-        n_probe = ivf_n_probe(cent_tbl.selectExpr("size(cents) AS c").first()["c"])
+    else:
+        n_probe = _probe_from_cent_tbl(cent_tbl, n_centroids, n_probe)
     qvec = [float(x) for x in query.first()["qvec"]]
     probe_cells = probe_cells_tbl(cent_tbl, qvec, n_probe)
     cells = vectors.crossJoin(F.broadcast(cent_tbl)).selectExpr(
