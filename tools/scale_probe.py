@@ -35,7 +35,6 @@ PROBE_QUERIES = [
     "dense_topk_batch",
     "bm25_topk",
     "hybrid_rrf",
-    "ivf_topk",
     "ivf_topk_batch",
     "event_sessionize",
     "event_funnel",
@@ -56,7 +55,6 @@ PROBE_QUERIES = [
     "pq_topk",
     "chunk_embed_pool",
     "epoch_shuffle",
-    "ivfpq_topk",
     "source_data_card",
     "retrieval_manifest",
     "mixture_sample",
@@ -285,39 +283,68 @@ def main(ks: list[int]) -> int:
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
             print(f"  x{k} {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        # --- IVF warm-index split (r10 VERDICT task 3): the cold
-        # ivf_topk/ivfpq_topk rows above charge the O(n^1.5) index
-        # BUILD to every execution; a deployment builds the
-        # cell-partitioned layout once and pays only the probed-cell
-        # scans per query. Measure both halves separately so the table
-        # shows the serving number next to the cold one.
+        # --- IVF per-stage rows (r11 VERDICT task 2): the COLD
+        # ivf_topk/ivfpq_topk rows are gone from the headline table —
+        # on identical code the x100 cold wall swung 37.5s -> 102.1s
+        # across two healthy-calibration runs, because the fused plan
+        # conflates the n x C assignment (the slow-window-sensitive
+        # interpreted-HOF argmax) with the probe scan; a noise band
+        # masks real regressions. The stages are timed separately
+        # instead, and each stage records BOTH reps (ivf_stage_reps in
+        # the JSON line) so same-code agreement is checkable within
+        # the calibration band:
+        #   ivf_assign_scan        the n x C argmax alone (volatile)
+        #   ivf_index_build        assignment + clustered cell write +
+        #                          centroid metadata (one-time cost)
+        #   ivf_index_lookup_warm  the probe scan over the layout —
+        #                          the serving number
         from vector_search_application_spark.operators import ann as _ann
         from vector_search_application_spark.plans import corpus as _corpus
         from vector_search_application_spark.plans.constants import (
             QUERY_VEC_ID as _QVID,
         )
 
+        ivf_stage_reps: dict[str, list[float]] = {}
+        vecs = _corpus.vectors(spark, sf_dir)
+        cent_tbl = _ann.centroid_table(vecs)
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assigned = vecs.crossJoin(F.broadcast(cent_tbl)).selectExpr(
+                "vec_id AS id",
+                f"{_ann._cell_over_cents_sql('embedding')} AS cell",
+            )
+            assigned.agg(F.bit_xor(F.xxhash64("id", "cell"))).collect()
+            reps.append(round(time.perf_counter() - t0, 3))
+        ivf_stage_reps["ivf_assign_scan"] = reps
+        timings["ivf_assign_scan"] = min(reps)
+        print(f"  x{k} ivf_assign_scan: {reps}", file=sys.stderr, flush=True)
+
         ivf_root = tempfile.mkdtemp(prefix=f"probe_ivf_x{k}_")
         try:
-            ivf_dir = os.path.join(ivf_root, "vectors")
-            vecs = _corpus.vectors(spark, sf_dir)
-            t0 = time.perf_counter()
-            _ann.write_ivf_indexed(vecs, ivf_dir)
-            timings["ivf_index_build"] = round(time.perf_counter() - t0, 3)
-            print(f"  x{k} ivf_index_build: {timings['ivf_index_build']}s",
+            reps = []
+            for rep_i in range(2):
+                ivf_dir = os.path.join(ivf_root, f"vectors{rep_i}")
+                t0 = time.perf_counter()
+                _ann.write_ivf_indexed(vecs, ivf_dir)
+                reps.append(round(time.perf_counter() - t0, 3))
+            ivf_stage_reps["ivf_index_build"] = reps
+            timings["ivf_index_build"] = min(reps)
+            print(f"  x{k} ivf_index_build: {reps}",
                   file=sys.stderr, flush=True)
             q = _corpus.query_vector(spark, sf_dir, _QVID)
-            best = float("inf")
+            ivf_dir = os.path.join(ivf_root, "vectors1")
+            reps = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 df = _ann.ivf_indexed_topk(spark, ivf_dir, q)
                 df.agg(
                     F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
                 ).collect()
-                best = min(best, time.perf_counter() - t0)
-            timings["ivf_index_lookup_warm"] = round(best, 3)
-            print(f"  x{k} ivf_index_lookup_warm: "
-                  f"{timings['ivf_index_lookup_warm']}s",
+                reps.append(round(time.perf_counter() - t0, 3))
+            ivf_stage_reps["ivf_index_lookup_warm"] = reps
+            timings["ivf_index_lookup_warm"] = min(reps)
+            print(f"  x{k} ivf_index_lookup_warm: {reps}",
                   file=sys.stderr, flush=True)
         finally:
             shutil.rmtree(ivf_root, ignore_errors=True)
@@ -446,6 +473,7 @@ def main(ks: list[int]) -> int:
             round(cal_med_end / CAL.CALIBRATION_REF_SEC, 2),
         )
         line = {"scale": k, "base": BASE, "queries": timings,
+                "ivf_stage_reps": ivf_stage_reps,
                 "streaming": stream_row,
                 "calibration_secs": cal_secs,
                 "calibration_secs_end": cal_secs_end,
@@ -481,7 +509,8 @@ def main(ks: list[int]) -> int:
         f.write(header)
         f.write("|---|" + "---|" * (len(results) + 1) + "\n")
         kmax = max(results)
-        for name in PROBE_QUERIES + ["ivf_index_build", "ivf_index_lookup_warm"]:
+        for name in PROBE_QUERIES + ["ivf_assign_scan", "ivf_index_build",
+                                     "ivf_index_lookup_warm"]:
             row = [results[k][name] for k in results]
             base_t = results[1][name]
             ratio = results[kmax][name] / base_t if base_t > 0 else float("inf")
@@ -565,23 +594,25 @@ sessions).
 bpe_train_merges is the counterpoint: near-flat (1-2x) at 100x — tokenizer training reads the corpus once into a distinct-word table and every merge round after that touches only the vocab, which replication barely grows. The PQ/IVFPQ rows stay bounded
 because their scored representation is the broadcast-LUT fold or the
 probed fraction, not the full vector scan.
-The ivf_topk/ivf_topk_batch x{kmax} walls are the corpus-scaled index
-BUILD, not the query: the r10 sqrt schedule (C = max(8, ceil(sqrt(n)))
--> 448 centroids at 200k vectors, probes = ceil(log2(C)) = 9) makes
-the one-time nearest-centroid assignment an n x C broadcast argmax —
-O(n^1.5), the standard IVF training cost — while the per-QUERY scan
-fraction drops from the frozen schedule's 25% to probes/C ~ 2%. This
-probe's cold policy charges that build to every row; a deployment
-writes the cell-partitioned assignment once (ivf_index_lookup reads
-exactly that layout) and pays only the 2% scans per query. The
-ivf_index_build / ivf_index_lookup_warm rows measure that split
-directly: build = write_ivf_indexed (assignment + cell-partitioned
-write + the persisted centroid-metadata table), warm lookup =
+The single-query COLD ivf rows are gone from this table (r12): on
+identical code the x100 cold wall swung 37.5s -> 102.1s across two
+healthy-calibration runs, because the fused cold plan conflates the
+n x C assignment (a slow-window-sensitive interpreted-HOF argmax)
+with the probe scan — a noise band, not a measurement. The stages
+are timed separately instead: ivf_assign_scan is the n x C argmax
+alone (the volatile term, isolated so its spread is ITS OWN row —
+both reps are recorded in the JSON line's ivf_stage_reps);
+ivf_index_build is write_ivf_indexed (assignment + clustered
+cell-partitioned write + the persisted centroid-metadata table), the
+one-time cost a deployment amortizes; ivf_index_lookup_warm is
 ivf_indexed_topk against the written layout (in-plan probe ranking
 over the metadata table, literal cell predicate pruning partition
-directories before file I/O). The warm row is the serving number a
-1000-executor deployment pays per query; the build row amortizes
-across the corpus lifetime like any index build.
+directories before file I/O) — the serving number a 1000-executor
+deployment pays per query. ivf_topk_batch stays as the amortized
+cold number: the r10 sqrt schedule (C = max(8, ceil(sqrt(n))) ->
+448 centroids at 200k vectors, probes = ceil(log2(C)) = 9) makes
+the assignment O(n^1.5) — the standard IVF training cost — while
+the per-QUERY scan fraction is probes/C ~ 2%.
 Queries are forced via a one-row xxhash64 aggregate over every output
 column, so timings measure the distributed plan, not a driver collect.
 """.replace("{kmax}", str(kmax)).replace(

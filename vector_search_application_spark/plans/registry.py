@@ -972,50 +972,49 @@ from . import registry_curation  # noqa: E402,F401
 # OLDEST-FIRST, with the override that queries whose backing code
 # changed since their last driver verification re-enter regardless of
 # age. Displaced queries keep tests/test_registry_oracle.py as their
-# net. After this (r11) window runs, every hash query's last driver
-# row is >= r9 (the r10 VERDICT task-5 done condition): the full r8
-# cohort seats below, so the only out-of-window queries are r9/r10
-# greens whose code is untouched this round.
+# net. After this (r12) window runs, no query's last driver row is
+# older than r10 (the r11 VERDICT task-4 done condition): the
+# complete 32-query r9-stale cohort seats below, so the only
+# out-of-window queries are r10/r11 greens whose code is untouched
+# this round.
 
 DRIVER_WINDOW = [
     # Code changed THIS round re-enters regardless of age (r7 policy):
-    # the IVF family's probe ranking moved fully in-plan — no more
-    # sqrt(n) driver centroid collect; ivf_index_lookup now reads the
-    # metadata table the build persists next to the layout; the
-    # trained-kmeans siblings inherit the shared _ivf_search_tbl body
-    # and the TRAINED_CENTROID_CAP (rows-only by design) ...
-    "ivf_topk", "ivf_topk_filtered", "ivfpq_topk", "ivf_index_lookup",
-    "ivf_kmeans_topk", "pq_kmeans_topk", "semantic_dedup_kmeans",
-    # ... and the streaming near-dup ingest gained restart-idempotent
-    # per-epoch writes + the capped, self-pair-filtered state probe
-    # (r10 ADVICE) ...
+    # the streaming near-dup state moved to the (__epoch, __bucket)
+    # pruned-read layout (replay sees exactly the pre-batch state) ...
     "stream_neardup_ingest",
-    # ... the complete 31-query r8-stale cohort (r10 VERDICT task 5 —
-    # oldest evidence first): the exact-cascade family, versioning
-    # singles, PQ/quantized singles, partno classifier pair,
-    # payload/search projections, bpe/manifest entries, import/export
-    # round-trips, and the batch headliners displaced late in r10 ...
-    "exact_cascade_primary", "exact_cascade_secondary",
-    "exact_cascade_miss", "exact_cascade_batch",
-    "version_archive", "version_get", "version_history",
-    "pq_topk", "pq_topk_batch", "quantized_topk",
-    "partno_classifier", "partno_explain",
-    "payload_index_lookup", "search_ids_projection",
-    "bpe_train_merges", "bpe_encode_stats", "token_stats_bpe",
-    "training_manifest", "retrieval_manifest",
-    "targz_import", "json_export_roundtrip",
-    "compare_preview", "dense_prefilter", "doc_chunk_windows",
-    "doc_fingerprint", "domain_mix_weights", "event_value_median",
-    "multimodal_byte_features", "normalize_z_score", "sequence_pack",
-    "bm25_topk_batch",
-    # ... and the oldest r9 slots as far as the 50 allow (headline
-    # search families + the mutation pair); the remaining r9 entries
-    # stay on r12's seat list with the pytest oracle sweep as their
-    # net.
-    "bm25_topk", "dense_topk", "dense_topk_batch",
-    "hybrid_rrf", "hybrid_rrf_batch",
-    "fusion_max_dedup", "fusion_max_dedup_batch", "linear_fusion",
-    "ingest_products", "upsert_merge", "cleanup_old",
+    # ... and operators/ann.py gained the prebuilt-cent_tbl schedule
+    # guards + the torn-build stamp on the indexed layout, so the
+    # whole IVF/ANN module cohort re-enters (kmeans rows-only by
+    # design) ...
+    "ivf_topk", "ivf_topk_filtered", "ivfpq_topk", "ivf_index_lookup",
+    "ivf_topk_batch", "ivf_kmeans_topk", "pq_kmeans_topk",
+    "semantic_dedup_kmeans",
+    # ... the complete 32-query r9-stale cohort (r11 VERDICT task 4 —
+    # oldest evidence first; stream_dedup_ingest also backs onto the
+    # changed ingest module) ...
+    "validate_quarantine", "doc_content_hash", "dedup_exact",
+    "dedup_ngram_jaccard", "embed_search_topk",
+    "export_sharded_roundtrip", "directory_import_full",
+    "stream_dedup_ingest", "stream_embed_ingest", "stream_ingest_upsert",
+    "stream_events_window", "stream_sessionize",
+    "event_asof_join", "event_funnel", "event_props_agg",
+    "event_sessionize", "event_sliding_avg",
+    "mmr_rerank_topk", "semantic_dedup", "multimodal_dedup_stats",
+    "quality_filter_funnel", "source_data_card",
+    "source_length_quantiles", "token_accounting_rollup",
+    "dataset_split", "dataset_split_balance", "deterministic_sample",
+    "mixture_sample", "temperature_mixture",
+    "chunk_embed_pool", "epoch_shuffle", "vocab_topn",
+    # ... and the oldest r10 slots as far as the 50 allow: the r11
+    # watch mover, the ann-module siblings (hyperplane/quantized
+    # paths share the changed module), and the incremental dedup
+    # trio. The remaining r10/r11 greens stay on r13's seat list with
+    # the pytest oracle sweep as their net.
+    "training_manifest_full", "embedding_neardup",
+    "binary_quantized_topk", "mllib_lsh_topk", "dedup_minhash_lsh",
+    "dedup_incremental", "embedding_incremental",
+    "semantic_dedup_incremental", "dense_topk_batch_salted",
 ]
 
 
