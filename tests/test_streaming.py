@@ -734,6 +734,75 @@ def test_neardup_state_read_prunes_partitions(spark, tmp_path):
     assert "__epoch" in m.group(0) and BUCKET_COL in m.group(0), m.group(0)
 
 
+def test_compact_state_epochs_preserves_pruned_reads(spark, tmp_path):
+    """Epoch compaction must be invisible to the per-batch read: same
+    rows, same pruning semantics, one base dir instead of one dir per
+    folded micro-batch (the listing-growth bound at production trigger
+    counts), idempotent when only the base remains."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_search_application_spark.streaming.ingest import (
+        COMPACT_BASE_EPOCH,
+        _id_bucket,
+        compact_state_epochs,
+        read_state_pruned,
+        write_state_epoch,
+    )
+
+    path = str(tmp_path / "state")
+    n_buckets = 4
+    for epoch in range(3):
+        df = spark.range(epoch * 100, epoch * 100 + 20).select(
+            F.col("id"), F.lit(f"e{epoch}").alias("tag")
+        )
+        write_state_epoch(df, path, epoch, _id_bucket(F.col("id"), n_buckets))
+
+    buckets = list(range(n_buckets))
+    # the read a hypothetical batch 3 would do (excludes nothing real)
+    before = {
+        (r.id, r.tag)
+        for r in read_state_pruned(spark, path, 3, buckets).collect()
+    }
+    assert compact_state_epochs(spark, path, before_epoch=2) == 2
+    eps = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("__epoch=")
+    }
+    assert eps == {COMPACT_BASE_EPOCH, 2}
+    after = {
+        (r.id, r.tag)
+        for r in read_state_pruned(spark, path, 3, buckets).collect()
+    }
+    assert after == before
+    # the replay-exclusion read for epoch 2 sees exactly epochs 0+1
+    pre2 = {
+        (r.id, r.tag)
+        for r in read_state_pruned(spark, path, 2, buckets).collect()
+    }
+    assert pre2 == {(i, f"e{e}") for e in (0, 1) for i in range(e * 100, e * 100 + 20)}
+    # bucket pruning still lands as a PartitionFilter on the compacted base
+    got = read_state_pruned(spark, path, 2, [0, 2])
+    import re
+
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*\]",
+        got._jdf.queryExecution().executedPlan().toString(),
+    )
+    assert m and "__bucket" in m.group(0) and "__epoch" in m.group(0)
+    # idempotent: only the base is older than 2 -> no-op
+    assert compact_state_epochs(spark, path, before_epoch=2) == 0
+    # a later compaction folds the base TOGETHER with epoch 2
+    assert compact_state_epochs(spark, path, before_epoch=3) == 1
+    final = {
+        (r.id, r.tag)
+        for r in read_state_pruned(spark, path, 3, buckets).collect()
+    }
+    assert final == before
+
+
 def test_neardup_replay_sees_exactly_prebatch_state(spark, tmp_path):
     """r11 ADVICE (medium): replay occupancy drift. The state a
     replayed batch reads must be EXACTLY the pre-batch state — if the

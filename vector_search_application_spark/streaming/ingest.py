@@ -757,6 +757,72 @@ def read_state_pruned(
     )
 
 
+COMPACT_BASE_EPOCH = -1
+
+
+def compact_state_epochs(
+    spark: SparkSession, path: str, before_epoch: int
+) -> int:
+    """Maintenance companion to write_state_epoch (the
+    layout.compact_buckets analog for the streaming near-dup state):
+    fold every epoch OLDER than ``before_epoch`` — including a previous
+    base — into the single consolidated base epoch __epoch=-1. The
+    per-batch reads prune buckets and epochs as PartitionFilters, but
+    the directory LISTING still grows one __epoch dir per micro-batch;
+    at production trigger counts that listing becomes the scan's fixed
+    cost. Compacted, the table stays O(n_buckets + recent epochs).
+
+    Contract: -1 is never a real batch id, so the per-batch read's
+    __epoch != batch_id exclusion can never exclude the base; rows are
+    preserved exactly (distinct() also heals any duplicate left by a
+    previously torn compaction). A compaction that dies between the
+    base write and the old-directory removal leaves duplicates that
+    are candidate-level harmless (the pair stage distincts) and are
+    removed by the next compaction — run it between triggers, never
+    concurrently with a batch, like any OPTIMIZE-style maintenance.
+
+    Returns the number of epoch directories folded away.
+    """
+    from ..sources.layout import BUCKET_COL, _fs
+
+    fs, _, jvm = _fs(spark, path)
+    mk = jvm.org.apache.hadoop.fs.Path
+    matches = fs.globStatus(
+        mk(path.rstrip("/") + f"/{STATE_EPOCH_COL}=*")
+    ) or []
+    fold = []
+    for st in matches:
+        e = int(st.getPath().getName().split("=", 1)[1])
+        if e < before_epoch:
+            fold.append((e, st.getPath()))
+    real = [e for e, _ in fold if e != COMPACT_BASE_EPOCH]
+    if not real:
+        return 0  # nothing but (at most) the base itself — no-op
+    folded = (
+        spark.read.parquet(path)
+        .filter(F.col(STATE_EPOCH_COL) < before_epoch)
+        .drop(STATE_EPOCH_COL)
+        .distinct()
+        # the write replaces directories this plan reads: materialize
+        # first to cut lineage to the source files (the
+        # layout.bucketed_upsert pattern)
+        .localCheckpoint(eager=True)
+        .withColumn(STATE_EPOCH_COL, F.lit(COMPACT_BASE_EPOCH))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        folded.write.mode("overwrite").partitionBy(
+            STATE_EPOCH_COL, BUCKET_COL
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for e, p in fold:
+        if e != COMPACT_BASE_EPOCH:
+            fs.delete(p, True)
+    return len(real)
+
+
 def neardup_ingest_batch(
     batch: DataFrame,
     batch_id: int,
