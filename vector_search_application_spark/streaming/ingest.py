@@ -715,8 +715,17 @@ def write_state_epoch(df: DataFrame, path: str, batch_id: int, bucket) -> None:
     s = df.sparkSession
     from ..sources.layout import BUCKET_COL
 
-    staged = df.withColumn(STATE_EPOCH_COL, F.lit(batch_id)).withColumn(
-        BUCKET_COL, bucket
+    staged = (
+        df.withColumn(STATE_EPOCH_COL, F.lit(batch_id))
+        .withColumn(BUCKET_COL, bucket)
+        # clustered on the partition column before the partitioned
+        # write (the write_ivf_indexed lesson): unclustered, every
+        # input task writes a file into every bucket directory it
+        # touches — tasks x n_buckets files PER EPOCH, a small-files
+        # explosion the per-batch reads then pay forever. Clustered,
+        # each bucket is one task -> one file; the shuffle is
+        # batch-sized, linear per trigger.
+        .repartition(F.col(BUCKET_COL))
     )
     prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
