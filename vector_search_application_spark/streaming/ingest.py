@@ -853,8 +853,35 @@ def neardup_ingest_batch(
 
     s = batch.sparkSession
     n_buckets = _layout.N_BUCKETS
-    sharr = D.md5_shingle_arrays(batch, "doc_id", "text")
-    bands = D.lsh_band_keys(D.minhash_signatures(sharr))
+    # persisted for the batch's lifetime: the shingle arrays feed the
+    # within-verify (both sides), the cross-verify union, and the
+    # state write; the bands feed the within-candidates, the touched-
+    # bucket collect, the cross probe, and the state write. Lazy
+    # recompute would re-tokenize + re-md5 + re-minhash the whole
+    # batch 4-6 times per trigger (measured at the x100 dedup probe:
+    # the recompute tax was the dominant per-trigger term). Unpersisted
+    # in the finally below — micro-batch scratch must not accumulate
+    # across triggers.
+    sharr = D.md5_shingle_arrays(batch, "doc_id", "text").persist()
+    bands = D.lsh_band_keys(D.minhash_signatures(sharr)).persist()
+    try:
+        _neardup_ingest_batch_body(
+            s, batch, batch_id, out, sig_dir, band_dir, sharr, bands,
+            n_buckets,
+        )
+    finally:
+        sharr.unpersist()
+        bands.unpersist()
+
+
+def _neardup_ingest_batch_body(
+    s, batch, batch_id, out, sig_dir, band_dir, sharr, bands, n_buckets
+) -> None:
+    from ..operators import dedup as D
+    from ..plans.constants import JACCARD_THRESHOLD as _T
+    from ..plans.constants import LSH_BUCKET_CAP
+    from ..sources import layout as _layout
+
     # within-batch: any pair (a, b), a < b drops b
     within = D.jaccard_verify_arrays(D.lsh_candidates(bands), sharr)
     dropped = (
