@@ -292,6 +292,52 @@ def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):
     )
 
 
+def test_ivfpq_indexed_layout_matches_cold_and_prunes(spark, tmp_path):
+    """The IVF-PQ serving layout must (a) answer identically to the
+    in-memory ivfpq_topk, (b) prune unprobed cell directories with a
+    constant partition filter, and (c) read ONLY the codes column in
+    the ADC scan — the full vectors stay on disk until the rescore
+    (parquet column pruning is the other half of the 100 TB win)."""
+    import re
+
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    path = str(tmp_path / "ivfpq")
+    ann.write_ivfpq_indexed(vecs, path)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+
+    indexed = ann.ivfpq_indexed_topk(spark, path, q)
+    want = [(r["vec_id"], r["score"]) for r in ann.ivfpq_topk(vecs, q).collect()]
+    assert [(r["vec_id"], r["score"]) for r in indexed.collect()] == want
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[cell#\d+L? IN \(", plan), (
+        f"no constant cell partition filter: {plan[:400]}"
+    )
+    # at least one scan of the layout reads codes WITHOUT the vector
+    # column (the ADC scan); the rescore scan reads id+v without codes
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any("codes" in s and "v:" not in s for s in schemas), schemas
+    assert any("v:" in s and "codes" not in s for s in schemas), schemas
+
+
+def test_ivfpq_indexed_torn_build_refuses(spark, tmp_path):
+    """Same torn-build contract as the IVF layout: a stale build stamp
+    must refuse instead of ADC-ranking against mismatched cells."""
+    import pytest
+
+    from vector_search_application_spark.sources import layout as L
+
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    path = str(tmp_path / "ivfpq")
+    ann.write_ivfpq_indexed(vecs, path)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+    assert ann.ivfpq_indexed_topk(spark, path, q).count() == K
+
+    L.write_json_meta(spark, path, ann.IVF_BUILD_META, {"build_id": "stale"})
+    with pytest.raises(ValueError, match="torn"):
+        ann.ivfpq_indexed_topk(spark, path, q)
+
+
 def test_ivf_kmeans_trained_recall(spark):
     """Trained-centroid IVF (MLlib KMeans index build): measured mean
     recall 0.64 / min 0.4 over 10 queries on the fixture under the

@@ -346,6 +346,28 @@ def main(ks: list[int]) -> int:
             timings["ivf_index_lookup_warm"] = min(reps)
             print(f"  x{k} ivf_index_lookup_warm: {reps}",
                   file=sys.stderr, flush=True)
+            # IVF-PQ serving split (r12): same build/query separation
+            # for the quantized layout — codes partitioned by cell,
+            # ADC reads codes only, rescore fetches vectors
+            pq_dir = os.path.join(ivf_root, "ivfpq")
+            t0 = time.perf_counter()
+            _ann.write_ivfpq_indexed(vecs, pq_dir)
+            timings["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
+            print(f"  x{k} ivfpq_index_build: "
+                  f"{timings['ivfpq_index_build']}s",
+                  file=sys.stderr, flush=True)
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = _ann.ivfpq_indexed_topk(spark, pq_dir, q)
+                df.agg(
+                    F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+                ).collect()
+                reps.append(round(time.perf_counter() - t0, 3))
+            ivf_stage_reps["ivfpq_index_lookup_warm"] = reps
+            timings["ivfpq_index_lookup_warm"] = min(reps)
+            print(f"  x{k} ivfpq_index_lookup_warm: {reps}",
+                  file=sys.stderr, flush=True)
         finally:
             shutil.rmtree(ivf_root, ignore_errors=True)
         # free the batch queries' persisted intermediates BEFORE the
@@ -510,7 +532,9 @@ def main(ks: list[int]) -> int:
         f.write("|---|" + "---|" * (len(results) + 1) + "\n")
         kmax = max(results)
         for name in PROBE_QUERIES + ["ivf_assign_scan", "ivf_index_build",
-                                     "ivf_index_lookup_warm"]:
+                                     "ivf_index_lookup_warm",
+                                     "ivfpq_index_build",
+                                     "ivfpq_index_lookup_warm"]:
             row = [results[k][name] for k in results]
             base_t = results[1][name]
             ratio = results[kmax][name] / base_t if base_t > 0 else float("inf")

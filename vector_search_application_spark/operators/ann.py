@@ -882,6 +882,33 @@ def ivf_cents_path(path: str) -> str:
     return path.rstrip("/") + "_cents"
 
 
+def ivf_codebook_path(path: str) -> str:
+    """Where write_ivfpq_indexed persists the index's PQ codebook."""
+    return path.rstrip("/") + "_codebook"
+
+
+def _read_indexed_cents(spark, path: str) -> DataFrame:
+    """Read the centroid-metadata table write_ivf(pq)_indexed persisted
+    beside the layout, refusing a torn build (r11 ADVICE): the cents
+    table and the layout each carry the build id that produced them; a
+    rebuild interrupted between the writes leaves them mismatched, and
+    ranking probe cells with centroids that don't match the stored
+    cell assignments is wrong-results-without-error territory."""
+    cent_tbl = spark.read.parquet(ivf_cents_path(path))
+    if "build_id" in cent_tbl.columns:
+        meta = _layout_meta.read_json_meta(spark, path, IVF_BUILD_META)
+        cents_bid = cent_tbl.select("build_id").first()["build_id"]
+        if meta is None or meta.get("build_id") != cents_bid:
+            raise ValueError(
+                f"IVF index at {path} is torn: cents build_id "
+                f"{cents_bid!r} does not match the layout's "
+                f"{None if meta is None else meta.get('build_id')!r} "
+                f"— rebuild it"
+            )
+        cent_tbl = cent_tbl.drop("build_id")
+    return cent_tbl
+
+
 def ivf_indexed_topk(
     spark,
     path: str,
@@ -904,24 +931,7 @@ def ivf_indexed_topk(
     if cents is not None:
         cent_tbl = centroid_table_lit(spark, cents)
     else:
-        cent_tbl = spark.read.parquet(ivf_cents_path(path))
-        if "build_id" in cent_tbl.columns:
-            # torn-build guard (r11 ADVICE): the cents table and the
-            # layout each carry the build id that produced them; a
-            # rebuild interrupted between the two writes leaves them
-            # mismatched, and ranking probe cells with centroids that
-            # don't match the stored assignments is wrong-results-
-            # without-error territory. Refuse loudly instead.
-            meta = _layout_meta.read_json_meta(spark, path, IVF_BUILD_META)
-            cents_bid = cent_tbl.select("build_id").first()["build_id"]
-            if meta is None or meta.get("build_id") != cents_bid:
-                raise ValueError(
-                    f"IVF index at {path} is torn: cents build_id "
-                    f"{cents_bid!r} does not match the layout's "
-                    f"{None if meta is None else meta.get('build_id')!r} "
-                    f"— rebuild with write_ivf_indexed"
-                )
-            cent_tbl = cent_tbl.drop("build_id")
+        cent_tbl = _read_indexed_cents(spark, path)
     if n_probe is None:
         n = len(cents) if cents is not None else (
             cent_tbl.selectExpr("size(cents) AS c").first()["c"]
@@ -1269,6 +1279,91 @@ def ivfpq_topk(
     luts = _pq_luts(codebook, query)
     cand = _pq_adc_candidates(probed, luts, k * oversample)
     return _exact_rescore(cand, vectors, query, k, id_col, vec_col)
+
+
+def write_ivfpq_indexed(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ index BUILD as physical layout — the billion-scale
+    serving shape the ivfpq_topk docstring promises: each row's
+    (id, v, codes) persisted partitioned by its nearest-centroid cell,
+    with the PQ codebook and the centroid-metadata table beside it.
+    A lookup then (a) prunes cell DIRECTORIES via the literal probe
+    predicate before any file I/O and (b) reads ONLY the codes column
+    for the ADC scan — parquet column pruning keeps the full vectors
+    on disk until the k*oversample rescore rows fetch them. Reference
+    parity: this is the HNSW collection build
+    (scripts/indexing.py:302-381) re-expressed as table layout +
+    quantized payload.
+
+    Write order = torn-build discipline (r11 ADVICE, same as
+    write_ivf_indexed): the LONG layout write first, then the
+    codebook, then the build-id meta, then the stamped cents table
+    last — an interruption anywhere leaves a pair ivfpq_indexed_topk
+    refuses instead of serving mismatched assignments."""
+    cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
+    codebook = pq_codebook(vectors, id_col, vec_col)
+    codes = pq_codes(vectors, codebook, id_col, vec_col)
+    assigned = (
+        vectors.crossJoin(F.broadcast(cent_tbl))
+        .selectExpr(
+            f"{id_col} AS vec_id",
+            f"{vec_col} AS v",
+            f"{_cell_over_cents_sql(vec_col)} AS cell",
+        )
+        .join(codes, "vec_id")
+        .selectExpr("vec_id AS id", "v", "codes", "cell")
+    )
+    # clustered write: one task -> one file per cell (write_ivf_indexed)
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+    codebook.write.mode("overwrite").parquet(ivf_codebook_path(path))
+    build_id = uuid.uuid4().hex
+    _layout_meta.write_json_meta(
+        vectors.sparkSession, path, IVF_BUILD_META, {"build_id": build_id}
+    )
+    cent_tbl.withColumn("build_id", F.lit(build_id)).write.mode(
+        "overwrite"
+    ).parquet(ivf_cents_path(path))
+
+
+def ivfpq_indexed_topk(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = K,
+    n_probe: int | None = None,
+    oversample: int = PQ_OVERSAMPLE,
+) -> DataFrame:
+    """IVF-PQ search over the persisted layout: probe cells rank
+    in-plan over the stored centroid-metadata table (torn-build
+    verified), the literal cell IN predicate prunes partition
+    directories before file I/O, the ADC scan folds the broadcast LUT
+    over the probed cells' CODES column only (column pruning leaves
+    the full vectors unread), and exact cosine rescores the
+    k*oversample survivors from the same layout's vector column.
+    n_probe=None schedules from the index's own cell count."""
+    cent_tbl = _read_indexed_cents(spark, path)
+    n_probe = _probe_from_cent_tbl(cent_tbl, None, n_probe)
+    qvec = [float(x) for x in query.first()["qvec"]]
+    probe_cells = probe_cells_tbl(cent_tbl, qvec, n_probe)
+    table = spark.read.parquet(path)
+    probed = table.filter(F.col("cell").isin(probe_cells))
+    codebook = spark.read.parquet(ivf_codebook_path(path))
+    luts = _pq_luts(codebook, query)
+    cand = _pq_adc_candidates(
+        probed.select(F.col("id").alias("vec_id"), "codes"),
+        luts,
+        k * oversample,
+    )
+    return _exact_rescore(
+        cand, probed.select("id", "v"), query, k, id_col="id", vec_col="v"
+    )
 
 
 def pq_topk_batch(

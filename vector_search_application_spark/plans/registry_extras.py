@@ -672,6 +672,53 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivfpq_topk(vecs, q)
 
 
+_IVFPQ_TOPK_SQL = next(d.sql for d in REGISTRY if d.name == "ivfpq_topk")
+
+
+@declare(
+    "ivfpq_index_lookup",
+    _IVFPQ_TOPK_SQL,  # the layout must be semantically invisible:
+    # same oracle as ivfpq_topk (plain relational cells + codes +
+    # probe + ADC + rescore)
+    survey_ids="I1,I2,I4,ann-ivfpq",
+)
+def q_ivfpq_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index BUILD as partitioned table layout + pruned,
+    column-pruned search (the billion-scale serving shape): the corpus
+    is written (id, v, codes) partitioned by nearest-centroid cell,
+    the PQ codebook + centroid metadata persist beside it, then the
+    lookup prunes cell directories with the literal probe predicate
+    and reads ONLY the codes column for the ADC scan (full vectors
+    load just for the k*oversample rescore rows) — asserted in
+    tests/test_ann.py. Each execution rebuilds the layout in one
+    per-process temp dir, like ivf_index_lookup."""
+    from ..operators import ann
+
+    vecs = corpus.vectors(spark, sf_dir)
+    path = _ivfpq_index_scratch()
+    ann.write_ivfpq_indexed(vecs, path)
+    q = corpus.query_vector(spark, sf_dir, QUERY_VEC_ID)
+    return ann.ivfpq_indexed_topk(spark, path, q)
+
+
+_IVFPQ_SCRATCH: list[str] = []
+
+
+def _ivfpq_index_scratch() -> str:
+    """One mkdtemp per process for the IVF-PQ layout rebuild, rmtree'd
+    at exit. write_ivfpq_indexed overwrites, so reuse is safe."""
+    if not _IVFPQ_SCRATCH:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="ivfpq_index_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _IVFPQ_SCRATCH.append(os.path.join(root, "vectors"))
+    return _IVFPQ_SCRATCH[0]
+
+
 # ---------------------------------------------------------------------------
 # I2 batched — PQ over a query batch (shared codes, per-query LUT)
 # ---------------------------------------------------------------------------
