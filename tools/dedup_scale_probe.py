@@ -377,7 +377,10 @@ def main(ks: list[int]) -> int:
             "linearly\n(the wall ratio is the real signal).\n"
             "`stream_neardup_ingest` is the full 4-micro-batch "
             "streaming run end to end\n(source sharding, checkpointed "
-            "foreachBatch, per-epoch idempotent state\nwrites). Its "
+            "foreachBatch, (__epoch, __bucket)-partitioned\nstate with "
+            "per-trigger reads pruned to touched buckets and the "
+            "replayed\nepoch excluded — both as PartitionFilters — "
+            "plus per-batch persisted\nsignatures; r12 layout). Its "
             "own boilerplate seeding builds ONE corpus-wide clique of "
             "n/40\nmembers — far over LSH_BUCKET_CAP beyond x1 — so "
             "the row measures the capped\nmin-id star in both the "
