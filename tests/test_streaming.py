@@ -803,6 +803,46 @@ def test_compact_state_epochs_preserves_pruned_reads(spark, tmp_path):
     assert final == before
 
 
+def test_compact_state_epochs_invisible_to_ingest(spark, tmp_path):
+    """Compaction between triggers must not change ingest decisions:
+    run batches 0-1, compact everything into the base epoch, then run
+    batch 2 — its near-dup drops against the compacted state must
+    equal the uncompacted run's. (The scenario a production pipeline
+    actually runs: OPTIMIZE between triggers.)"""
+    from vector_search_application_spark.streaming.ingest import (
+        compact_state_epochs,
+        neardup_ingest_batch,
+    )
+
+    x = [f"x{i}" for i in range(1, 31)]
+    a = " ".join(x)                          # clique seed (min id)
+    b = " ".join(x[:29] + ["y1"])            # near-dup of a
+    c = " ".join(x[:29] + ["y2"])            # near-dup of a, batch 2
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    batches = [
+        mk([(1, a), (2, "unrelated storage engine filler")]),
+        mk([(30, b), (31, "another planner sentence entirely")]),
+        mk([(60, c), (61, "a third unrelated corpus line")]),
+    ]
+
+    def run(compact: bool) -> list[int]:
+        base = tmp_path / ("with_compact" if compact else "plain")
+        out, sig, band = (str(base / d) for d in ("t", "s", "b"))
+        neardup_ingest_batch(batches[0], 0, out, sig, band)
+        neardup_ingest_batch(batches[1], 1, out, sig, band)
+        if compact:
+            assert compact_state_epochs(spark, band, before_epoch=2) == 2
+            assert compact_state_epochs(spark, sig, before_epoch=2) == 2
+        neardup_ingest_batch(batches[2], 2, out, sig, band)
+        return sorted(
+            r.doc_id for r in spark.read.parquet(out + "/b*").collect()
+        )
+
+    plain, compacted = run(False), run(True)
+    assert plain == compacted
+    assert 60 not in plain  # the cross-batch drop actually exercised
+
+
 def test_neardup_replay_sees_exactly_prebatch_state(spark, tmp_path):
     """r11 ADVICE (medium): replay occupancy drift. The state a
     replayed batch reads must be EXACTLY the pre-batch state — if the
