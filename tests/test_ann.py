@@ -292,6 +292,35 @@ def test_ivf_indexed_layout_prunes_cells(spark, tmp_path):
     )
 
 
+def test_ivf_indexed_batch_matches_cold_batch_and_prunes(spark, tmp_path):
+    """The batched warm lookup over the persisted layout must return
+    exactly the cold ivf_topk_batch rows (layout semantically
+    invisible) and carry the union-of-probed-cells literal as a
+    partition filter so unprobed cell directories are never read."""
+    import re
+
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_indexed(vecs, path)
+    qids = [QUERY_VEC_ID, 1, 2]
+    queries = vecs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    want = sorted(
+        (r["query_id"], r["id"], r["score"])
+        for r in ann.ivf_topk_batch(vecs, queries).collect()
+    )
+    got_df = ann.ivf_indexed_topk_batch(spark, path, queries)
+    got = sorted(
+        (r["query_id"], r["id"], r["score"]) for r in got_df.collect()
+    )
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # > 10 literals renders as INSET instead of IN
+    m = re.search(r"PartitionFilters: \[cell#\d+L? (IN|INSET) ", plan)
+    assert m, f"no constant cell partition filter: {plan[:400]}"
+
+
 def test_ivfpq_indexed_layout_matches_cold_and_prunes(spark, tmp_path):
     """The IVF-PQ serving layout must (a) answer identically to the
     in-memory ivfpq_topk, (b) prune unprobed cell directories with a

@@ -949,6 +949,51 @@ def ivf_indexed_topk(
     )
 
 
+def ivf_indexed_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = K,
+    n_probe: int | None = None,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF search over the persisted layout — the serving
+    shape for QUERY BATCHES: each query's probe list ranks in-plan
+    over the stored centroid-metadata table (torn-build verified) and
+    explodes to (query_id, cell); the layout scan is pruned to the
+    UNION of all probed cells as a literal IN PartitionFilter (the
+    union is |queries| x n_probe ints — bounded driver metadata, the
+    same budget as the single-query path times the batch size); the
+    candidate join broadcasts the exploded query side so the corpus
+    side never shuffles; one window ranks per query. Equals
+    ivf_topk_batch row-for-row (the layout is semantically
+    invisible) while scanning only probed cell directories."""
+    from .topk import topk_per_group
+
+    cent_tbl = _read_indexed_cents(spark, path)
+    n_probe = _probe_from_cent_tbl(cent_tbl, None, n_probe)
+    probe = queries.crossJoin(F.broadcast(cent_tbl)).selectExpr(
+        f"{query_id_col} AS query_id",
+        f"{qvec_col} AS qvec",
+        f"explode({_probe_over_cents_sql(qvec_col, n_probe)}) AS cell",
+    )
+    probed_cells = [
+        int(r["cell"]) for r in probe.select("cell").distinct().collect()
+    ]
+    cand = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probe), "cell")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id"),
+        P.rounded(P.cosine(F.col("v"), F.col("qvec"))).alias("score"),
+    )
+    return topk_per_group(scored, "query_id", k, id_col="id")
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int | None = None,

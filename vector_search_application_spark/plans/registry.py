@@ -1014,11 +1014,11 @@ DRIVER_WINDOW = [
     "training_manifest_full", "embedding_neardup",
     "binary_quantized_topk", "mllib_lsh_topk", "dedup_minhash_lsh",
     "dedup_incremental", "embedding_incremental",
-    "semantic_dedup_incremental",
-    # ... and the NEW r12 query (IVF-PQ serving layout) enters on
-    # arrival, displacing an r10 green (dense_topk_batch_salted keeps
-    # its r10 row + the pytest oracle net).
-    "ivfpq_index_lookup",
+    # ... and the NEW r12 queries (IVF-PQ serving layout; batched
+    # indexed lookup) enter on arrival, displacing two r10 greens
+    # (dense_topk_batch_salted, semantic_dedup_incremental — both
+    # keep their r10 rows + the pytest oracle net).
+    "ivfpq_index_lookup", "ivf_index_lookup_batch",
 ]
 
 

@@ -1059,6 +1059,33 @@ def q_ivf_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_indexed_topk(spark, path, q)
 
 
+_IVF_TOPK_BATCH_SQL = next(d.sql for d in REGISTRY if d.name == "ivf_topk_batch")
+
+
+@declare(
+    "ivf_index_lookup_batch",
+    _IVF_TOPK_BATCH_SQL,  # the layout must be semantically invisible:
+    # same oracle as ivf_topk_batch
+    survey_ids="I1,I4,ann-ivf,V1",
+)
+def q_ivf_index_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched search over the PERSISTED IVF layout — the serving
+    shape for query batches: {IVF_BATCH_NQ} queries rank their probe
+    lists in-plan over the stored centroid metadata, the layout scan
+    prunes to the union of probed cells as a literal PartitionFilter,
+    and the broadcast candidate join + per-query window never shuffle
+    the corpus. Same oracle as ivf_topk_batch (row-identical by
+    construction); rebuilds the layout in the shared per-process
+    scratch like ivf_index_lookup."""
+    vecs = corpus.vectors(spark, sf_dir)
+    path = _ivf_index_scratch()
+    ann.write_ivf_indexed(vecs, path)
+    queries = vecs.filter(F.col("vec_id") < IVF_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.ivf_indexed_topk_batch(spark, path, queries)
+
+
 _IVF_SCRATCH: list[str] = []
 
 
