@@ -344,9 +344,12 @@ def test_ivfpq_indexed_layout_matches_cold_and_prunes(spark, tmp_path):
     )
     # at least one scan of the layout reads codes WITHOUT the vector
     # column (the ADC scan); the rescore scan reads id+v without codes
-    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
     assert any("codes" in s and "v:" not in s for s in schemas), schemas
     assert any("v:" in s and "codes" not in s for s in schemas), schemas
+    # and the at-rest codes are BYTES (array<tinyint>), not bigints —
+    # the PQ_SUBSPACES-byte representation the serving claim is about
+    assert any("codes:array<tinyint" in s for s in schemas), schemas
 
 
 def test_ivfpq_indexed_torn_build_refuses(spark, tmp_path):

@@ -1352,7 +1352,14 @@ def write_ivfpq_indexed(
     refuses instead of serving mismatched assignments."""
     cent_tbl = centroid_table(vectors, n_centroids, id_col, vec_col)
     codebook = pq_codebook(vectors, id_col, vec_col)
-    codes = pq_codes(vectors, codebook, id_col, vec_col)
+    # codes persist as array<tinyint>: codeword ids are < PQ_CODEWORDS
+    # (= 16), and the serving claim is a PQ_SUBSPACES-BYTE stored
+    # representation — bigint codes would spend 8 bytes per byte of
+    # information in the at-rest index. The ADC fold's
+    # cast(c AS INT) is unchanged; values are identical.
+    codes = pq_codes(vectors, codebook, id_col, vec_col).withColumn(
+        "codes", F.col("codes").cast("array<tinyint>")
+    )
     assigned = (
         vectors.crossJoin(F.broadcast(cent_tbl))
         .selectExpr(
