@@ -468,12 +468,23 @@ def test_ivf_query_paths_have_no_centroid_collect():
         ann.ivfpq_topk,
         ann.ivf_topk_trained,
         ann.ivf_indexed_topk,
+        ann.ivfpq_indexed_topk,
         ann._ivf_search_tbl,
         ann.probe_cells_tbl,
         ann.write_ivf_indexed,
+        ann.write_ivfpq_indexed,
+        ann._read_indexed_cents,
     ):
         src = inspect.getsource(fn)
         assert ".collect()" not in src, f"{fn.__name__} collects driver-side"
+    # ivf_indexed_topk_batch is deliberately NOT in the list: its one
+    # collect is the union-of-probed-cells literal (|queries| x n_probe
+    # INTS — bounded metadata, the price of a partition-pruning
+    # predicate), never centroid vectors. Pin that the collect touches
+    # only the exploded cell column.
+    src = inspect.getsource(ann.ivf_indexed_topk_batch)
+    assert src.count(".collect()") == 1
+    assert '.select("cell").distinct().collect()' in " ".join(src.split())
 
 
 def test_ivf_cent_tbl_schedule_guards(spark):
