@@ -843,6 +843,74 @@ def test_compact_state_epochs_invisible_to_ingest(spark, tmp_path):
     assert 60 not in plain  # the cross-batch drop actually exercised
 
 
+def test_torn_compaction_invisible_to_ingest(spark, tmp_path):
+    """r12 ADVICE: a compaction that dies between the base write and
+    the old-epoch deletes leaves every folded row in base AND its old
+    epoch. cap_buckets occupancy is a ROW count, so the doubled rows
+    could push a band bucket over LSH_BUCKET_CAP and flip it to its
+    min-id star — different survivors until the next compaction. The
+    per-batch read heals itself (dedup_cols on the row identity), so
+    the torn window must be invisible: same read identity, same
+    occupancy, same ingest decisions."""
+    from pyspark.sql import functions as F
+
+    from vector_search_application_spark.operators import dedup as D
+    from vector_search_application_spark.sources.layout import N_BUCKETS
+    from vector_search_application_spark.streaming.ingest import (
+        _band_bucket,
+        _id_bucket,
+        compact_state_epochs,
+        neardup_ingest_batch,
+        read_state_pruned,
+        write_state_epoch,
+    )
+
+    x = [f"x{i}" for i in range(1, 31)]
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    batches = [
+        mk([(1, " ".join(x)), (2, "unrelated storage engine filler")]),
+        mk([(30, " ".join(x[:29] + ["y1"])), (31, "another planner line")]),
+        mk([(60, " ".join(x[:29] + ["y2"])), (61, "a third corpus line")]),
+    ]
+    buckets = list(range(N_BUCKETS))
+
+    def run(torn: bool) -> list[int]:
+        base = tmp_path / ("torn" if torn else "plain")
+        out, sig, band = (str(base / d) for d in ("t", "s", "b"))
+        neardup_ingest_batch(batches[0], 0, out, sig, band)
+        neardup_ingest_batch(batches[1], 1, out, sig, band)
+        if torn:
+            assert compact_state_epochs(spark, band, before_epoch=2) == 2
+            assert compact_state_epochs(spark, sig, before_epoch=2) == 2
+            # simulate the death between base write and deletes by
+            # recreating the folded epoch dirs with their exact
+            # deterministic content (what the deletes removed)
+            for bid, b in enumerate(batches[:2]):
+                sharr = D.md5_shingle_arrays(b, "doc_id", "text")
+                bands = D.lsh_band_keys(D.minhash_signatures(sharr))
+                write_state_epoch(
+                    sharr, sig, bid, _id_bucket(F.col("id"), N_BUCKETS)
+                )
+                write_state_epoch(bands, band, bid, _band_bucket(N_BUCKETS))
+            # the tear is real: raw table holds each row twice ...
+            n_ids = batches[0].count() + batches[1].count()
+            assert spark.read.parquet(sig).count() == 2 * n_ids
+            # ... but the healed read sees each identity exactly once
+            healed = read_state_pruned(
+                spark, band, 2, buckets, dedup_cols=["id", "band"]
+            )
+            per_key = healed.groupBy("id", "band").count()
+            assert per_key.filter(F.col("count") > 1).count() == 0
+        neardup_ingest_batch(batches[2], 2, out, sig, band)
+        return sorted(
+            r.doc_id for r in spark.read.parquet(out + "/b*").collect()
+        )
+
+    plain, torn = run(False), run(True)
+    assert plain == torn
+    assert 60 not in plain  # the cross-batch drop actually exercised
+
+
 def test_neardup_replay_sees_exactly_prebatch_state(spark, tmp_path):
     """r11 ADVICE (medium): replay occupancy drift. The state a
     replayed batch reads must be EXACTLY the pre-batch state — if the

@@ -738,7 +738,11 @@ def write_state_epoch(df: DataFrame, path: str, batch_id: int, bucket) -> None:
 
 
 def read_state_pruned(
-    s: SparkSession, path: str, exclude_epoch: int, buckets: list[int]
+    s: SparkSession,
+    path: str,
+    exclude_epoch: int,
+    buckets: list[int],
+    dedup_cols: list[str] | None = None,
 ) -> DataFrame:
     """The per-batch state read, pruned two ways (both land as
     PartitionFilters on the scan — the r11 VERDICT's one `weak` item
@@ -755,15 +759,28 @@ def read_state_pruned(
                                  collide with are listed/read — per
                                  trigger the scan is O(batch-touched
                                  slice), not O(accumulated corpus)
-    """
+
+    ``dedup_cols`` (the row's identity key) heals the torn-compaction
+    window (r12 ADVICE): a compaction that dies between the base write
+    and the old-epoch deletes leaves each folded row in base AND its
+    old epoch, and because cap_buckets occupancy is a ROW count the
+    doubled rows could push a band bucket over LSH_BUCKET_CAP and
+    collapse it to its min-id star — different survivors until the
+    next compaction, not merely redundant candidates. State rows are
+    unique per identity key by construction, so the dropDuplicates is
+    a no-op exchange over the bucket-pruned slice in normal flow and
+    exact healing in the torn window."""
     from ..sources.layout import BUCKET_COL
 
-    return (
+    out = (
         s.read.parquet(path)
         .filter(F.col(STATE_EPOCH_COL) != exclude_epoch)
         .filter(F.col(BUCKET_COL).isin(buckets))
         .drop(STATE_EPOCH_COL, BUCKET_COL)
     )
+    if dedup_cols is not None:
+        out = out.dropDuplicates(dedup_cols)
+    return out
 
 
 COMPACT_BASE_EPOCH = -1
@@ -785,10 +802,15 @@ def compact_state_epochs(
     __epoch != batch_id exclusion can never exclude the base; rows are
     preserved exactly (distinct() also heals any duplicate left by a
     previously torn compaction). A compaction that dies between the
-    base write and the old-directory removal leaves duplicates that
-    are candidate-level harmless (the pair stage distincts) and are
-    removed by the next compaction — run it between triggers, never
-    concurrently with a batch, like any OPTIMIZE-style maintenance.
+    base write and the old-directory removal leaves each folded row in
+    base AND its old epoch until the next compaction — NOT merely
+    redundant candidates (r12 ADVICE): cap_buckets occupancy is a row
+    count, so doubled rows could flip a band bucket over the cap into
+    its min-id star and change survivors. The per-batch reads defend
+    themselves: read_state_pruned drops duplicates on the row's
+    identity key, so the torn window is invisible to ingest. Run
+    compaction between triggers, never concurrently with a batch,
+    like any OPTIMIZE-style maintenance.
 
     Returns the number of epoch directories folded away.
     """
@@ -910,8 +932,14 @@ def _neardup_ingest_batch_body(
             .distinct()
             .collect()
         ]
+        # dedup_cols = the band row's identity (a doc emits ONE key per
+        # band): heals torn-compaction duplicates BEFORE the occupancy
+        # count, so a half-compacted state table cannot double-count a
+        # bucket over the cap (r12 ADVICE)
         state_bands = D.cap_buckets(
-            read_state_pruned(s, band_dir, batch_id, touched_bands),
+            read_state_pruned(
+                s, band_dir, batch_id, touched_bands, dedup_cols=["id", "band"]
+            ),
             ["band", "band_key"],
             LSH_BUCKET_CAP,
         )
@@ -944,7 +972,9 @@ def _neardup_ingest_batch_body(
             .distinct()
             .collect()
         ]
-        state_sharr = read_state_pruned(s, sig_dir, batch_id, touched_ids)
+        state_sharr = read_state_pruned(
+            s, sig_dir, batch_id, touched_ids, dedup_cols=["id"]
+        )
         cross = D.jaccard_verify_arrays(cands, sharr.unionByName(state_sharr))
         dropped = dropped.unionByName(
             cross.filter(F.col("jaccard") >= _T)
