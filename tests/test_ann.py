@@ -532,6 +532,44 @@ def test_ivf_indexed_torn_build_refuses(spark, tmp_path):
         ann.ivf_indexed_topk(spark, path, q)
 
 
+def test_ivf_indexed_unstamped_cents_refuses(spark, tmp_path):
+    """r12 ADVICE: the unstamped direction of the torn-build check. A
+    layout whose meta exists was written by stamping code, so a cents
+    table WITHOUT a build_id column beside it means a rebuild died
+    between the layout+meta write and the cents write (new layout,
+    pre-stamp-era centroids) — must refuse, not skip the check. Only
+    when BOTH artifacts predate the stamp is the pair allowed."""
+    import pytest
+
+    from vector_search_application_spark.sources import layout as L
+
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    path = str(tmp_path / "ivf")
+    ann.write_ivf_indexed(vecs, path)
+    q = corpus.query_vector(spark, SF_SMOKE, QUERY_VEC_ID)
+
+    # strip the stamp column from the cents table (a pre-stamp cents
+    # beside a stamped layout) — the guard must catch it
+    cpath = ann.ivf_cents_path(path)
+    unstamped = spark.read.parquet(cpath).drop("build_id")
+    unstamped.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        cpath
+    )
+    with pytest.raises(ValueError, match="unstamped"):
+        ann.ivf_indexed_topk(spark, path, q)
+
+    # both-sides-pre-stamp (no meta either) is the only unverified
+    # pass-through: delete the meta file and the lookup serves again
+    fs, _, jvm = L._fs(spark, path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            path.rstrip("/") + "/" + ann.IVF_BUILD_META
+        ),
+        False,
+    )
+    assert ann.ivf_indexed_topk(spark, path, q).count() == K
+
+
 def _mog_fixture(spark, n_clusters=16, per_cluster=60, dim=32, sigma=0.05):
     """Mixture-of-Gaussians embedding fixture (deterministic seed):
     unit-norm cluster centers (near-orthogonal at this dim), tight

@@ -893,10 +893,18 @@ def _read_indexed_cents(spark, path: str) -> DataFrame:
     table and the layout each carry the build id that produced them; a
     rebuild interrupted between the writes leaves them mismatched, and
     ranking probe cells with centroids that don't match the stored
-    cell assignments is wrong-results-without-error territory."""
+    cell assignments is wrong-results-without-error territory.
+
+    The unstamped-cents direction is torn too (r12 ADVICE): a layout
+    whose _IVF_BUILD.json meta EXISTS was written by stamping code, so
+    its cents table must carry build_id — finding one without it means
+    a rebuild died between the layout+meta write and the cents write,
+    leaving the NEW layout beside PRE-STAMP-ERA centroids. Only when
+    BOTH artifacts predate the stamp (no meta, no column) is the pair
+    known-consistent-by-age and allowed through unverified."""
     cent_tbl = spark.read.parquet(ivf_cents_path(path))
+    meta = _layout_meta.read_json_meta(spark, path, IVF_BUILD_META)
     if "build_id" in cent_tbl.columns:
-        meta = _layout_meta.read_json_meta(spark, path, IVF_BUILD_META)
         cents_bid = cent_tbl.select("build_id").first()["build_id"]
         if meta is None or meta.get("build_id") != cents_bid:
             raise ValueError(
@@ -906,6 +914,13 @@ def _read_indexed_cents(spark, path: str) -> DataFrame:
                 f"— rebuild it"
             )
         cent_tbl = cent_tbl.drop("build_id")
+    elif meta is not None:
+        raise ValueError(
+            f"IVF index at {path} is torn: the layout carries build_id "
+            f"{meta.get('build_id')!r} but the cents table beside it "
+            f"is unstamped (pre-stamp era) — a rebuild died between "
+            f"the layout write and the cents write; rebuild it"
+        )
     return cent_tbl
 
 
@@ -1236,6 +1251,39 @@ def _pq_luts(codebook: DataFrame, query: DataFrame) -> DataFrame:
     )
 
 
+def _pq_luts_batch(
+    codebook: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Per-query ADC lookup tables for a QUERY BATCH: one
+    (query_id, luts) row per query, same s-major/j-minor shape as
+    _pq_luts, built from PQ_SUBSPACES x PQ_CODEWORDS x |queries| tiny
+    rows and meant to be broadcast."""
+    qsub = f"slice({qvec_col}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    lut_tall = codebook.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col).alias("query_id"),
+        "s",
+        "j",
+        P.rounded(P.dot(F.expr(qsub), F.col("cw"))).alias("w"),
+    )
+    return (
+        lut_tall.groupBy("query_id", "s")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(j, w))), e -> e.w)"
+            ).alias("ws")
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(s, ws))), e -> e.ws)"
+            ).alias("luts")
+        )
+    )
+
+
 def _pq_adc_candidates(codes: DataFrame, luts: DataFrame, n: int) -> DataFrame:
     """Top-n (vec_id) by ADC score: fold the broadcast LUT over each
     row's code array — one in-row left-assoc fold, no vector math."""
@@ -1439,27 +1487,7 @@ def pq_topk_batch(
 
     codebook = pq_codebook(vectors, id_col, vec_col)
     codes = pq_codes(vectors, codebook, id_col, vec_col)
-    qsub = f"slice({qvec_col}, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
-    lut_tall = codebook.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col).alias("query_id"),
-        "s",
-        "j",
-        P.rounded(P.dot(F.expr(qsub), F.col("cw"))).alias("w"),
-    )
-    luts_q = (
-        lut_tall.groupBy("query_id", "s")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(j, w))), e -> e.w)"
-            ).alias("ws")
-        )
-        .groupBy("query_id")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(s, ws))), e -> e.ws)"
-            ).alias("luts")
-        )
-    )
+    luts_q = _pq_luts_batch(codebook, queries, query_id_col, qvec_col)
     adc = codes.crossJoin(F.broadcast(luts_q)).select(
         "query_id",
         "vec_id",
