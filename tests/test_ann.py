@@ -352,6 +352,44 @@ def test_ivfpq_indexed_layout_matches_cold_and_prunes(spark, tmp_path):
     assert any("codes:array<tinyint" in s for s in schemas), schemas
 
 
+def test_ivfpq_indexed_batch_matches_cold_and_prunes(spark, tmp_path):
+    """The batched warm IVF-PQ lookup (r12 VERDICT task 4) must return
+    exactly the cold per-query ivfpq_topk rows (layout semantically
+    invisible, batching an implementation detail), prune to the union
+    of probed cells as a literal partition filter, and keep the ADC
+    scan column-pruned to codes (vectors read only for the rescore)."""
+    import re
+
+    vecs = corpus.vectors(spark, SF_SMOKE)
+    path = str(tmp_path / "ivfpq")
+    ann.write_ivfpq_indexed(vecs, path)
+    qids = [QUERY_VEC_ID, 1, 2]
+    queries = vecs.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    want = sorted(
+        (qid, r["vec_id"], r["score"])
+        for qid in qids
+        for r in ann.ivfpq_topk(
+            vecs,
+            vecs.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("qvec")
+            ),
+        ).collect()
+    )
+    got_df = ann.ivfpq_indexed_topk_batch(spark, path, queries)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["score"]) for r in got_df.collect()
+    )
+    assert got == want
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell#\d+L? (IN|INSET) ", plan)
+    assert m, f"no constant cell partition filter: {plan[:400]}"
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert any("codes" in s and "v:" not in s for s in schemas), schemas
+    assert any("v:" in s and "codes" not in s for s in schemas), schemas
+
+
 def test_ivfpq_indexed_torn_build_refuses(spark, tmp_path):
     """Same torn-build contract as the IVF layout: a stale build stamp
     must refuse instead of ADC-ranking against mismatched cells."""
@@ -482,9 +520,12 @@ def test_ivf_query_paths_have_no_centroid_collect():
     # INTS — bounded metadata, the price of a partition-pruning
     # predicate), never centroid vectors. Pin that the collect touches
     # only the exploded cell column.
-    src = inspect.getsource(ann.ivf_indexed_topk_batch)
-    assert src.count(".collect()") == 1
-    assert '.select("cell").distinct().collect()' in " ".join(src.split())
+    for fn in (ann.ivf_indexed_topk_batch, ann.ivfpq_indexed_topk_batch):
+        src = inspect.getsource(fn)
+        assert src.count(".collect()") == 1, fn.__name__
+        assert '.select("cell").distinct().collect()' in " ".join(
+            src.split()
+        ), fn.__name__
 
 
 def test_ivf_cent_tbl_schedule_guards(spark):

@@ -1466,6 +1466,87 @@ def ivfpq_indexed_topk(
     )
 
 
+def ivfpq_indexed_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = K,
+    n_probe: int | None = None,
+    oversample: int = PQ_OVERSAMPLE,
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF-PQ search over the persisted layout — the batch
+    twin of ivfpq_indexed_topk, mirroring ivf_indexed_topk_batch's
+    shape over the PQ payload: each query's probe list ranks in-plan
+    over the stored centroid-metadata table (torn-build verified) and
+    explodes to (query_id, cell); the layout scan prunes to the UNION
+    of all probed cells as a literal IN PartitionFilter (|queries| x
+    n_probe ints of driver metadata, nothing centroid-sized); the ADC
+    scan joins the pruned CODES column against the broadcast
+    (query_id, cell) pairs — each code row is scored only for the
+    queries that probed its cell — folding one broadcast LUT row per
+    query; per-query oversampled cut, then exact cosine rescore from
+    the same layout's vector column. The corpus side never shuffles
+    (probe pairs, LUTs, candidates, and queries all broadcast); the
+    two layout scans are column-pruned to codes and to vectors
+    respectively. Equals the in-memory composition row-for-row; the
+    layout is semantically invisible."""
+    from .topk import topk_per_group
+
+    cent_tbl = _read_indexed_cents(spark, path)
+    n_probe = _probe_from_cent_tbl(cent_tbl, None, n_probe)
+    probe = queries.crossJoin(F.broadcast(cent_tbl)).selectExpr(
+        f"{query_id_col} AS query_id",
+        f"explode({_probe_over_cents_sql(qvec_col, n_probe)}) AS cell",
+    )
+    probed_cells = [
+        int(r["cell"]) for r in probe.select("cell").distinct().collect()
+    ]
+    table = spark.read.parquet(path)
+    probed = table.filter(F.col("cell").isin(probed_cells))
+    codebook = spark.read.parquet(ivf_codebook_path(path))
+    luts_q = _pq_luts_batch(codebook, queries, query_id_col, qvec_col)
+    adc = (
+        probed.select(F.col("id").alias("vec_id"), "codes", "cell")
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(luts_q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            P.rounded(
+                F.expr(
+                    "aggregate(zip_with(codes, luts,"
+                    " (c, l) -> element_at(l, cast(c AS INT) + 1)),"
+                    " 0.0D, (acc, x) -> acc + x)"
+                )
+            ).alias("score"),
+        )
+    )
+    cand = topk_per_group(adc, "query_id", k * oversample).select(
+        "query_id", "vec_id"
+    )
+    rescored = (
+        probed.select(F.col("id").alias("vec_id"), "v")
+        .join(F.broadcast(cand), "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(qvec_col).alias("qvec"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            P.rounded(P.cosine(F.col("v"), F.col("qvec"))).alias("score"),
+        )
+    )
+    return topk_per_group(rescored, "query_id", k)
+
+
 def pq_topk_batch(
     vectors: DataFrame,
     queries: DataFrame,

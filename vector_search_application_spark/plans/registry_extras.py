@@ -719,6 +719,104 @@ def _ivfpq_index_scratch() -> str:
     return _IVFPQ_SCRATCH[0]
 
 
+IVFPQ_BATCH_NQ = 20  # mirrors IVF_BATCH_NQ: the warm-batch serving shape
+
+
+@declare(
+    "ivfpq_index_lookup_batch",
+    f"""
+WITH {_PQ_CODE_CTES},
+cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings WHERE vec_id < {IVF_CENTS_BOUND_SQL}
+),
+cells AS (
+    SELECT id AS vec_id, centroid_id AS cell FROM (
+        SELECT e.vec_id AS id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('e.embedding', 'c.cvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cents c
+    ) WHERE rn = 1
+),
+qs AS (
+    SELECT vec_id AS query_id, embedding AS qvec
+    FROM embeddings WHERE vec_id < {IVFPQ_BATCH_NQ}
+),
+qcells AS (
+    SELECT query_id, centroid_id AS cell FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {P.rounded_sql(P.cosine_sql('c.cvec', 'q.qvec'))} DESC,
+                            c.centroid_id ASC) AS rn
+        FROM cents c CROSS JOIN qs q
+    ) WHERE rn <= {IVF_PROBES_BOUND_SQL}
+),
+lut AS (
+    SELECT q.query_id, c.s, c.j,
+           round(CAST({P.dot_sql(_PQ_QSUB_DUCK, 'c.cw')} AS DOUBLE), 6) AS w
+    FROM cb c CROSS JOIN qs q
+),
+adc AS (
+    -- ordered left fold, NOT sum(): the Spark side folds the LUT in
+    -- s-order in-row (same pinned discipline as ivfpq_topk)
+    SELECT l.query_id, cd.vec_id,
+           round(CAST(list_aggregate(list(l.w ORDER BY cd.s), 'sum') AS DOUBLE), 6) AS score
+    FROM codes cd
+    JOIN cells ce ON ce.vec_id = cd.vec_id
+    JOIN qcells qc ON qc.cell = ce.cell
+    JOIN lut l ON l.query_id = qc.query_id AND l.s = cd.s AND l.j = cd.code
+    GROUP BY l.query_id, cd.vec_id
+),
+cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+        FROM adc
+    ) WHERE rn <= {K * PQ_OVERSAMPLE}
+),
+rescored AS (
+    SELECT c.query_id, e.vec_id,
+           {P.rounded_sql(P.cosine_sql('e.embedding', 'q.qvec'))} AS score
+    FROM cand c
+    JOIN embeddings e USING (vec_id)
+    JOIN qs q USING (query_id)
+)
+SELECT query_id, vec_id, score FROM (
+    SELECT query_id, vec_id, score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM rescored
+) WHERE rn <= {K}
+""",
+    survey_ids="I1,I2,I4,ann-ivfpq,V1",
+)
+def q_ivfpq_index_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched search over the PERSISTED IVF-PQ layout — the warm
+    serving shape for query batches (the r12 VERDICT's asked-for twin
+    of ivf_index_lookup_batch): {IVFPQ_BATCH_NQ} queries rank their
+    probe lists in-plan over the stored centroid metadata, the layout
+    scan prunes to the union of probed cells as a literal
+    PartitionFilter and reads ONLY the codes column for the per-query
+    ADC fold (each code row scored just for the queries that probed
+    its cell), then exact cosine rescores the per-query oversampled
+    survivors from the layout's vector column. Same oracle family as
+    ivfpq_topk, batched; rebuilds the layout in the shared
+    per-process scratch like ivfpq_index_lookup."""
+    from ..operators import ann
+
+    vecs = corpus.vectors(spark, sf_dir)
+    path = _ivfpq_index_scratch()
+    ann.write_ivfpq_indexed(vecs, path)
+    queries = vecs.filter(F.col("vec_id") < IVFPQ_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.ivfpq_indexed_topk_batch(spark, path, queries)
+
+
 # ---------------------------------------------------------------------------
 # I2 batched — PQ over a query batch (shared codes, per-query LUT)
 # ---------------------------------------------------------------------------
