@@ -972,53 +972,43 @@ from . import registry_curation  # noqa: E402,F401
 # OLDEST-FIRST, with the override that queries whose backing code
 # changed since their last driver verification re-enter regardless of
 # age. Displaced queries keep tests/test_registry_oracle.py as their
-# net. After this (r12) window runs, no query's last driver row is
-# older than r10 (the r11 VERDICT task-4 done condition): the
-# complete 32-query r9-stale cohort seats below, so the only
-# out-of-window queries are r10/r11 greens whose code is untouched
-# this round.
+# net. After this (r13) window runs, no query's last driver row is
+# older than r11 (the r12 VERDICT task-1 done condition): the
+# complete 34-query r10-stale cohort seats below, plus the
+# changed-code cohort and ten r11 seats; the remaining 32 r11 greens
+# stay current enough for one more round.
 
 DRIVER_WINDOW = [
     # Code changed THIS round re-enters regardless of age (r7 policy):
-    # the streaming near-dup state moved to the (__epoch, __bucket)
-    # pruned-read layout (replay sees exactly the pre-batch state) ...
+    # the streaming near-dup state reads now self-heal torn-compaction
+    # duplicates (read_state_pruned dedup_cols) ...
     "stream_neardup_ingest",
-    # ... and operators/ann.py gained the prebuilt-cent_tbl schedule
-    # guards + the torn-build stamp on the indexed layout, so the
-    # whole IVF/ANN module cohort re-enters (kmeans rows-only by
-    # design) ...
-    "ivf_topk", "ivf_topk_filtered", "ivfpq_topk", "ivf_index_lookup",
-    "ivf_topk_batch", "ivf_kmeans_topk", "pq_kmeans_topk",
-    "semantic_dedup_kmeans",
-    # ... the complete 32-query r9-stale cohort (r11 VERDICT task 4 —
-    # oldest evidence first; stream_dedup_ingest also backs onto the
-    # changed ingest module) ...
-    "validate_quarantine", "doc_content_hash", "dedup_exact",
-    "dedup_ngram_jaccard", "embed_search_topk",
-    "export_sharded_roundtrip", "directory_import_full",
-    "stream_dedup_ingest", "stream_embed_ingest", "stream_ingest_upsert",
-    "stream_events_window", "stream_sessionize",
-    "event_asof_join", "event_funnel", "event_props_agg",
-    "event_sessionize", "event_sliding_avg",
-    "mmr_rerank_topk", "semantic_dedup", "multimodal_dedup_stats",
-    "quality_filter_funnel", "source_data_card",
-    "source_length_quantiles", "token_accounting_rollup",
-    "dataset_split", "dataset_split_balance", "deterministic_sample",
-    "mixture_sample", "temperature_mixture",
-    "chunk_embed_pool", "epoch_shuffle", "vocab_topn",
-    # ... and the oldest r10 slots as far as the 50 allow: the r11
-    # watch mover, the ann-module siblings (hyperplane/quantized
-    # paths share the changed module), and the incremental dedup
-    # trio. The remaining r10/r11 greens stay on r13's seat list with
-    # the pytest oracle sweep as their net.
-    "training_manifest_full", "embedding_neardup",
-    "binary_quantized_topk", "mllib_lsh_topk", "dedup_minhash_lsh",
-    "dedup_incremental", "embedding_incremental",
-    # ... and the NEW r12 queries (IVF-PQ serving layout; batched
-    # indexed lookup) enter on arrival, displacing two r10 greens
-    # (dense_topk_batch_salted, semantic_dedup_incremental — both
-    # keep their r10 rows + the pytest oracle net).
-    "ivfpq_index_lookup", "ivf_index_lookup_batch",
+    # ... _read_indexed_cents gained the unstamped-cents torn-build
+    # direction (every persisted-layout lookup), and the batched ADC
+    # LUT builder was factored out of pq_topk_batch for the NEW
+    # batched warm IVF-PQ lookup, which enters on arrival ...
+    "ivf_index_lookup", "ivf_index_lookup_batch", "ivfpq_index_lookup",
+    "pq_topk_batch", "ivfpq_index_lookup_batch",
+    # ... the complete 34-query r10-stale cohort (r12 VERDICT task 1 —
+    # oldest evidence first) ...
+    "benchmark_decontaminate", "boilerplate_ngrams", "corpus_counts",
+    "dedup_canonical_quality", "dedup_cap_stats", "dedup_components",
+    "dedup_components_star", "dedup_exact_then_near", "dedup_simhash",
+    "dedup_substring_spans", "delta_classify", "dense_postfilter",
+    "dense_threshold", "dense_topk_batch_salted", "embed_documents",
+    "embed_query", "keyset_page", "lineitem_pricing_summary",
+    "local_supplier_revenue", "normalize_min_max",
+    "order_priority_semijoin", "returned_item_report",
+    "revenue_by_nation", "scroll_page", "search_details_projection",
+    "semantic_dedup_incremental", "substring_scrub_card", "text_langid",
+    "text_pii_scrub", "text_quality", "text_repetition", "token_stats",
+    "top_customer_revenue", "version_current",
+    # ... and ten r11 seats (all remaining evidence is r11/r12; these
+    # ten cover the headline families + sources + mutations so the
+    # leftover 32 r11 greens are at most one further round stale).
+    "bm25_topk", "dense_topk", "hybrid_rrf", "fusion_max_dedup",
+    "upsert_merge", "partno_classifier", "json_export_roundtrip",
+    "doc_fingerprint", "quantized_topk", "targz_import",
 ]
 
 
