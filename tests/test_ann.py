@@ -611,14 +611,24 @@ def test_ivf_indexed_unstamped_cents_refuses(spark, tmp_path):
     assert ann.ivf_indexed_topk(spark, path, q).count() == K
 
 
-def _mog_fixture(spark, n_clusters=16, per_cluster=60, dim=32, sigma=0.05):
+def _mog_fixture(
+    spark, n_clusters=16, per_cluster=60, dim=32, sigma=0.05,
+    interleaved=False,
+):
     """Mixture-of-Gaussians embedding fixture (deterministic seed):
     unit-norm cluster centers (near-orthogonal at this dim), tight
     per-cluster noise — the clusterable structure real embeddings have
     and the near-uniform corpus fixture lacks, so trained-kmeans IVF
     can be held to SURVEY §7's >=0.95 recall discipline instead of a
-    fixture-capped 0.8 (r11 VERDICT task 3). vec_id = cluster * 1000 +
-    member, so a query's true top-k live in its own cluster."""
+    fixture-capped 0.8 (r11 VERDICT task 3). Default ids are
+    vec_id = cluster * 1000 + member, so a query's true top-k live in
+    its own cluster. interleaved=True instead assigns
+    vec_id = member * n_clusters + cluster, so the FIRST n_clusters
+    ids are one vector per cluster — the seed coverage a
+    deterministic first-N build (centroid_table, pq_codebook) gets
+    from a shuffled production corpus; with block ids those seeds all
+    come from cluster 0 and the measurement is seed-layout pathology,
+    not operator quality."""
     import numpy as np
 
     rng = np.random.default_rng(12)
@@ -627,9 +637,110 @@ def _mog_fixture(spark, n_clusters=16, per_cluster=60, dim=32, sigma=0.05):
         center = rng.standard_normal(dim)
         center /= np.linalg.norm(center)
         for m in range(per_cluster):
+            vid = m * n_clusters + c if interleaved else c * 1000 + m
             v = center + sigma * rng.standard_normal(dim)
-            rows.append((c * 1000 + m, [float(x) for x in v]))
+            rows.append((vid, [float(x) for x in v]))
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _mog_recalls(spark, vecs, getter, qids):
+    """Recall@K of ``getter(q, qid)`` vs brute-force cosine top-K over
+    the fixture, one value per query id."""
+    recalls = []
+    for qid in qids:
+        q = vecs.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qvec")
+        )
+        exact_rows = (
+            vecs.crossJoin(q)
+            .select(
+                F.col("vec_id").alias("id"),
+                P.rounded(P.cosine(F.col("embedding"), F.col("qvec"))).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.desc("score"), F.asc("id"))
+            .limit(K)
+            .collect()
+        )
+        exact = {r.id for r in exact_rows}
+        recalls.append(len(getter(q, qid) & exact) / K)
+    return recalls
+
+
+def test_ivfpq_clustered_recall(spark):
+    """IVF-PQ's operator-set quality bar (r12 VERDICT task 2): on the
+    mixture-of-Gaussians corpus (dim=64 so the PQ subspace slicing is
+    exercised in full; interleaved ids so the deterministic first-N
+    seeds span clusters) the funnel must be near-lossless. Measured:
+    oversample=4 (default) mean 0.79/min 0.6 with the loss ENTIRELY at
+    the ADC cut — n_probe=8 and 12 reproduce 0.79 exactly, while
+    oversample=8 is 1.0/1.0 at the scheduled probes — because a tight
+    cluster's ~120 candidates have near-tied ADC scores and the k*4
+    cut is ~random within them. So the bar is set at oversample=8
+    (mean 1.0 measured; gate 0.9/0.8), and the default-parameter
+    near-uniform trip-wire (test_ivfpq_recall, 0.7/0.5) stays as-is.
+    Callers on clustered corpora should budget oversample >= 2x the
+    expected same-cluster candidate tie-mass over k."""
+    vecs = _mog_fixture(spark, dim=64, interleaved=True)
+    recalls = _mog_recalls(
+        spark,
+        vecs,
+        lambda q, qid: {
+            r.vec_id for r in ann.ivfpq_topk(vecs, q, oversample=8).collect()
+        },
+        list(range(10)),
+    )
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, f"IVF-PQ mean recall on MoG: {mean} ({recalls})"
+    assert min(recalls) >= 0.8, f"IVF-PQ min recall on MoG: {recalls}"
+
+
+def test_pq_kmeans_clustered_recall(spark):
+    """Trained-codebook PQ's operator-set bar: per-subspace MLlib
+    KMeans codewords on the MoG corpus, oversample=8 (same ADC-cut
+    reasoning as test_ivfpq_clustered_recall; measured 1.0/1.0 —
+    trained codewords separate the clusters where the near-uniform
+    fixture capped the same operator at 0.55). The near-uniform
+    trip-wire (test_pq_kmeans_recall) stays as-is."""
+    vecs = _mog_fixture(spark, dim=64, interleaved=True)
+    recalls = _mog_recalls(
+        spark,
+        vecs,
+        lambda q, qid: {
+            r.vec_id
+            for r in ann.pq_kmeans_topk(
+                spark, vecs, q, oversample=8
+            ).collect()
+        },
+        list(range(10)),
+    )
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.9, f"trained-PQ mean recall on MoG: {mean} ({recalls})"
+    assert min(recalls) >= 0.8, f"trained-PQ min recall on MoG: {recalls}"
+
+
+def test_mllib_lsh_clustered_recall(spark):
+    """MLlib LSH's operator-set bar on the MoG corpus at the index's
+    default schedule (bucket_length=2, 3 tables, seed 42): measured
+    mean 0.89 / min 0.8 — Euclidean-LSH vs cosine ground truth on
+    unnormalized vectors keeps it under the PQ family's 1.0, which is
+    the honest operator ceiling, not fixture pathology. Gate just
+    under; the near-uniform trip-wire (test_mllib_lsh_recall,
+    0.85/0.6) stays as-is."""
+    vecs = _mog_fixture(spark, dim=64, interleaved=True)
+    model, vec = ann.mllib_lsh_index(vecs)
+
+    def getter(q, qid):
+        key = vec.filter(F.col("id") == qid).first()["features"]
+        return {
+            r.id for r in model.approxNearestNeighbors(vec, key, K).collect()
+        }
+
+    recalls = _mog_recalls(spark, vecs, getter, list(range(10)))
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.85, f"MLlib-LSH mean recall on MoG: {mean} ({recalls})"
+    assert min(recalls) >= 0.7, f"MLlib-LSH min recall on MoG: {recalls}"
 
 
 def test_ivf_kmeans_clustered_recall(spark):
