@@ -27,12 +27,15 @@ partial agg over ~len(query) posting slices, never a corpus shuffle.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
 from ..functions.cache import tracked_persist
 from ..plans.constants import BM25_B, BM25_K1, K
+from ..sources import layout as _layout_meta
 
 
 def build_postings(
@@ -137,12 +140,18 @@ def bm25_score_terms(
     qterms: DataFrame,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document containing at least one query term.
 
     Returns (id, score) with score rounded for engine/oracle parity.
+    ``stats`` overrides the derived corpus aggregate — REQUIRED when
+    ``postings`` is a pruned slice of a persisted index (the bucket
+    probe keeps only the query terms' buckets, so stats derived from
+    the slice would be the slice's, not the corpus's).
     """
-    stats = corpus_stats(postings)
+    if stats is None:
+        stats = corpus_stats(postings)
     # df is only needed for the handful of query terms, so aggregate the
     # term-probed slice, never the full term dictionary (at 100 TB the
     # dictionary agg is a corpus-wide shuffle; the probe is a broadcast
@@ -189,6 +198,7 @@ def bm25_score_terms_batch(
     qterms: DataFrame,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, id, score) for a BATCH of queries in one plan.
 
@@ -210,8 +220,12 @@ def bm25_score_terms_batch(
     exchange moves anything. Measured at the x100 probe: the single
     coarse exchange was ~25% SLOWER (81 s vs 64 s warm-cache) — the
     exchange-sharing trick only pays when the shuffled relation is
-    already a bounded per-query list."""
-    stats = corpus_stats(postings)
+    already a bounded per-query list.
+
+    ``stats`` overrides the derived corpus aggregate — required for
+    pruned persisted-index slices, as in bm25_score_terms."""
+    if stats is None:
+        stats = corpus_stats(postings)
     terms_only = qterms.select("term").distinct()
     probed = postings.join(F.broadcast(terms_only), "term")
     dfreq = doc_frequency(probed)
@@ -226,3 +240,160 @@ def bm25_score_terms_batch(
         .groupBy("query_id", "id")
         .agg(P.rounded(F.sum("w")).alias("score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 index as physical layout: term-bucketed postings + pruned lookup
+# ---------------------------------------------------------------------------
+# The module docstring's scale shape made real (the reference's sparse
+# index, scripts/indexing.py:349-356, as table layout — the same
+# discipline as write_ivf_indexed for the dense side): until r13 the
+# only warm BM25 was the in-process CacheManager materialization, which
+# dies with the process and still lists every postings file per query.
+# Persisted, the postings partition by a hash bucket of the term, so a
+# query's probe prunes to |query terms| bucket DIRECTORIES before any
+# file I/O, and the corpus-global (n_docs, avgdl) stats row persists
+# beside the layout — it cannot be derived from a pruned slice.
+
+BM25_BUILD_META = "_BM25_BUILD.json"
+BM25_N_TERM_BUCKETS = 64
+TERM_BUCKET_COL = "__tbucket"
+
+
+def bm25_stats_path(path: str) -> str:
+    """Where write_bm25_indexed persists the corpus-stats row."""
+    return path.rstrip("/") + "_stats"
+
+
+def _term_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets))
+
+
+def write_bm25_indexed(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = BM25_N_TERM_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """BM25 index BUILD as physical layout: postings partitioned by
+    term-hash bucket (clustered before the write — one task -> one file
+    per bucket, the write_ivf_indexed lesson), the corpus-stats row
+    beside it, both stamped with one build id. Write order = torn-build
+    discipline (the LONG postings write first, then the meta, then the
+    stamped stats last): an interruption anywhere leaves a pair the
+    lookup refuses instead of scoring with stats that don't match the
+    stored postings (a wrong avgdl silently shifts every score).
+
+    n_buckets bounds the per-query directory listing; at 100 TB raise
+    it so a bucket's posting slice fits an executor read (the value is
+    persisted in the meta, so lookups never guess)."""
+    spark = docs.sparkSession
+    postings = build_postings(docs, id_col=id_col, text_col=text_col,
+                              persist=False)
+    staged = postings.withColumn(
+        TERM_BUCKET_COL, _term_bucket(F.col("term"), n_buckets)
+    ).repartition(F.col(TERM_BUCKET_COL))
+    staged.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(path)
+    build_id = uuid.uuid4().hex
+    _layout_meta.write_json_meta(
+        spark, path, BM25_BUILD_META,
+        {"build_id": build_id, "n_buckets": n_buckets},
+    )
+    # stats derive from the WRITTEN layout (a 2-column scan), so they
+    # describe exactly the postings a lookup will probe
+    stats = corpus_stats(spark.read.parquet(path))
+    stats.withColumn("build_id", F.lit(build_id)).write.mode(
+        "overwrite"
+    ).parquet(bm25_stats_path(path))
+
+
+def _read_bm25_index(spark, path: str):
+    """(stats_df, n_buckets) for a persisted BM25 layout, refusing a
+    torn build — both directions, same contract as the IVF layouts'
+    _read_indexed_cents: a stamped-stats/meta mismatch AND an unstamped
+    stats row beside a stamped layout each mean a rebuild died between
+    the writes; only a fully pre-stamp pair passes unverified (then
+    n_buckets falls back to the default)."""
+    stats = spark.read.parquet(bm25_stats_path(path))
+    meta = _layout_meta.read_json_meta(spark, path, BM25_BUILD_META)
+    if "build_id" in stats.columns:
+        stats_bid = stats.select("build_id").first()["build_id"]
+        if meta is None or meta.get("build_id") != stats_bid:
+            raise ValueError(
+                f"BM25 index at {path} is torn: stats build_id "
+                f"{stats_bid!r} does not match the layout's "
+                f"{None if meta is None else meta.get('build_id')!r} "
+                f"— rebuild it"
+            )
+        stats = stats.drop("build_id")
+    elif meta is not None:
+        raise ValueError(
+            f"BM25 index at {path} is torn: the layout carries build_id "
+            f"{meta.get('build_id')!r} but the stats row beside it is "
+            f"unstamped — a rebuild died between the writes; rebuild it"
+        )
+    n_buckets = (meta or {}).get("n_buckets", BM25_N_TERM_BUCKETS)
+    return stats, int(n_buckets)
+
+
+def _probed_postings(spark, path: str, qterms: DataFrame, n_buckets: int):
+    """The pruned slice of a persisted layout: the query terms' bucket
+    ids (a bounded driver list of <= |terms| ints, the probe_cells_tbl
+    pattern — the ids MUST be literals so they land as PartitionFilters
+    and prune bucket directories before file I/O) select the only
+    directories that can hold a matching posting row."""
+    buckets = [
+        r["b"]
+        for r in qterms.select(
+            _term_bucket(F.col("term"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col(TERM_BUCKET_COL).isin(buckets))
+        .drop(TERM_BUCKET_COL)
+    )
+
+
+def bm25_indexed_topk(
+    spark, path: str, query_text: str, k: int = K
+) -> DataFrame:
+    """BM25 search over the persisted layout — the warm serving shape:
+    probe the query terms' bucket directories only, score the slice
+    against the persisted corpus stats, top-k. Equals bm25_topk
+    row-for-row (the layout is semantically invisible: the probed
+    slice contains every posting row any query term matches, df
+    aggregates over that slice exactly as the in-memory scorer's
+    term-probe does, and stats are the persisted corpus-global row)."""
+    stats, n_buckets = _read_bm25_index(spark, path)
+    qterms = query_terms(spark, query_text)
+    postings = _probed_postings(spark, path, qterms, n_buckets)
+    scored = bm25_score_terms(postings, qterms, stats=stats)
+    return scored.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def bm25_indexed_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = K,
+    qid_col: str = "query_id",
+    text_col: str = "qtext",
+) -> DataFrame:
+    """Batched BM25 over the persisted layout: the BATCH's distinct
+    term set prunes to the union of term buckets (still a bounded
+    driver list), the slice is probed once for all queries, and
+    scoring + per-query top-k mirror bm25_score_terms_batch with the
+    persisted stats row. Equals bm25_topk_batch row-for-row."""
+    from .topk import topk_per_group
+
+    stats, n_buckets = _read_bm25_index(spark, path)
+    qterms = query_terms_batch(queries, qid_col=qid_col, text_col=text_col)
+    postings = _probed_postings(
+        spark, path, qterms.select("term").distinct(), n_buckets
+    )
+    scored = bm25_score_terms_batch(postings, qterms, stats=stats)
+    return topk_per_group(scored, "query_id", k, id_col="id")

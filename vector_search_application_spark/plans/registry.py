@@ -669,6 +669,81 @@ def q_bm25_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# I3/I4 — BM25 index as physical layout: term-bucketed postings +
+# pruned lookup (the sparse twin of the IVF serving layouts; declared
+# HERE, not in registry_extras, because the oracle reuses the
+# bm25_topk/_batch SQL above, which the sibling-import snapshot at the
+# top of registry_extras predates)
+# ---------------------------------------------------------------------------
+
+_BM25_INDEX_SCRATCH: list[str] = []
+
+
+def _bm25_index_scratch() -> str:
+    """One mkdtemp per process for the BM25 layout rebuild, rmtree'd
+    at exit. write_bm25_indexed overwrites, so reuse is safe."""
+    if not _BM25_INDEX_SCRATCH:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="bm25_index_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _BM25_INDEX_SCRATCH.append(os.path.join(root, "postings"))
+    return _BM25_INDEX_SCRATCH[0]
+
+
+_BM25_TOPK_SQL = next(d.sql for d in REGISTRY if d.name == "bm25_topk")
+_BM25_TOPK_BATCH_SQL = next(
+    d.sql for d in REGISTRY if d.name == "bm25_topk_batch"
+)
+
+
+@declare(
+    "bm25_index_lookup",
+    _BM25_TOPK_SQL,  # the layout must be semantically invisible:
+    # same oracle as bm25_topk (postings + stats + df + score + top-k)
+    survey_ids="E2,V2,I3,I4",
+)
+def q_bm25_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 index BUILD as partitioned table layout + pruned search
+    (operators/bm25.write_bm25_indexed / bm25_indexed_topk): postings
+    persist partitioned by term-hash bucket with the corpus-stats row
+    stamped beside them, then the query's term buckets prune every
+    other bucket directory BEFORE file I/O (PartitionFilters, asserted
+    in tests/test_bm25_index.py) and scoring runs against the
+    persisted stats. Until r13 warm BM25 existed only as the
+    in-process cache; this is the restart-surviving serving shape.
+    Rebuilds in a per-process scratch like ivf_index_lookup."""
+    docs = corpus.docs(spark, sf_dir)
+    path = _bm25_index_scratch()
+    bm25.write_bm25_indexed(docs, path)
+    return bm25.bm25_indexed_topk(spark, path, QUERY_TEXT, K)
+
+
+@declare(
+    "bm25_index_lookup_batch",
+    _BM25_TOPK_BATCH_SQL,  # same oracle as bm25_topk_batch
+    survey_ids="E2,E4,V2,I3,I4",
+)
+def q_bm25_index_lookup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 over the persisted term-bucketed layout: the
+    batch's distinct terms prune to the union of term buckets (a
+    bounded driver int list), the slice is probed once for all
+    queries, and scoring + per-query top-k run against the persisted
+    stats row. Same oracle as bm25_topk_batch (row-identical by
+    construction)."""
+    docs = corpus.docs(spark, sf_dir)
+    path = _bm25_index_scratch()
+    bm25.write_bm25_indexed(docs, path)
+    queries = docs.filter(F.col("doc_id") < BM25_BATCH_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    return bm25.bm25_indexed_topk_batch(spark, path, queries, K)
+
+
+# ---------------------------------------------------------------------------
 # V3/F1 batched: hybrid RRF over the query batch
 # ---------------------------------------------------------------------------
 
@@ -1003,12 +1078,15 @@ DRIVER_WINDOW = [
     "semantic_dedup_incremental", "substring_scrub_card", "text_langid",
     "text_pii_scrub", "text_quality", "text_repetition", "token_stats",
     "top_customer_revenue", "version_current",
-    # ... and ten r11 seats (all remaining evidence is r11/r12; these
-    # ten cover the headline families + sources + mutations so the
-    # leftover 32 r11 greens are at most one further round stale).
+    # ... the NEW r13 queries (persisted BM25 serving layout) enter on
+    # arrival ...
+    "bm25_index_lookup", "bm25_index_lookup_batch",
+    # ... and eight r11 seats (all remaining evidence is r11/r12;
+    # these cover the headline families + sources + mutations so the
+    # leftover r11 greens are at most one further round stale).
     "bm25_topk", "dense_topk", "hybrid_rrf", "fusion_max_dedup",
     "upsert_merge", "partno_classifier", "json_export_roundtrip",
-    "doc_fingerprint", "quantized_topk", "targz_import",
+    "doc_fingerprint",
 ]
 
 
