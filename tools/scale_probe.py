@@ -377,6 +377,85 @@ def main(ks: list[int]) -> int:
         # lineitem family) pushed the executor heap over the edge (OOM
         # observed on the first x100 run after the TPC-H additions)
         release_all()
+        # --- BM25 build/warm split (r12 VERDICT task 5, same shape as
+        # the IVF stage rows): the bm25_topk headline row's x100 ratio
+        # embeds the one-time postings build (76s cold vs 4.85s warm in
+        # the r12 adjudication) — a build cost headlined as query
+        # scaling. Time the stages apart: bm25_postings_build is the
+        # tokenize + (id, term) aggregation alone (cold, cache released
+        # per rep so CacheManager can't serve the previous rep's
+        # materialization); bm25_topk_warm scores the golden query
+        # against the persisted postings — the per-query serving number
+        # a deployment pays after amortizing the index.
+        from vector_search_application_spark.operators import bm25 as _bm25
+        from vector_search_application_spark.plans.constants import (
+            K as _K,
+            QUERY_TEXT as _QTEXT,
+        )
+
+        docs = _corpus.docs(spark, sf_dir)
+        reps = []
+        for _ in range(2):
+            release_all()
+            t0 = time.perf_counter()
+            p = _bm25.build_postings(docs, persist=False)
+            p.agg(
+                F.bit_xor(F.xxhash64("id", "term", "tf", "doc_len"))
+            ).collect()
+            reps.append(round(time.perf_counter() - t0, 3))
+        ivf_stage_reps["bm25_postings_build"] = reps
+        timings["bm25_postings_build"] = min(reps)
+        print(f"  x{k} bm25_postings_build: {reps}",
+              file=sys.stderr, flush=True)
+        postings = _bm25.build_postings(docs)  # the persisted index
+        postings.count()  # materialize OUTSIDE the timed window
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            scored = _bm25.bm25_score_terms(
+                postings, _bm25.query_terms(spark, _QTEXT)
+            )
+            df = scored.orderBy(F.desc("score"), F.asc("id")).limit(_K)
+            df.agg(
+                F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+            ).collect()
+            reps.append(round(time.perf_counter() - t0, 3))
+        ivf_stage_reps["bm25_topk_warm"] = reps
+        timings["bm25_topk_warm"] = min(reps)
+        print(f"  x{k} bm25_topk_warm: {reps}", file=sys.stderr, flush=True)
+        release_all()
+        # persisted-layout twin (r13): write_bm25_indexed is the
+        # restart-surviving one-time build (term-bucketed postings +
+        # stamped stats); bm25_indexed_topk is the pruned warm lookup —
+        # the exact IVF build/lookup split applied to the sparse index
+        bm25_root = tempfile.mkdtemp(prefix=f"probe_bm25_x{k}_")
+        try:
+            reps = []
+            for rep_i in range(2):
+                bdir = os.path.join(bm25_root, f"postings{rep_i}")
+                t0 = time.perf_counter()
+                _bm25.write_bm25_indexed(docs, bdir)
+                reps.append(round(time.perf_counter() - t0, 3))
+            ivf_stage_reps["bm25_index_build"] = reps
+            timings["bm25_index_build"] = min(reps)
+            print(f"  x{k} bm25_index_build: {reps}",
+                  file=sys.stderr, flush=True)
+            bdir = os.path.join(bm25_root, "postings1")
+            reps = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = _bm25.bm25_indexed_topk(spark, bdir, _QTEXT, _K)
+                df.agg(
+                    F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))
+                ).collect()
+                reps.append(round(time.perf_counter() - t0, 3))
+            ivf_stage_reps["bm25_index_lookup_warm"] = reps
+            timings["bm25_index_lookup_warm"] = min(reps)
+            print(f"  x{k} bm25_index_lookup_warm: {reps}",
+                  file=sys.stderr, flush=True)
+        finally:
+            shutil.rmtree(bm25_root, ignore_errors=True)
+        release_all()
         # --- streaming family: wall time + state-store growth ---------
         # Real streaming runs (file source, AvailableNow): sessionize's
         # session_window keeps one state row per OPEN SESSION (keys),
@@ -534,7 +613,11 @@ def main(ks: list[int]) -> int:
         for name in PROBE_QUERIES + ["ivf_assign_scan", "ivf_index_build",
                                      "ivf_index_lookup_warm",
                                      "ivfpq_index_build",
-                                     "ivfpq_index_lookup_warm"]:
+                                     "ivfpq_index_lookup_warm",
+                                     "bm25_postings_build",
+                                     "bm25_topk_warm",
+                                     "bm25_index_build",
+                                     "bm25_index_lookup_warm"]:
             row = [results[k][name] for k in results]
             base_t = results[1][name]
             ratio = results[kmax][name] / base_t if base_t > 0 else float("inf")
@@ -637,6 +720,20 @@ cold number: the r10 sqrt schedule (C = max(8, ceil(sqrt(n))) ->
 448 centroids at 200k vectors, probes = ceil(log2(C)) = 9) makes
 the assignment O(n^1.5) — the standard IVF training cost — while
 the per-QUERY scan fraction is probes/C ~ 2%.
+The BM25 family gets the same split (r13): the bm25_topk headline row
+keeps its historical form (build + query fused, best-of-2 with the
+CacheManager warm on rep 2), but bm25_postings_build isolates the
+one-time tokenize + (id, term) aggregation (cache released per rep so
+both reps are genuinely cold) and bm25_topk_warm scores the golden
+query against the already-materialized postings — the posting-probe +
+score + top-k cost a deployment pays per query once the index is
+amortized, the row that should stay near-flat across K.
+bm25_index_build / bm25_index_lookup_warm are the PERSISTED twins
+(write_bm25_indexed: postings partitioned by term-hash bucket with the
+stamped corpus-stats row beside them): the build is the one-time
+restart-surviving cost, and the warm lookup prunes to the query
+terms' bucket directories before file I/O — the sparse serving number
+that corresponds to ivf_index_lookup_warm on the dense side.
 Queries are forced via a one-row xxhash64 aggregate over every output
 column, so timings measure the distributed plan, not a driver collect.
 """.replace("{kmax}", str(kmax)).replace(
