@@ -61,6 +61,30 @@ def on_release(hook) -> None:
     _RELEASE_HOOKS.append(hook)
 
 
+_PLAN_MEMO: list = []
+
+
+def plan_memo(dfs, key: tuple, build):
+    """Memoize an index-shaped DataFrame per (input plans, params):
+    return the recorded value when every input plan sameSemantics-
+    matches, else build(), record, return. Builders tracked_persist
+    their result, so release_all() both frees the blocks and (below)
+    forgets the memo — a stale entry can never hand back a
+    silently-uncached plan. ``dfs`` is one DataFrame or a tuple."""
+    if isinstance(dfs, DataFrame):
+        dfs = (dfs,)
+    for edfs, ekey, val in _PLAN_MEMO:
+        if (
+            ekey == key
+            and len(edfs) == len(dfs)
+            and all(a.sameSemantics(b) for a, b in zip(dfs, edfs))
+        ):
+            return val
+    val = build()
+    _PLAN_MEMO.append((tuple(dfs), key, val))
+    return val
+
+
 def release_all() -> int:
     """Unpersist every tracked DataFrame; returns count released."""
     n = 0
@@ -71,6 +95,7 @@ def release_all() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     _LIVE.clear()
+    _PLAN_MEMO.clear()
     for hook in _RELEASE_HOOKS:
         try:
             hook()

@@ -59,7 +59,11 @@ def hash_sign_sql(h: str) -> str:
 
 
 def embed_postings(
-    docs: DataFrame, id_col: str, text_col: str, dim: int = HASH_EMBED_DIM
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = HASH_EMBED_DIM,
+    index: bool = False,
 ) -> DataFrame:
     """(id, dim, comp): L2-normalized signed-hash embedding, exploded.
 
@@ -67,12 +71,35 @@ def embed_postings(
     window) — all map-side-combinable, no corpus-wide shuffle beyond
     the (id, dim) grouping. Docs with no tokens produce no rows (the
     zero vector's sparse representation).
+
+    index=True memoizes + persists the result per (docs plan, params)
+    — r13: the embedded corpus IS the dense index (the reference
+    stores exactly this in its vector store), so a warm session embeds
+    once instead of re-running tokenize + md5 + two aggregations per
+    execution, the same policy bm25.build_postings applies to the
+    sparse index. The driver's gate still embeds per query
+    (release_all() clears the memo with the cached blocks). Callers
+    that embed a STREAM of distinct inputs — foreachBatch micro-
+    batches (streaming/ingest.py), the Engine's per-import-cycle
+    rebuilds (api.py, which runs its own persist/release lifecycle) —
+    keep the default index=False: memoizing per-batch plans would pin
+    a persisted copy of every batch until release_all().
     """
     if dim > 64:
         raise ValueError(
             f"signed-hash embedding supports dim <= 64 (got {dim}): the "
             "sign bit (bit 6) is only independent of the dim index below "
             "that bound — see hash_sign"
+        )
+    if index:
+        from .cache import plan_memo, tracked_persist
+
+        return plan_memo(
+            docs,
+            ("embed_postings", id_col, text_col, dim),
+            lambda: tracked_persist(
+                embed_postings(docs, id_col, text_col, dim, index=False)
+            ),
         )
     # NULL ids are unindexable (T5: the reference requires _id at
     # upload) — same exclusion as bm25.build_postings; without it

@@ -170,6 +170,12 @@ def quality_score_sql(expr: str) -> str:
     )
 
 
+def quality_score_expr(text_sql: str) -> Column:
+    """``quality_score`` over a SQL column reference — the expr-string
+    fast path (see quality_features_expr)."""
+    return quality_features_expr(text_sql)[0]["quality"]
+
+
 def quality_features(text: Column) -> Column:
     """1-element ``array<struct<punct_ratio, uniq_ratio, quality,
     n_tokens, stopword_ratio>>`` with the token array bound ONCE as a
@@ -217,6 +223,54 @@ def quality_features(text: Column) -> Column:
             )
         ),
         build,
+    )
+
+
+def quality_features_expr(text_sql: str) -> Column:
+    """``quality_features`` over a SQL column reference, built as ONE
+    parsed expression string (r13): the Column-builder form costs ~150
+    py4j round-trips per plan build (lambda HOFs are the worst — each
+    _create_lambda is several gateway calls), which at ~1.5 ms per
+    round-trip put ~0.15 s of pure driver latency on every plan that
+    featurizes text. Same structure, same rounding, same zero-token
+    branches — pinned value-equal to the Column form on the real
+    corpus by tests/test_curation_ops.py::test_quality_features_expr_parity.
+    Callers with a plain column pass its name here; arbitrary Column
+    inputs keep the builder form above."""
+    sw = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    toks = f"array_remove(split(lower({text_sql}), '{P.TOKEN_SPLIT_RE}'), '')"
+    kept = (
+        f"(length(lower({text_sql}))"
+        f" - length(translate(lower({text_sql}), '{PUNCT_KEEP}', '')))"
+    )
+    pr = (
+        f"CASE WHEN length({text_sql}) > 0 THEN"
+        f" CAST((length({text_sql}) - {kept}) AS DOUBLE) / length({text_sql})"
+        f" ELSE 0.0D END"
+    )
+    n = "size(b.toks)"
+    n_sw = f"size(filter(b.toks, t -> array_contains({sw}, t)))"
+    swr = f"CASE WHEN {n} > 0 THEN CAST({n_sw} AS DOUBLE) / {n} ELSE 0.0D END"
+    ur = (
+        f"CASE WHEN {n} > 0 THEN"
+        f" CAST(size(array_distinct(b.toks)) AS DOUBLE) / {n}"
+        f" ELSE 0.0D END"
+    )
+    len_ok = f"CASE WHEN {n} >= 5 AND {n} <= 1000 THEN 1.0D ELSE 0.0D END"
+    low_punct = "greatest(0.0D, 1.0D - b.pr * 5.0D)"
+    sw_ok = f"least(1.0D, ({swr}) * 10.0D)"
+    quality = (
+        f"round(CAST(0.25D * ({len_ok}) + 0.25D * ({low_punct})"
+        f" + 0.25D * ({sw_ok}) + 0.25D * ({ur}) AS DOUBLE), 6)"
+    )
+    return F.expr(
+        f"transform(array(named_struct('toks', {toks}, 'pr', {pr})),"
+        f" b -> named_struct("
+        f"'punct_ratio', round(CAST(b.pr AS DOUBLE), 6),"
+        f" 'uniq_ratio', round(CAST({ur} AS DOUBLE), 6),"
+        f" 'quality', {quality},"
+        f" 'n_tokens', CAST({n} AS INT),"
+        f" 'stopword_ratio', {swr}))"
     )
 
 

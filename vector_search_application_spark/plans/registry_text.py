@@ -53,7 +53,7 @@ FROM documents
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus.docs(spark, sf_dir)
     return docs.select(
-        "doc_id", F.explode(T.quality_features(F.col("text"))).alias("qf")
+        "doc_id", F.explode(T.quality_features_expr("text")).alias("qf")
     ).select("doc_id", "qf.punct_ratio", "qf.uniq_ratio", "qf.quality")
 
 
