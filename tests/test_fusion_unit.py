@@ -169,6 +169,27 @@ def test_connected_components_chain_star_singleton(spark):
                    20: 20, 21: 20, 30: 30, 31: 31}
 
 
+def test_connected_components_double_step_parities(spark):
+    """The r13 loop propagates TWICE per convergence check, detecting
+    the fixpoint on the second step alone. Chains of every diameter
+    parity around the cycle boundary must still land on the exact
+    min-label closure — including the case where the fixpoint is
+    reached on the FIRST step of a cycle (odd diameters) and the
+    second step must report no change rather than a phantom one."""
+    from vector_search_application_spark.operators import dedup
+
+    for n in (2, 3, 4, 5, 6, 7):  # chain 0-1-...-n-1, diameter n-1
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        got = {
+            r["id"]: r["canonical_id"]
+            for r in dedup.connected_components(pairs, nodes).collect()
+        }
+        assert got == {i: 0 for i in range(n)}, f"chain of {n}"
+
+
 def test_tracked_persist_releases_orphaned_caches(spark):
     """release_all must free caches whose Python references died inside
     an operator (a weak registry would have dropped them — the exact

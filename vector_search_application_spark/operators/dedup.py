@@ -736,44 +736,58 @@ def connected_components(
     )
     labels = endpoints.select("id", F.col("id").alias("canonical_id"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        # one join + ONE keyed aggregation per round (r13): neighbor
-        # label candidates union the node's own labeled row — tagged
-        # with its old label — and a single groupBy(id) takes the min
-        # candidate as the new label while max(old) recovers the
-        # previous one for the changed flag. The earlier shape
+    lbl_type = labels.schema["canonical_id"].dataType
+
+    def _propagate(lbls: DataFrame) -> DataFrame:
+        # one join + ONE keyed aggregation per propagation (r13):
+        # neighbor label candidates union the node's own labeled row —
+        # tagged with its old label — and a single groupBy(id) takes
+        # the min candidate as the new label while max(old) recovers
+        # the previous one (every loop id has exactly one own row;
+        # nulls from neighbor rows are ignored). The earlier shape
         # aggregated neighbor minima separately and LEFT-JOINED them
-        # back onto labels: a second shuffle + join per round that this
-        # folds into the same aggregation. Update rule unchanged
-        # (min over self and neighbors), so per-round label
-        # trajectories — and the fixpoint — are identical.
-        cand = edges.join(labels, edges["src"] == labels["id"]).select(
+        # back onto labels: a second shuffle + join per propagation
+        # that this folds into the same aggregation. Update rule
+        # unchanged (min over self and neighbors), so the fixpoint is
+        # identical.
+        cand = edges.join(lbls, edges["src"] == lbls["id"]).select(
             F.col("dst").alias("id"),
             F.col("canonical_id").alias("cand"),
-            F.lit(None)
-            .cast(labels.schema["canonical_id"].dataType)
-            .alias("old"),
+            F.lit(None).cast(lbl_type).alias("old"),
         )
-        own = labels.select(
+        own = lbls.select(
             "id",
             F.col("canonical_id").alias("cand"),
             F.col("canonical_id").alias("old"),
         )
-        # every loop id has exactly one own row, so max(old) is its
-        # previous label (nulls from neighbor rows are ignored)
-        updated = (
+        return (
             cand.unionByName(own)
             .groupBy("id")
-            .agg(F.min("cand").alias("new_canonical"), F.max("old").alias("old"))
+            .agg(F.min("cand").alias("canonical_id"), F.max("old").alias("old"))
+        )
+
+    for _ in range(max_iters):
+        # TWO propagation steps per driver sync (r13): the sequential
+        # cost of the loop at small per-round data is the action +
+        # convergence-count barrier, not the shuffles — stepping twice
+        # between barriers halves them. Convergence is detected on the
+        # SECOND step alone, which is exact: if propagating `mid`
+        # changed nothing, `mid` IS the fixpoint and the returned
+        # labels equal it; min-label fixpoints are unique, so the
+        # output is identical to the one-step loop's (at most one
+        # redundant propagation of already-converged labels is paid).
+        mid = _propagate(labels).select("id", "canonical_id")
+        updated = (
+            _propagate(mid)
             .select(
                 "id",
-                "new_canonical",
-                (F.col("new_canonical") < F.col("old")).alias("__changed"),
+                F.col("canonical_id").alias("new_canonical"),
+                (F.col("canonical_id") < F.col("old")).alias("__changed"),
             )
             # lazy checkpoint: the convergence aggregate right below is
-            # the round's ONE action — it materializes (and truncates)
+            # the cycle's ONE action — it materializes (and truncates)
             # the checkpoint as a side effect, instead of paying a
-            # separate eager-checkpoint job per round (r13)
+            # separate eager-checkpoint job per cycle
             .localCheckpoint(eager=False)
         )
         changed = updated.agg(F.sum(F.col("__changed").cast("int"))).first()[0]
