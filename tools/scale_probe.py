@@ -310,9 +310,18 @@ def main(ks: list[int]) -> int:
         reps = []
         for _ in range(2):
             t0 = time.perf_counter()
-            assigned = vecs.crossJoin(F.broadcast(cent_tbl)).selectExpr(
-                "vec_id AS id",
-                f"{_ann._cell_over_cents_sql('embedding')} AS cell",
+            # the production argmax arithmetic (r13): row vector
+            # pre-cast to array<double> in its own projection so the
+            # per-(row, centroid) lambda casts SimplifyCasts away —
+            # built inline (not via ivf_assign_tbl) so the memo cannot
+            # serve rep 2 and the row keeps measuring the raw scan
+            assigned = (
+                vecs.withColumn("__vd", F.col("embedding").cast("array<double>"))
+                .crossJoin(F.broadcast(cent_tbl))
+                .selectExpr(
+                    "vec_id AS id",
+                    f"{_ann._cell_over_cents_sql('__vd')} AS cell",
+                )
             )
             assigned.agg(F.bit_xor(F.xxhash64("id", "cell"))).collect()
             reps.append(round(time.perf_counter() - t0, 3))
@@ -324,6 +333,11 @@ def main(ks: list[int]) -> int:
         try:
             reps = []
             for rep_i in range(2):
+                # r13: ann memoizes+persists the cell assignment (the
+                # warm-serving policy) — release per rep so this row
+                # keeps measuring the COLD one-time build, not a write
+                # of the previous rep's cached assignment
+                release_all()
                 ivf_dir = os.path.join(ivf_root, f"vectors{rep_i}")
                 t0 = time.perf_counter()
                 _ann.write_ivf_indexed(vecs, ivf_dir)
@@ -350,6 +364,7 @@ def main(ks: list[int]) -> int:
             # for the quantized layout — codes partitioned by cell,
             # ADC reads codes only, rescore fetches vectors
             pq_dir = os.path.join(ivf_root, "ivfpq")
+            release_all()  # cold build: drop the memoized assignment/codes
             t0 = time.perf_counter()
             _ann.write_ivfpq_indexed(vecs, pq_dir)
             timings["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
@@ -460,6 +475,7 @@ def main(ks: list[int]) -> int:
         try:
             reps = []
             for rep_i in range(2):
+                release_all()  # cold build per rep, as bm25_postings_build
                 bdir = os.path.join(bm25_root, f"postings{rep_i}")
                 t0 = time.perf_counter()
                 _bm25.write_bm25_indexed(docs, bdir)
