@@ -92,6 +92,15 @@ def tokens_sql(expr: str) -> str:
     )
 
 
+def tokens_spark_sql(expr: str) -> str:
+    """Spark-SQL string form of ``tokens`` — the identical
+    array_remove(split(lower(..))) expression as ONE parsed string, for
+    builders that assemble plans as SQL text (the r13 expr-string
+    pattern: each Column call is a py4j round-trip; one parsed string
+    is one). Keep in lockstep with ``tokens``."""
+    return f"array_remove(split(lower({expr}), '{TOKEN_SPLIT_RE}'), '')"
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
@@ -147,6 +156,19 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_sql(a: str, b: str) -> str:
     return (
         f"coalesce({dot_sql(a, b)} / nullif({norm_sql(a)} * {norm_sql(b)}, 0.0), 0.0)"
+    )
+
+
+def cosine_spark_sql(a: str, b: str) -> str:
+    """Spark-SQL string form of ``cosine`` — the same dot/norm
+    expression trees (dot_spark_sql) under the same zero-denominator
+    CASE, as one parsed string (the Column form costs ~80 ms of py4j
+    lambda construction per call). Keep in lockstep with ``cosine``;
+    parity breaks silently otherwise."""
+    denom = f"sqrt({dot_spark_sql(a, a)}) * sqrt({dot_spark_sql(b, b)})"
+    return (
+        f"CASE WHEN {denom} > 0.0D THEN ({dot_spark_sql(a, b)}) / ({denom})"
+        f" ELSE 0.0D END"
     )
 
 

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..functions.cache import on_release, tracked_persist
+from ..functions.cache import plan_memo, tracked_persist
 from ..sources import layout as _layout_meta
 from ..plans.constants import (
     K,
@@ -487,7 +487,7 @@ def _cos_lit_sql(vec_col: str, arr, digits: int = 6) -> str:
 # Those are exactly what write_ivf(pq)_indexed persists to disk — index
 # builds, not query work — and the postings/flat-norm tables already get
 # the warm-serving treatment (build_postings persist=True,
-# topk._FLAT_MEMO). This memo extends the same policy to the dense ANN
+# topk.flat_with_norm). This memo extends the same policy to the dense ANN
 # family: keyed on (input plan via sameSemantics, params), DataFrame
 # values tracked_persist'ed, everything forgotten when release_all()
 # drops the blocks (the driver's correctness gate therefore still
@@ -496,35 +496,15 @@ def _cos_lit_sql(vec_col: str, arr, digits: int = 6) -> str:
 # that share a corpus — measured r13: ivfpq_topk 1.96 -> ~0.6 s warm).
 # ---------------------------------------------------------------------------
 
-_ANN_MEMO: list = []
-
-
 def _memo(dfs, key: tuple, build):
-    """Return the memoized value for (input plans, key), building and
-    recording it on miss. ``dfs`` is one DataFrame or a tuple of them;
-    identity is sameSemantics on every input plan, so a stale hit can
-    never hand back a value computed from different inputs. DataFrame
-    values are tracked_persist'ed by the builder when that is wanted;
-    scalars (counts) pass through."""
-    if isinstance(dfs, DataFrame):
-        dfs = (dfs,)
-    for edfs, ekey, val in _ANN_MEMO:
-        if (
-            ekey == key
-            and len(edfs) == len(dfs)
-            and all(a.sameSemantics(b) for a, b in zip(dfs, edfs))
-        ):
-            return val
-    val = build()
-    _ANN_MEMO.append((tuple(dfs), key, val))
-    return val
-
-
-def _clear_ann_memo() -> None:
-    _ANN_MEMO.clear()
-
-
-on_release(_clear_ann_memo)
+    """Memoized value for (input plans, key) — a thin module-prefixed
+    shim over cache.plan_memo (r14, ADVICE: the r13 local list was a
+    verbatim duplicate of the shared memo, differing only in which
+    list release_all cleared). Identity is sameSemantics on every
+    input plan; DataFrame values are tracked_persist'ed by the builder
+    when that is wanted; scalars (counts) pass through. release_all()
+    clears the shared memo with the cached blocks."""
+    return plan_memo(dfs, ("ann",) + key, build)
 
 
 def _centroid_table_from(

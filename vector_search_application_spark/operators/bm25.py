@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..functions.cache import tracked_persist
+from ..functions.cache import plan_memo, tracked_persist
 from ..plans.constants import BM25_B, BM25_K1, K
 from ..sources import layout as _layout_meta
 
@@ -60,15 +60,32 @@ def build_postings(
     # without the filter Spark's NULL-safe groupBy would keep such rows
     # while any SQL equi-join on id drops them — a silent cross-engine
     # divergence the adversarial NULL-brand part exposed.
-    toks = (
-        docs.filter(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks"))
-        .select("id", F.size("toks").alias("doc_len"), F.explode("toks").alias("term"))
+    def build() -> DataFrame:
+        toks = (
+            docs.filter(F.col(id_col).isNotNull())
+            .selectExpr(
+                f"`{id_col}` AS id",
+                f"{P.tokens_spark_sql(f'`{text_col}`')} AS toks",
+            )
+            .selectExpr(
+                "id", "size(toks) AS doc_len", "explode(toks) AS term"
+            )
+        )
+        return toks.groupBy("id", "term").agg(
+            F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
+        )
+
+    if not persist:
+        return build()
+    # plan_memo (r14): repeated builds over the same corpus used to
+    # append a duplicate _LIVE entry per call and re-pay the ~60 ms
+    # Column-chain construction; CacheManager plan-dedupe made the
+    # duplicates harmless but not free.
+    return plan_memo(
+        docs,
+        ("bm25_postings", id_col, text_col),
+        lambda: tracked_persist(build()),
     )
-    out = toks.groupBy("id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.first("doc_len").alias("doc_len")
-    )
-    return tracked_persist(out) if persist else out
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:
@@ -115,24 +132,21 @@ def _bm25_weight(k1: float, b: float):
     ONE definition shared by the single-query and batch scorers (the
     oracle side is centralized the same way in sqlfrag.bm25_scored_cte;
     a drift between two Spark copies would silently break single-vs-
-    batch score equality)."""
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
+    batch score equality).
+
+    Built as ONE parsed expression string (r14, the expr-string
+    pattern): the Column form cost ~50 ms of py4j chatter per plan
+    build. Same trees — double literals spelled <repr>D, the same
+    operator associativity — pinned sameSemantics-equal to the Column
+    form by tests/test_expr_parity.py::test_bm25_weight_expr_parity."""
+    idf = "ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
     tf_part = (
-        F.col("tf").cast("double")
-        * F.lit(k1 + 1.0)
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1)
-            * (
-                F.lit(1.0 - b)
-                + F.lit(b) * F.col("doc_len").cast("double") / F.col("avgdl")
-            )
-        )
+        f"CAST(tf AS DOUBLE) * {k1 + 1.0!r}D"
+        f" / (CAST(tf AS DOUBLE)"
+        f" + {k1!r}D * ({1.0 - b!r}D"
+        f" + {b!r}D * CAST(doc_len AS DOUBLE) / avgdl))"
     )
-    return idf * tf_part
+    return F.expr(f"({idf}) * ({tf_part})")
 
 
 def _index_aggregates(postings: DataFrame, qterms: DataFrame):
@@ -157,9 +171,22 @@ def _index_aggregates(postings: DataFrame, qterms: DataFrame):
     query the way the postings build itself is. Values are identical
     to the slice-derived form — df of a term over its probed slice IS
     df of the term — so oracle hashes cannot move (verified by the
-    bm25 rows in tests/test_registry_oracle.py)."""
-    stats = tracked_persist(corpus_stats(postings))
-    dictionary = tracked_persist(doc_frequency(postings))
+    bm25 rows in tests/test_registry_oracle.py).
+
+    Memoized per postings plan via cache.plan_memo (r14, ADVICE): the
+    r13 form tracked_persist'ed fresh stats/df plans on every
+    stats=None invocation — warm reuse worked only because Spark's
+    CacheManager dedupes identical plans, while _LIVE accumulated two
+    duplicate entries per sparse query between release_all boundaries
+    (the bench's 'Asked to cache already cached data' warnings)."""
+    stats, dictionary = plan_memo(
+        postings,
+        ("bm25_index_aggregates",),
+        lambda: (
+            tracked_persist(corpus_stats(postings)),
+            tracked_persist(doc_frequency(postings)),
+        ),
+    )
     return stats, dictionary.join(F.broadcast(qterms), "term")
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import portable as P
-from ..functions.cache import on_release, tracked_persist
+from ..functions.cache import plan_memo, tracked_persist
 from ..plans.constants import EMB_DIM, K, POSTFILTER_INFLATION, ROUND_DIGITS
 
 
@@ -70,35 +70,26 @@ def flat_with_norm(
     silently-uncached plan.
     """
     params = (vec_col, prefix, dim, tuple(keep))
-    for entry_df, entry_params, entry_flat in _FLAT_MEMO:
-        if entry_params == params and df.sameSemantics(entry_df):
-            return entry_flat
-    elem = f"cast(element_at({vec_col}, {{i}}) as double)"
-    norm = (
-        "sqrt("
-        + " + ".join(
-            f"{elem.format(i=i)} * {elem.format(i=i)}" for i in range(1, dim + 1)
+
+    def build() -> DataFrame:
+        elem = f"cast(element_at({vec_col}, {{i}}) as double)"
+        norm = (
+            "sqrt("
+            + " + ".join(
+                f"{elem.format(i=i)} * {elem.format(i=i)}"
+                for i in range(1, dim + 1)
+            )
+            + f") AS {prefix}norm"
         )
-        + f") AS {prefix}norm"
-    )
-    flat = df.selectExpr(
-        *keep,
-        norm,
-        *[f"{elem.format(i=i)} AS {prefix}{i}" for i in range(1, dim + 1)],
-    )
-    flat = tracked_persist(flat)
-    _FLAT_MEMO.append((df, params, flat))
-    return flat
+        return tracked_persist(
+            df.selectExpr(
+                *keep,
+                norm,
+                *[f"{elem.format(i=i)} AS {prefix}{i}" for i in range(1, dim + 1)],
+            )
+        )
 
-
-_FLAT_MEMO: list = []
-
-
-def _clear_flat_memo() -> None:
-    _FLAT_MEMO.clear()
-
-
-on_release(_clear_flat_memo)
+    return plan_memo(df, ("flat",) + params, build)
 
 
 def _flat_cosine_sql(pa: str, pb: str, dim: int) -> str:
@@ -163,12 +154,20 @@ def score_against_query(
     the pair count equals the corpus row count, and the flattened
     codegen plan's fixed cost (wide projects, Janino compile) exceeds
     its per-pair savings. score_pairs is the many-query scale path.
+
+    Built as ONE parsed expression string (r14): the Column-form cosine
+    costs ~80 ms of py4j lambda-HOF construction per plan build, paid
+    by every dense branch (hybrid/fusion chains build it per
+    execution). cosine_spark_sql is the pinned string twin — the same
+    zip_with/aggregate trees, so values and plans are identical
+    (tests/test_expr_parity.py pins sameSemantics with the Column form).
     """
-    cols = [F.col(id_col)] + [F.col(c) for c in (extra_cols or [])]
-    return vectors.crossJoin(F.broadcast(query)).select(
-        *cols,
-        P.rounded(P.cosine(F.col(vec_col), F.col(query_vec_col))).alias("score"),
+    cols = [f"`{id_col}`"] + [f"`{c}`" for c in (extra_cols or [])]
+    score = (
+        f"round(CAST(({P.cosine_spark_sql(f'`{vec_col}`', f'`{query_vec_col}`')})"
+        f" AS DOUBLE), {ROUND_DIGITS}) AS score"
     )
+    return vectors.crossJoin(F.broadcast(query)).selectExpr(*cols, score)
 
 
 def topk(scored: DataFrame, k: int = K, id_col: str = "vec_id") -> DataFrame:

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from ..functions import portable as P
+from ..functions.cache import reader_memo
 
 # null-injection rules (deterministic; FIXTURES.md §1 percentages)
 MFR_NULL_MOD = 20    # ~5% manufacturerPartNumber null
@@ -71,12 +72,21 @@ PADDED_KEY_SQL = (
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Timestamp columns arrive as whatever the generator wrote — parquet
-    # TIMESTAMP(NANOS) (Spark 4 rejects it unless read as BIGINT nanos)
-    # in some generations, timestamp[us]/TIMESTAMP_NTZ in others. Keep
-    # the nanos escape hatch on and normalize per-column with ts_us().
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Memoized per (session, path): the read itself costs ~70 ms of
+    # py4j + parquet-footer schema work and runs on every plan build of
+    # every corpus consumer. The memo hands back the same UNMATERIALIZED
+    # plan (no data cached; testdata is immutable within a session) and
+    # release_all() clears it, so the driver's gate re-reads per query.
+    def build() -> DataFrame:
+        # Timestamp columns arrive as whatever the generator wrote —
+        # parquet TIMESTAMP(NANOS) (Spark 4 rejects it unless read as
+        # BIGINT nanos) in some generations, timestamp[us]/TIMESTAMP_NTZ
+        # in others. Keep the nanos escape hatch on and normalize
+        # per-column with ts_us().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+    return reader_memo(spark, (sf_dir, name), build)
 
 
 def ts_us(df: DataFrame, col: str = "ts") -> Column:
@@ -133,7 +143,16 @@ def query_vector_cte(vec_id: int) -> str:
 
 
 def products(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Products payload table derived from ``part`` (T1/T2/T3)."""
+    """Products payload table derived from ``part`` (T1/T2/T3).
+
+    Memoized per (session, sf_dir) like ``_read``: the wide derivation
+    projection costs ~0.2 s of py4j Column construction per build and
+    every product-family query re-derives it per execution. Same
+    UNMATERIALIZED plan either way; release_all() clears."""
+    return reader_memo(spark, ("products", sf_dir), lambda: _products(spark, sf_dir))
+
+
+def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _read(spark, sf_dir, "part")
     pn = part_number()
     mfr = F.when(
