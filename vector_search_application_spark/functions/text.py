@@ -442,6 +442,18 @@ def _strip_first_token(s: Column) -> Column:
     return F.regexp_replace(s, f"^[^{TOKEN_SEP}]+{TOKEN_SEP}", "")
 
 
+def joined_tokens_sql(text_sql: str) -> str:
+    """Spark-SQL string twin of ``joined_tokens`` (keep in lockstep)."""
+    return (
+        f"btrim(regexp_replace(lower({text_sql}),"
+        f" '{P.TOKEN_SPLIT_RE}', '{TOKEN_SEP}'), '{TOKEN_SEP}')"
+    )
+
+
+def _strip_first_token_sql(s: str) -> str:
+    return f"regexp_replace({s}, '^[^{TOKEN_SEP}]+{TOKEN_SEP}', '')"
+
+
 def _eq_flags(g: Column) -> Column:
     """``array<int>`` of length n-1 over the SORTED gram-hash array:
     flags[i] = 1 iff sorted[i+1] == sorted[i]. The sort binds ONCE
@@ -619,6 +631,100 @@ def hashed_ngram_ids(text: Column, n: int) -> Column:
         ])
 
     return F.transform(F.array(joined_tokens(text)), grams)[0]
+
+
+def hashed_ngram_ids_expr(text_sql: str, n: int) -> Column:
+    """``hashed_ngram_ids`` over a SQL column reference, built as ONE
+    parsed expression string (r14 expr-string pattern — the Column form
+    costs ~60 ms of py4j lambda-HOF construction per plan build, paid
+    by every shingle consumer per execution). Same trees: n shifted
+    consuming regex passes over the joined-token string, each gram
+    hashed to xxhash64 immediately. Pinned sameSemantics-identical to
+    the Column form by tests/test_expr_parity.py."""
+    pat = TOKEN_SEP.join([f"[^{TOKEN_SEP}]+"] * n)
+    parts = ["s"]
+    for _ in range(n - 1):
+        parts.append(_strip_first_token_sql(parts[-1]))
+    grams = ", ".join(
+        f"transform(regexp_extract_all({p}, '{pat}', 0), x -> xxhash64(x))"
+        for p in parts
+    )
+    return F.expr(
+        f"transform(array({joined_tokens_sql(text_sql)}),"
+        f" s -> concat({grams}))[0]"
+    )
+
+
+def repetition_features_expr(text_sql: str) -> Column:
+    """``repetition_features`` over a SQL column reference, as ONE
+    parsed expression string (r14): the Column form builds ~20 nested
+    lambda HOFs (~150 ms of py4j per plan build). Identical structure —
+    consuming-regex gram passes, xxhash64 gram ids, neighbor-equality
+    flags over the once-sorted array, arithmetic-only folds — pinned
+    sameSemantics-identical to the Column form by
+    tests/test_expr_parity.py::test_repetition_features_expr_parity."""
+    s1 = _strip_first_token_sql("s")
+    s2 = _strip_first_token_sql(s1)
+    g2 = (
+        f"concat(regexp_extract_all(s, '{_PAIR_RE}', 0),"
+        f" regexp_extract_all({s1}, '{_PAIR_RE}', 0))"
+    )
+    g3 = (
+        f"concat(regexp_extract_all(s, '{_TRIPLE_RE}', 0),"
+        f" regexp_extract_all({s1}, '{_TRIPLE_RE}', 0),"
+        f" regexp_extract_all({s2}, '{_TRIPLE_RE}', 0))"
+    )
+    grams = (
+        f"named_struct("
+        f"'gt', transform({g2}, x -> xxhash64(x)),"
+        f" 'gd', transform({g3}, x -> xxhash64(x)))"
+    )
+
+    def eq_flags(g: str) -> str:
+        return (
+            f"transform(array(array_sort({g})),"
+            f" s -> zip_with(slice(s, 1, size({g}) - 1),"
+            f" slice(s, 2, size({g}) - 1),"
+            f" (a, b) -> CAST((a = b) AS INT)))[0]"
+        )
+
+    def mx_from_flags(fl: str) -> str:
+        return (
+            f"1 + aggregate({fl},"
+            f" named_struct('run', 0, 'mx', 0),"
+            f" (acc, f) -> named_struct('run', (acc.run + 1) * f,"
+            f" 'mx', greatest(acc.mx, (acc.run + 1) * f)),"
+            f" acc -> greatest(acc.mx, acc.run))"
+        )
+
+    def dup_from_flags(fl: str) -> str:
+        return (
+            f"aggregate({fl},"
+            f" named_struct('run', 0, 'dup', 0),"
+            f" (acc, f) -> named_struct('run', (acc.run + 1) * f,"
+            f" 'dup', acc.dup + (1 - f) * (acc.run + least(acc.run, 1))),"
+            f" acc -> acc.dup + acc.run + least(acc.run, 1))"
+        )
+
+    top = (
+        f"CASE WHEN size(gs.gt) > 0 THEN"
+        f" round(CAST(CAST(({mx_from_flags(eq_flags('gs.gt'))}) AS DOUBLE)"
+        f" / size(gs.gt) AS DOUBLE), 6)"
+        f" ELSE 0.0D END"
+    )
+    dup = (
+        f"CASE WHEN size(gs.gd) > 0 THEN"
+        f" round(CAST(CAST(({dup_from_flags(eq_flags('gs.gd'))}) AS DOUBLE)"
+        f" / size(gs.gd) AS DOUBLE), 6)"
+        f" ELSE 0.0D END"
+    )
+    ratios = (
+        f"named_struct('top_2gram_ratio', {top}, 'dup_3gram_ratio', {dup})"
+    )
+    return F.expr(
+        f"transform(transform(array({joined_tokens_sql(text_sql)}),"
+        f" s -> {grams}), gs -> {ratios})"
+    )
 
 
 def dup_ngram_ratio(text: Column, n: int = 3) -> Column:

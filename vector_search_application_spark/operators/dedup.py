@@ -137,8 +137,8 @@ def shingle_arrays(
     array column. Dedup happens per-row (array_distinct in the scan) —
     no corpus-wide distinct shuffle. Docs shorter than n tokens are
     dropped (same as the oracle)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
+    toks = docs.selectExpr(
+        f"`{id_col}` AS id", f"{P.tokens_spark_sql(f'`{text_col}`')} AS toks"
     ).filter(F.size("toks") >= n)
     # the transform must be TOTAL despite the filter above: when this
     # feeds explode(), InferFiltersFromGenerate derives a non-empty
@@ -146,13 +146,13 @@ def shingle_arrays(
     # ahead of the size guard — on a doc shorter than n tokens the
     # unguarded sequence(1, size-n+1) DESCENDS through 0 and slice
     # throws START=0 (functions/text.ngrams documents the same trap)
-    grams = F.expr(
+    grams = (
         f"CASE WHEN size(toks) >= {n} THEN"
         f" transform(sequence(1, size(toks) - {n - 1}),"
         f" i -> concat_ws('_', slice(toks, i, {n})))"
         f" ELSE array() END"
     )
-    return toks.select("id", F.array_distinct(grams).alias("shs"))
+    return toks.selectExpr("id", f"array_distinct({grams}) AS shs")
 
 
 def shingles(docs: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
@@ -183,19 +183,19 @@ def md5_shingle_arrays(
     intersections inherit the same fold on both sides). simhash keeps
     the string shingles — its 64-bit family needs md5 hex digits 1-16.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"), P.tokens(F.col(text_col)).alias("toks")
+    toks = docs.selectExpr(
+        f"`{id_col}` AS id", f"{P.tokens_spark_sql(f'`{text_col}`')} AS toks"
     ).filter(F.size("toks") >= n)
     # CASE-total for the same InferFiltersFromGenerate reason as
     # shingle_arrays
-    grams = F.expr(
+    grams = (
         f"CASE WHEN size(toks) >= {n} THEN"
         f" transform(sequence(1, size(toks) - {n - 1}),"
         f" i -> cast(conv(substring(md5(concat_ws('_', slice(toks, i, {n}))),"
         f" 1, 8), 16, 10) as bigint))"
         f" ELSE array() END"
     )
-    return toks.select("id", F.array_distinct(grams).alias("shs"))
+    return toks.selectExpr("id", f"array_distinct({grams}) AS shs")
 
 
 def hashed_shingle_arrays(
@@ -209,7 +209,7 @@ def hashed_shingle_arrays(
     fed to the md5 signature families (see hashed_ngram_ids)."""
     from ..functions import text as T
 
-    g = T.hashed_ngram_ids(F.col(text_col), n)
+    g = T.hashed_ngram_ids_expr(f"`{text_col}`", n)
     return docs.select(
         F.col(id_col).alias("id"), F.array_distinct(g).alias("shs")
     ).filter(F.size("shs") > 0)
@@ -243,17 +243,18 @@ def minhash_signatures(
     materializes in the scan stage, so the LSH pipeline's first
     exchange is the candidate join itself (vs the naive (id, perm)
     explode + two-level groupBy that shuffles |shingles| x n_perms md5
-    strings — ~25x slower at sf0.1)."""
+    strings — ~25x slower at sf0.1).
+
+    Built as selectExpr strings (r14 expr-string pattern): one parsed
+    call instead of n_perms Column builds (~50 ms of py4j per plan
+    build); pinned sameSemantics-identical to the Column form by
+    tests/test_expr_parity.py::test_minhash_signature_expr_parity."""
     mins = [
-        F.array_min(
-            F.expr(
-                f"transform(shs, h -> ({MINHASH_A[i]}L * h + {MINHASH_B[i]}L)"
-                f" % {MINHASH_PRIME}L)"
-            )
-        ).alias(f"m{i}")
+        f"array_min(transform(shs, h -> ({MINHASH_A[i]}L * h"
+        f" + {MINHASH_B[i]}L) % {MINHASH_PRIME}L)) AS m{i}"
         for i in range(n_perms)
     ]
-    return sharr.select("id", *mins)
+    return sharr.selectExpr("id", *mins)
 
 
 def lsh_band_keys(
@@ -262,23 +263,25 @@ def lsh_band_keys(
     n_perms: int = MINHASH_PERMS,
 ) -> DataFrame:
     """(id, band, band_key): md5 over each band's ordered minhashes,
-    computed directly from the wide signature row (no second shuffle)."""
+    computed directly from the wide signature row (no second shuffle).
+
+    Built as selectExpr strings (r14 expr-string pattern, ~130 ms of
+    py4j per plan build saved); pinned sameSemantics-identical to the
+    Column form by tests/test_expr_parity.py."""
     rows_per_band = n_perms // n_bands
     entries = []
     for band in range(n_bands):
-        cols = [
-            F.col(f"m{band * rows_per_band + j}").cast("string")
+        cols = ", ".join(
+            f"CAST(m{band * rows_per_band + j} AS STRING)"
             for j in range(rows_per_band)
-        ]
-        entries.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
-            )
         )
-    return sigs.select("id", F.explode(F.array(*entries)).alias("bk")).select(
-        "id", "bk.band", "bk.band_key"
-    )
+        entries.append(
+            f"named_struct('band', {band},"
+            f" 'band_key', md5(concat_ws(',', {cols})))"
+        )
+    return sigs.selectExpr(
+        "id", f"explode(array({', '.join(entries)})) AS bk"
+    ).selectExpr("id", "bk.band", "bk.band_key")
 
 
 def lsh_candidates(
@@ -326,25 +329,21 @@ def jaccard_verify_arrays(candidates: DataFrame, sharr: DataFrame) -> DataFrame:
     array verify). Values are identical by construction: arrays are
     array_distinct'ed, so size(array_intersect) IS the distinct
     shared-shingle count the exploded groupBy counted."""
-    a = sharr.select(F.col("id").alias("id_a"), F.col("shs").alias("__sha"))
-    b = sharr.select(F.col("id").alias("id_b"), F.col("shs").alias("__shb"))
-    n_inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb"))).cast(
-        "bigint"
-    )
+    a = sharr.selectExpr("id AS id_a", "shs AS __sha")
+    b = sharr.selectExpr("id AS id_b", "shs AS __shb")
+    n_inter = "CAST(size(array_intersect(__sha, __shb)) AS BIGINT)"
     denom = (
-        F.size("__sha").cast("bigint")
-        + F.size("__shb").cast("bigint")
-        - n_inter
+        f"CAST(size(__sha) AS BIGINT) + CAST(size(__shb) AS BIGINT)"
+        f" - {n_inter}"
     )
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            P.rounded(n_inter.cast("double") / denom.cast("double")).alias(
-                "jaccard"
-            ),
+            f"round(CAST(CAST({n_inter} AS DOUBLE)"
+            f" / CAST(({denom}) AS DOUBLE) AS DOUBLE), 6) AS jaccard",
         )
     )
 

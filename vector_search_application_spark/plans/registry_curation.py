@@ -207,7 +207,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join long-keyed, and the consuming-regex gram build avoids the
     # per-shingle slice+concat_ws allocation (no explode-below-guard
     # trap either: there is no sequence() to push under the filter)
-    g = T.hashed_ngram_ids(F.col("text"), SHINGLE_N)
+    g = T.hashed_ngram_ids_expr("text", SHINGLE_N)
     sh = (
         seeded.select("doc_id", "source", F.array_distinct(g).alias("shs"))
         .filter(F.size("shs") > 0)

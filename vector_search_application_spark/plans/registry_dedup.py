@@ -1209,7 +1209,14 @@ def _semdedup_n_centroids(spark: SparkSession, sf_dir: str) -> int:
     (a single long), not a data collect."""
     import math
 
-    n = corpus.vectors(spark, sf_dir).count()
+    # memoized under the SAME key ivf_schedule uses, so a warm session
+    # counts the corpus once across the whole dense family instead of
+    # once per semantic-dedup execution (release_all clears; the
+    # driver's gate still counts per query)
+    from ..functions.cache import plan_memo
+
+    vecs = corpus.vectors(spark, sf_dir)
+    n = plan_memo(vecs, ("ann", "n_vectors"), vecs.count)
     return max(SEMDEDUP_MIN_CENTROIDS, math.ceil(math.sqrt(n)))
 
 
@@ -1227,29 +1234,19 @@ def _semantic_verdicts(assigned: DataFrame) -> DataFrame:
     # three times. At scale this table is what an index build WRITES,
     # partitioned by cell.
     wb = tracked_persist(
-        assigned.withColumn("nrm", F.sqrt(P.dot(F.col("v"), F.col("v"))))
+        assigned.withColumn("nrm", F.expr(f"sqrt({P.dot_spark_sql('v', 'v')})"))
     )
-    a = wb.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"), "cell",
-    )
-    b = wb.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"), "cell",
-    )
-    denom = F.col("na") * F.col("nb")
+    a = wb.selectExpr("id AS id_a", "v AS va", "nrm AS na", "cell")
+    b = wb.selectExpr("id AS id_b", "v AS vb", "nrm AS nb", "cell")
     scored = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            P.rounded(
-                F.when(
-                    denom > 0.0,
-                    P.dot(F.col("va"), F.col("vb")) / denom,
-                ).otherwise(0.0)
-            ).alias("cosine"),
+            f"round(CAST(CASE WHEN na * nb > 0.0D"
+            f" THEN ({P.dot_spark_sql('va', 'vb')}) / (na * nb)"
+            f" ELSE 0.0D END AS DOUBLE), 6) AS cosine",
         )
     )
     drops = (

@@ -192,9 +192,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     each output column."""
     docs = corpus.docs(spark, sf_dir)
     return docs.select(
-        "doc_id", F.explode(T.repetition_features(F.col("text"))).alias("rf")
-    ).select(
+        "doc_id", F.explode(T.repetition_features_expr("text")).alias("rf")
+    ).selectExpr(
         "doc_id",
-        F.col("rf.top_2gram_ratio").alias("top_2gram_ratio"),
-        F.col("rf.dup_3gram_ratio").alias("dup_3gram_ratio"),
+        "rf.top_2gram_ratio",
+        "rf.dup_3gram_ratio",
     )
