@@ -117,15 +117,28 @@ def bench_index_builds(spark, sf_dir: str) -> dict[str, float]:
     without it a 'build' over the persisted postings is a cache read.
     Forcing via bit_xor(xxhash64(all cols)) computes every output column
     (count() would let Catalyst prune the expensive ones)."""
+    from vector_search_application_spark.functions import cache as _cache
     from vector_search_application_spark.functions import embedder as E
-    from vector_search_application_spark.operators import bm25
+    from vector_search_application_spark.operators import ann, bm25
 
     prods = corpus.products(spark, sf_dir)
+
+    def pq_build():
+        # release_all(): pq_codebook/pq_codes are plan-memoized (r13) —
+        # without forgetting the memo the "build" would return the
+        # already-persisted plans and time a cache read. This prices
+        # the codebook+codes build the warm pq/ivfpq rows amortize
+        # (r13 VERDICT "What's wrong" #2).
+        _cache.release_all()
+        vecs = corpus.vectors(spark, sf_dir)
+        return ann.pq_codes(vecs, ann.pq_codebook(vecs))
+
     builds = {
         "bm25_index_build": lambda: bm25.build_postings(
             prods, id_col="id", text_col="sparse_text", persist=False
         ),
         "dense_index_build": lambda: E.embed_postings(prods, "id", "dense_text"),
+        "pq_index_build": pq_build,
     }
     out: dict[str, float] = {}
     for name, builder in builds.items():
@@ -176,6 +189,17 @@ def bench_ivf_serving(spark, sf_dir: str) -> dict[str, float]:
             ).collect()
             best = min(best, time.perf_counter() - t0)
         out["ivf_index_lookup_warm"] = round(best, 3)
+        # cold IVF-PQ layout build (r14, mirroring ivf_index_build):
+        # release_all() first so the memoized cents/assignment/codebook
+        # from the IVF build above don't hide the true build cost —
+        # this row prices what the warm ivfpq/pq rows amortize
+        from vector_search_application_spark.functions import cache as _cache
+
+        _cache.release_all()
+        pq_path = os.path.join(root, "vectors_pq")
+        t0 = time.perf_counter()
+        ann.write_ivfpq_indexed(vecs, pq_path)
+        out["ivfpq_index_build"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     for name, sec in out.items():

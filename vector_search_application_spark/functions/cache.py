@@ -42,7 +42,15 @@ def release(df: DataFrame) -> None:
     plan — and everything its lineage pins, e.g. the previous
     corpus's localCheckpoint RDD — reachable until some future
     release_all(). Measured: one orphaned corpus checkpoint per
-    import cycle (tests/test_http_shim.py multi-cycle test)."""
+    import cycle (tests/test_http_shim.py multi-cycle test).
+
+    Cascades through the plan memo (r14): a released DataFrame may be
+    a memo VALUE (the memo would otherwise hand back a silently-
+    uncached plan) or a memo INPUT (entries derived FROM it — the BM25
+    stats/dictionary keyed on a superseded postings plan — would
+    otherwise stay persisted forever; the http-shim cycle test counts
+    exactly this leak). Matching is by object identity, same as _LIVE;
+    evicted values release recursively."""
     try:
         df.unpersist()
     except Exception:  # session already stopped — nothing to free
@@ -51,6 +59,23 @@ def release(df: DataFrame) -> None:
         if d is df:
             del _LIVE[i]
             break
+    cascade: list[DataFrame] = []
+    for hkey in list(_PLAN_MEMO):
+        kept = []
+        for edfs, val in _PLAN_MEMO[hkey]:
+            vals = val if isinstance(val, tuple) else (val,)
+            if any(e is df for e in edfs) or any(v is df for v in vals):
+                cascade.extend(
+                    v for v in vals if isinstance(v, DataFrame) and v is not df
+                )
+            else:
+                kept.append((edfs, val))
+        if kept:
+            _PLAN_MEMO[hkey] = kept
+        else:
+            del _PLAN_MEMO[hkey]
+    for v in cascade:
+        release(v)
 
 
 def on_release(hook) -> None:

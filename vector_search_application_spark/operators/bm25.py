@@ -357,9 +357,13 @@ def write_bm25_indexed(
     spark = docs.sparkSession
     postings = build_postings(docs, id_col=id_col, text_col=text_col,
                               persist=False)
+    # partition count = bucket count (r14, the write_ivf_indexed
+    # sizing): one write task per bucket directory instead of
+    # spark.sql.shuffle.partitions tasks juggling several dynamic-
+    # partition writers each
     staged = postings.withColumn(
         TERM_BUCKET_COL, _term_bucket(F.col("term"), n_buckets)
-    ).repartition(F.col(TERM_BUCKET_COL))
+    ).repartition(n_buckets, F.col(TERM_BUCKET_COL))
     staged.write.mode("overwrite").partitionBy(TERM_BUCKET_COL).parquet(path)
     build_id = uuid.uuid4().hex
     _layout_meta.write_json_meta(

@@ -704,12 +704,15 @@ def connected_components(
     (keep rows where id = canonical_id; singletons map to themselves).
 
     Min-label propagation: every node starts as its own label; each
-    iteration every node takes the min label among itself and its
-    neighbors; converged when no label changes. Iterations = component
-    DIAMETER — near-dup clusters are shallow (pairs/stars/short
-    chains), so this converges in a handful of rounds even at corpus
-    scale; for adversarially long chains the alternating large-star/
-    small-star variant (O(log n) rounds) is the drop-in upgrade.
+    propagation every node takes the min label among itself and its
+    neighbors; converged when no label changes. Each loop ITERATION
+    runs TWO propagations (r13), so iterations = ceil(component
+    DIAMETER / 2) + 1 and the non-convergence refusal below fires only
+    past 2*max_iters propagations — near-dup clusters are shallow
+    (pairs/stars/short chains), so this converges in a handful of
+    rounds even at corpus scale; for adversarially long chains the
+    alternating large-star/small-star variant (O(log n) rounds) is the
+    drop-in upgrade.
 
     Scale shape per iteration: one key-join (edges hash-partitioned by
     src) + one groupBy(dst) min — both map-side-combinable; labels are
@@ -797,9 +800,10 @@ def connected_components(
             return labels.select("id", "canonical_id").unionByName(singletons)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations "
-        "(a component's diameter exceeds the cap); raise max_iters, or use "
-        "the large-star/small-star variant for adversarially long chains — "
-        "returning partial labels would silently split components"
+        f"({2 * max_iters} propagations — a component's diameter exceeds "
+        "the cap); raise max_iters, or use the large-star/small-star "
+        "variant for adversarially long chains — returning partial labels "
+        "would silently split components"
     )
 
 

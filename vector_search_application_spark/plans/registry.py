@@ -1065,39 +1065,40 @@ from . import registry_curation  # noqa: E402,F401
 # stay current enough for one more round.
 
 DRIVER_WINDOW = [
-    # Code changed THIS round re-enters regardless of age (r7 policy):
-    # the streaming near-dup state reads now self-heal torn-compaction
-    # duplicates (read_state_pruned dedup_cols) ...
-    "stream_neardup_ingest",
-    # ... _read_indexed_cents gained the unstamped-cents torn-build
-    # direction (every persisted-layout lookup), and the batched ADC
-    # LUT builder was factored out of pq_topk_batch for the NEW
-    # batched warm IVF-PQ lookup, which enters on arrival ...
+    # r14 window. Code changed re-enters regardless of age (r7 policy),
+    # and this optimization round changed a LOT of backing code — the
+    # expr-string twins (bm25 weight/cosine/tokenizer, minhash/LSH,
+    # hashed shingles, repetition features, semantic verdicts), the
+    # corpus reader/products memos, and the sized layout writes. Seat
+    # first the r13 memoized-code cohort the r13 VERDICT flagged as
+    # driver-stale ("What's wrong" #1) — all also r14-touched:
+    "ivf_topk", "ivf_topk_batch", "ivfpq_topk", "pq_topk",
+    "semantic_dedup", "bm25_topk_batch", "hybrid_rrf_batch",
+    "embed_search_topk", "dedup_minhash_lsh", "training_manifest_full",
+    # ... the rest of the r14 changed-expression cohort ...
+    "bm25_topk", "hybrid_rrf", "linear_fusion", "fusion_max_dedup",
+    "fusion_max_dedup_batch", "dense_topk", "dense_topk_batch",
+    "exact_cascade_primary", "exact_cascade_batch",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_exact_then_near",
+    "dedup_incremental", "semantic_dedup_kmeans", "stream_neardup_ingest",
+    "text_repetition", "boilerplate_ngrams", "chunk_embed_pool",
+    "benchmark_decontaminate", "retrieval_manifest", "training_manifest",
+    "mixture_sample",
+    # ... the persisted-layout lookups (their write paths gained the
+    # cell/bucket-sized repartition this round) ...
     "ivf_index_lookup", "ivf_index_lookup_batch", "ivfpq_index_lookup",
-    "pq_topk_batch", "ivfpq_index_lookup_batch",
-    # ... the complete 34-query r10-stale cohort (r12 VERDICT task 1 —
-    # oldest evidence first) ...
-    "benchmark_decontaminate", "boilerplate_ngrams", "corpus_counts",
-    "dedup_canonical_quality", "dedup_cap_stats", "dedup_components",
-    "dedup_components_star", "dedup_exact_then_near", "dedup_simhash",
-    "dedup_substring_spans", "delta_classify", "dense_postfilter",
-    "dense_threshold", "dense_topk_batch_salted", "embed_documents",
-    "embed_query", "keyset_page", "lineitem_pricing_summary",
-    "local_supplier_revenue", "normalize_min_max",
-    "order_priority_semijoin", "returned_item_report",
-    "revenue_by_nation", "scroll_page", "search_details_projection",
-    "semantic_dedup_incremental", "substring_scrub_card", "text_langid",
-    "text_pii_scrub", "text_quality", "text_repetition", "token_stats",
-    "top_customer_revenue", "version_current",
-    # ... the NEW r13 queries (persisted BM25 serving layout) enter on
-    # arrival ...
+    "ivfpq_index_lookup_batch", "pq_topk_batch",
     "bm25_index_lookup", "bm25_index_lookup_batch",
-    # ... and eight r11 seats (all remaining evidence is r11/r12;
-    # these cover the headline families + sources + mutations so the
-    # leftover r11 greens are at most one further round stale).
-    "bm25_topk", "dense_topk", "hybrid_rrf", "fusion_max_dedup",
-    "upsert_merge", "partno_classifier", "json_export_roundtrip",
-    "doc_fingerprint",
+    # ... and eleven of the oldest (r11-evidence) seats. Still r11 after
+    # this round: cleanup_old, compare_preview, exact_cascade_miss,
+    # multimodal_byte_features, normalize_z_score, partno_explain,
+    # payload_index_lookup, search_ids_projection, targz_import,
+    # version_archive/get/history — tests/test_registry_oracle.py is
+    # their net; they lead the r15 rotation.
+    "bpe_train_merges", "bpe_encode_stats", "dense_prefilter",
+    "doc_chunk_windows", "domain_mix_weights", "event_value_median",
+    "exact_cascade_secondary", "ingest_products", "quantized_topk",
+    "sequence_pack", "token_stats_bpe",
 ]
 
 

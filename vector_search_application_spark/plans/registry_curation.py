@@ -445,9 +445,37 @@ def q_chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable — same scale shape as embed_documents."""
     from ..functions import embedder as E
 
-    chunks = q_doc_chunk_windows(spark, sf_dir).select("doc_id", "chunk_text")
-    tok = chunks.select(
-        "doc_id", F.explode(P.tokens(F.col("chunk_text"))).alias("term")
+    # chunk in TOKEN space (r14, the retrieval_manifest lesson): the
+    # oracle's chunk_text is array_to_string over token slices, and
+    # re-tokenizing a space-joined [a-z0-9]+ token list returns the
+    # slice verbatim — so the term explode reads the slices directly
+    # and skips the per-chunk string rebuild + second tokenize pass
+    # (the probe's heaviest per-doc row; this query's x100 time was
+    # 16.1 s, the worst curation ratio, with that double pass in it).
+    docs = corpus.docs(spark, sf_dir)
+    toks = docs.selectExpr(
+        "doc_id", f"{P.tokens_spark_sql('text')} AS toks"
+    ).filter(F.size("toks") >= 1)
+    st = toks.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n"),
+        # CASE-total for the InferFiltersFromGenerate trap chunk_windows
+        # documents
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(toks) >= 1 THEN"
+                f" sequence(0, size(toks) - 1, {CHUNK_STRIDE})"
+                f" ELSE CAST(array() AS ARRAY<INT>) END"
+            )
+        ).alias("s"),
+    ).filter(
+        (F.col("s") == 0)
+        | (F.col("n") - F.col("s") > CHUNK_TOKENS - CHUNK_STRIDE)
+    )
+    tok = st.select(
+        "doc_id",
+        F.explode(F.expr(f"slice(toks, s + 1, {CHUNK_TOKENS})")).alias("term"),
     )
     h = P.md5_long(F.col("term"))
     contrib = tok.select(
@@ -719,20 +747,13 @@ def q_retrieval_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions import embedder as E
-    from ..functions import text as T
     from ..operators import ann
     from .constants import LSH_PLANES
-    from .registry_pipeline import MIN_QUALITY, MIN_STOPWORD, MIN_TOKENS
+    from .registry_pipeline import quality_kept
 
-    docs = corpus.docs(spark, sf_dir)
-    feat = docs.select(
-        "doc_id", "text", F.explode(T.quality_features_expr("text")).alias("qf")
-    )
-    kept = feat.filter(
-        (F.col("qf.n_tokens") >= MIN_TOKENS)
-        & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
-        & (F.col("qf.quality") >= MIN_QUALITY)
-    ).select("doc_id", "text")
+    # shared memoized quality-keep stage (r14): one featurize pass per
+    # session across the three manifest queries instead of one each
+    kept = quality_kept(spark, sf_dir).select("doc_id", "text")
     # chunk in TOKEN space: the oracle's chunk_text is array_to_string
     # over the same token slices, and re-tokenizing a space-joined
     # [a-z0-9]+ token list returns the slice verbatim — so the engine

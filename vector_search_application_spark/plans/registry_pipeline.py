@@ -621,6 +621,45 @@ FROM runs
 """
 
 
+def quality_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, n_tokens): the quality-keep stage — the funnel
+    rules applied over one featurize pass — shared by training_manifest,
+    training_manifest_full and retrieval_manifest. Memoized + persisted
+    per docs plan (r14, guide §2.6 shared curation subtrees): the three
+    manifest queries each re-ran the tokenize+featurize scan per
+    execution; in a real pipeline this IS the materialized stage every
+    downstream consumer reads. release_all() clears (driver gate still
+    computes it per query)."""
+    from ..functions import text as T
+    from ..functions.cache import plan_memo, tracked_persist
+
+    docs = corpus.docs(spark, sf_dir)
+
+    def build() -> DataFrame:
+        feat = docs.select(
+            "doc_id",
+            "text",
+            F.explode(T.quality_features_expr("text")).alias("qf"),
+        )
+        return tracked_persist(
+            feat.filter(
+                (F.col("qf.n_tokens") >= MIN_TOKENS)
+                & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
+                & (F.col("qf.quality") >= MIN_QUALITY)
+            ).select(
+                "doc_id",
+                "text",
+                F.col("qf.n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+
+    return plan_memo(
+        docs,
+        ("quality_kept", MIN_TOKENS, MIN_STOPWORD, MIN_QUALITY),
+        build,
+    )
+
+
 @declare("training_manifest", _manifest_sql(), survey_ids="pipeline-manifest")
 def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole curation pipeline as ONE declared plan: quality-filter
@@ -634,21 +673,7 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard plan documented on sequence_pack."""
     from pyspark.sql import Window
 
-    from ..functions import text as T
-
-    docs = corpus.docs(spark, sf_dir)
-    feat = docs.select(
-        "doc_id",
-        "text",
-        F.explode(T.quality_features_expr("text")).alias("qf"),
-    )
-    kept = feat.filter(
-        (F.col("qf.n_tokens") >= MIN_TOKENS)
-        & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
-        & (F.col("qf.quality") >= MIN_QUALITY)
-    ).select(
-        "doc_id", "text", F.col("qf.n_tokens").cast("bigint").alias("n_tokens")
-    )
+    kept = quality_kept(spark, sf_dir)
     wh = Window.partitionBy(F.sha2(F.col("text"), 256))
     uniq = (
         kept.withColumn("canonical_id", F.min("doc_id").over(wh))
@@ -786,22 +811,9 @@ def q_training_manifest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id/split end to end."""
     from pyspark.sql import Window
 
-    from ..functions import text as T
     from ..operators.dedup import hashed_shingles
 
-    docs = corpus.docs(spark, sf_dir)
-    feat = docs.select(
-        "doc_id",
-        "text",
-        F.explode(T.quality_features_expr("text")).alias("qf"),
-    )
-    kept = feat.filter(
-        (F.col("qf.n_tokens") >= MIN_TOKENS)
-        & (F.col("qf.stopword_ratio") >= MIN_STOPWORD)
-        & (F.col("qf.quality") >= MIN_QUALITY)
-    ).select(
-        "doc_id", "text", F.col("qf.n_tokens").cast("bigint").alias("n_tokens")
-    )
+    kept = quality_kept(spark, sf_dir)
     wh = Window.partitionBy(F.sha2(F.col("text"), 256))
     uniq = (
         kept.withColumn("canonical_id", F.min("doc_id").over(wh))
